@@ -1,0 +1,506 @@
+"""Relational core: scans, filters, joins, aggregations, set ops.
+
+Covers SURVEY.md §2.3 (projections/filters), §2.4 (joins, incl. the
+two-tier lookup join J1 — reference database.py:83-126), §2.5
+(aggregations), §2.7 (sorts/limits/set ops). All expressed as lazy
+DataFrame plans; Catalyst handles pushdown, pruning, and join
+selection. Small dims (region/nation) are broadcast explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.detsum import dsum
+from ..operators.lookup_join import two_tier_lookup_join
+from ..sources.tables import load_table
+from . import Q
+
+# Exact-decimal casts for 2-decimal-valued measure columns (see
+# functions/detsum.py for why money never sums in double). Lazy:
+# Columns can only be built with an active SparkContext.
+def _E():
+    return F.col("l_extendedprice").cast("decimal(12,2)")
+
+
+def _D1():
+    return (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+
+
+def _T1():
+    return (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (wide agg battery, SURVEY §2.5)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-31 00:00:00").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(_E()).cast("double").alias("sum_base_price"),
+        F.sum(_E() * _D1()).cast("double").alias("sum_disc_price"),
+        F.sum(_E() * _D1() * _T1()).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+        (F.sum(_E()).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+        (
+            F.sum(F.col("l_discount").cast("decimal(6,4)")).cast("double")
+            / F.count("l_discount")
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(l_quantity) AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) / count(l_discount) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 5-way star join + filtered revenue rollup (SURVEY §7 M0).
+
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, shipdate-filtered,
+    revenue by region name × order priority. nation/region broadcast;
+    customer join goes through AQE (broadcastable at small SF, shuffle
+    hash at 100 TB).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(
+            F.sum(_E() * _D1()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_FLAGSHIP_SQL = """
+SELECT r_name, o_orderpriority,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r_name, o_orderpriority
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with deterministic tie-break (SURVEY §2.7 O1-O4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        )
+    )
+
+
+_TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers having orders, per segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_SEMI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers without orders, per nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    recent = orders.filter(F.year("o_orderdate") == 1995)
+    return (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_ANTI_SQL = """
+SELECT n_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+GROUP BY n_name
+"""
+
+
+def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + per-customer aggregate with null handling."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice", "decimal(18,2)"), F.lit(0.0)).alias(
+                "spend"
+            ),
+        )
+    )
+
+
+_OUTER_SQL = """
+SELECT c_custkey, c_name,
+       count(o_orderkey) AS n_orders,
+       COALESCE(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 0.0) AS spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_two_tier_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 two-tier vendor lookup (reference database.py:83-126).
+
+    Tier 1: exact equi-join on the lookup key. Tier 2 (misses only):
+    case-insensitive containment — the *stored* key contains the fact
+    key (reference database.py:110-114) — with a deterministic
+    first-match pick (row_number ordered by dim key; the reference's
+    ``fetchone`` is non-deterministic, SURVEY §4 defect list).
+
+    The dim is derived from ``part``: exact entries are plain p_names
+    (p_partkey % 5 = 0); fuzzy-only entries are 'ACME ' || p_name
+    (p_partkey % 7 = 0), which contain the fact p_name as a substring.
+    """
+    part = load_table(spark, sf_dir, "part")
+    exact = (
+        part.filter(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_name").alias("vendor"), F.col("p_partkey").alias("ref"))
+    )
+    fuzzy = (
+        part.filter(F.col("p_partkey") % 7 == 0)
+        .select(
+            F.concat(F.lit("ACME "), F.col("p_name")).alias("vendor"),
+            F.col("p_partkey").alias("ref"),
+        )
+    )
+    dim = (
+        exact.unionByName(fuzzy)
+        .groupBy("vendor")
+        .agg(F.min("ref").cast("bigint").alias("dim_ref"))
+    )
+    fact = part.select("p_partkey", "p_name")
+    return two_tier_lookup_join(
+        fact,
+        dim,
+        fact_id="p_partkey",
+        fact_key="p_name",
+        dim_key="vendor",
+        dim_cols=["dim_ref"],
+    )
+
+
+_TWO_TIER_SQL = """
+WITH dim AS (
+  SELECT vendor, CAST(min(ref) AS BIGINT) AS dim_ref FROM (
+    SELECT p_name AS vendor, p_partkey AS ref FROM part WHERE p_partkey % 5 = 0
+    UNION ALL
+    SELECT 'ACME ' || p_name AS vendor, p_partkey AS ref FROM part WHERE p_partkey % 7 = 0
+  ) GROUP BY vendor
+), t1 AS (
+  SELECT p.p_partkey, p.p_name, d.vendor, d.dim_ref
+  FROM part p LEFT JOIN dim d ON p.p_name = d.vendor
+), miss AS (
+  SELECT p_partkey, p_name FROM t1 WHERE vendor IS NULL
+), t2 AS (
+  SELECT m.p_partkey, m.p_name, d.vendor, d.dim_ref,
+         row_number() OVER (PARTITION BY m.p_partkey ORDER BY d.vendor) AS rn
+  FROM miss m JOIN dim d ON lower(d.vendor) LIKE '%' || lower(m.p_name) || '%'
+)
+SELECT p_partkey, p_name, vendor, dim_ref, 1 AS tier FROM t1 WHERE vendor IS NOT NULL
+UNION ALL
+SELECT p_partkey, p_name, vendor, dim_ref, 2 AS tier FROM t2 WHERE rn = 1
+UNION ALL
+SELECT m.p_partkey, m.p_name, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 0 AS tier
+FROM miss m WHERE NOT EXISTS (SELECT 1 FROM t2 WHERE t2.p_partkey = m.p_partkey)
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region → nation with grouping id (SURVEY §2.5)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            dsum("c_acctbal", "decimal(18,2)").alias("acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name,
+  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS acctbal,
+  count(*) AS n_customers,
+  CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag × linestatus with grouping id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  count(*) AS n_items,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates per order priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.sum_distinct(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_distinct_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_DISTINCT_SQL = """
+SELECT o_orderpriority,
+  count(DISTINCT o_custkey) AS n_cust,
+  count(DISTINCT o_orderstatus) AS n_status,
+  CAST(CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_distinct_price,
+  count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable pivot (conditional aggregation) by linestatus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.coalesce(F.sum(F.when(F.col("l_linestatus") == "O", qty)).cast("double"), F.lit(0.0)).alias("qty_open"),
+        F.coalesce(F.sum(F.when(F.col("l_linestatus") == "F", qty)).cast("double"), F.lit(0.0)).alias("qty_fulfilled"),
+        F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_fulfilled"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+  COALESCE(CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE), 0.0) AS qty_open,
+  COALESCE(CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE), 0.0) AS qty_fulfilled,
+  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open,
+  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_fulfilled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION cohort counts (SURVEY §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    only95 = y95.exceptAll(y96).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_1995").alias("cohort"), "n"
+    )
+    either = y95.union(y96).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("either").alias("cohort"), "n"
+    )
+    return both.unionByName(only95).unionByName(either)
+
+
+_SETOPS_SQL = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'both' AS cohort, count(*) AS n FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT 'only_1995' AS cohort, count(*) AS n FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+UNION ALL
+SELECT 'either' AS cohort, count(*) AS n FROM (SELECT * FROM y95 UNION SELECT * FROM y96)
+"""
+
+
+def q_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate battery (SURVEY §2.3 P-series analogs over part).
+
+    rlike / contains / like / length / upper / in-list / between, all
+    pushed into the parquet scan where Catalyst can.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").rlike("^(small|red|blue)\\b")
+        & F.col("p_type").isin("ECONOMY", "SMALL", "STANDARD")
+        & (F.col("p_size").between(5, 45))
+        & ~F.upper(F.col("p_name")).contains("GEAR")
+        & (F.length("p_name") >= 3)
+    ).select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.concat_ws(" - ", F.col("p_brand"), F.col("p_name")).alias("brand_name"),
+    )
+
+
+_FILTER_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size,
+       upper(p_name) AS name_upper,
+       p_brand || ' - ' || p_name AS brand_name
+FROM part
+WHERE regexp_matches(p_name, '^(small|red|blue)\\b')
+  AND p_type IN ('ECONOMY', 'SMALL', 'STANDARD')
+  AND p_size BETWEEN 5 AND 45
+  AND NOT contains(upper(p_name), 'GEAR')
+  AND length(p_name) >= 3
+"""
+
+
+def q_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function battery (SURVEY §2.8): string/math/date funcs.
+
+    Includes the reference's money normalization P14 (strip $/, then
+    cast — pdf_parser.py:385-395) and credit sign-flip P15
+    (pdf_parser.py:375-377) over a printf-built amount string.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    amount_str = F.concat(F.lit("$"), F.format_string("%.2f", F.col("o_totalprice")))
+    is_credit = F.col("o_orderkey") % 3 == 0
+    parsed = F.regexp_replace(amount_str, "[$,]", "").cast("decimal(18,2)")
+    return orders.select(
+        "o_orderkey",
+        amount_str.alias("amount_str"),
+        F.when(is_credit, (-parsed).cast("double"))
+        .otherwise(parsed.cast("double"))
+        .alias("amount_signed"),
+        is_credit.alias("is_credit"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("o_orderstatus"), F.lit("  "))).alias("status_trim"),
+        F.split(F.col("o_orderpriority"), "-").getItem(0).alias("prio_num"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.datediff(
+            F.lit("2002-01-01 00:00:00").cast("timestamp"), F.col("o_orderdate")
+        ).cast("int").alias("days_to_2002"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("capped_price"),
+        F.abs(F.col("o_totalprice") - F.lit(50000.0)).alias("dist_from_50k"),
+    )
+
+
+_SCALAR_SQL = """
+SELECT o_orderkey,
+  '$' || printf('%.2f', o_totalprice) AS amount_str,
+  CASE WHEN o_orderkey % 3 = 0
+       THEN CAST(-CAST(regexp_replace('$' || printf('%.2f', o_totalprice), '[$,]', '', 'g') AS DECIMAL(18,2)) AS DOUBLE)
+       ELSE CAST( CAST(regexp_replace('$' || printf('%.2f', o_totalprice), '[$,]', '', 'g') AS DECIMAL(18,2)) AS DOUBLE)
+  END AS amount_signed,
+  o_orderkey % 3 = 0 AS is_credit,
+  substring(o_orderpriority, 1, 1) AS prio_code,
+  lower(o_orderstatus) AS status_lower,
+  trim('  ' || o_orderstatus || '  ') AS status_trim,
+  split_part(o_orderpriority, '-', 1) AS prio_num,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+  CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INTEGER) AS days_to_2002,
+  least(o_totalprice, 100000.0) AS capped_price,
+  abs(o_totalprice - 50000.0) AS dist_from_50k
+FROM orders
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "pricing_summary": Q(q_pricing_summary, _PRICING_SQL),
+    "flagship_revenue": Q(q_flagship_revenue, _FLAGSHIP_SQL),
+    "top_orders": Q(q_top_orders, _TOP_ORDERS_SQL),
+    "semi_join": Q(q_semi_join, _SEMI_SQL),
+    "anti_join": Q(q_anti_join, _ANTI_SQL),
+    "outer_join_agg": Q(q_outer_join_agg, _OUTER_SQL),
+    "two_tier_lookup": Q(q_two_tier_lookup, _TWO_TIER_SQL),
+    "rollup_agg": Q(q_rollup, _ROLLUP_SQL),
+    "cube_agg": Q(q_cube, _CUBE_SQL),
+    "distinct_agg": Q(q_distinct_agg, _DISTINCT_SQL),
+    "pivot_wide": Q(q_pivot_wide, _PIVOT_SQL),
+    "setops": Q(q_setops, _SETOPS_SQL),
+    "filter_battery": Q(q_filter_battery, _FILTER_SQL),
+    "scalar_battery": Q(q_scalar_battery, _SCALAR_SQL),
+}

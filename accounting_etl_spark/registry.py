@@ -1,0 +1,20 @@
+"""Aggregated query registry — the engine's declared surface.
+
+``__spark_entry__.py`` re-exports this for the driver; tools and tests
+iterate it. Modules register themselves here as they land.
+"""
+
+from __future__ import annotations
+
+from .queries import Q
+from .queries import relational
+
+
+def all_queries() -> dict[str, Q]:
+    out: dict[str, Q] = {}
+    for mod in (relational,):
+        overlap = out.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {sorted(overlap)}")
+        out.update(mod.QUERIES)
+    return out

@@ -1,0 +1,38 @@
+"""SparkSession factory.
+
+Local-mode defaults tuned per the driver environment (local[32],
+single JVM). All correctness-sensitive settings are pinned here:
+
+- ``spark.sql.session.timeZone=UTC`` — the DuckDB oracle compares
+  timestamp-derived values; Spark must not apply a local zone.
+- AQE on — runtime coalescing/skew handling is the 100 TB posture.
+- Arrow on — every Pandas-UDF boundary is Arrow-batched.
+- shuffle partitions ~= cores locally (would be set much higher on a
+  real 1000-executor cluster; the value is env-overridable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "accounting-etl-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

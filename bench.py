@@ -1,0 +1,77 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full compute, no
+driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: one per operator family; extended as the surface grows.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "flagship_revenue",
+    "top_orders",
+    "outer_join_agg",
+    "two_tier_lookup",
+    "cube_agg",
+    "window_running",
+    "sessionize_events",
+    "asof_join",
+    "dedup_exact",
+    "near_dup_jaccard",
+    "cosine_topk",
+    "tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from accounting_etl_spark.registry import all_queries
+    from accounting_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = all_queries()
+    names = [n for n in BENCH_QUERIES if n in qs]
+
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    qs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Event-stream surface, batch-verifiable forms (SURVEY §2.9 T4).
+
+Tumbling/sliding windows, JSON extraction, and the as-of join over
+the events table. The Structured Streaming twins (readStream +
+watermark) live in streaming/windows.py; these batch forms are the
+oracle-checked semantics.
+
+Window starts are emitted as epoch-second bigints computed in exact
+integer microsecond arithmetic — cross-engine timestamp formatting
+never enters the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources.tables import load_table
+from . import Q
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window counts/sums per event type."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes")
+    return (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+_TUMBLING_SQL = """
+SELECT CAST(((epoch_ns(ts) // 1000) // 600000000) * 600 AS BIGINT) AS window_start_s,
+       event_type, count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding by 5 minutes (each event in 2 windows)."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_SLIDING_SQL = """
+SELECT CAST(((epoch_ns(ts) // 1000) // 300000000 - k) * 300 AS BIGINT) AS window_start_s,
+       event_type, count(*) AS n
+FROM events, (VALUES (0), (1)) t(k)
+GROUP BY 1, 2
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the props column + bucket aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k_bucket", (k % 10).cast("int"))
+        .groupBy("k_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+        )
+    )
+
+
+_JSON_SQL = """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_bucket,
+       event_type, count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(value) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: latest order at/before each event, per user.
+
+    Implemented with the union-sort/last-carry operator
+    (operators/asof.py) — one shuffle, no range explosion.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_time="t_us",
+        right_time="t_us",
+        payload=["o_orderkey", "o_totalprice"],
+        tiebreak=["o_orderkey"],
+    )
+    return joined.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+_ASOF_SQL = """
+WITH cand AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id
+               AND epoch_us(o.o_orderdate) <= (epoch_ns(e.ts) // 1000)
+)
+SELECT event_id, user_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
+UNION ALL
+SELECT e.event_id, e.user_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= (epoch_ns(e.ts) // 1000)
+)
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "tumbling_window": Q(q_tumbling_window, _TUMBLING_SQL),
+    "sliding_window": Q(q_sliding_window, _SLIDING_SQL),
+    "json_props": Q(q_json_props, _JSON_SQL),
+    "asof_join": Q(q_asof_join, _ASOF_SQL),
+}

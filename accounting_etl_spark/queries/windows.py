@@ -1,0 +1,197 @@
+"""Window functions & sessionization (SURVEY §2.6 W1-W3, §2.5 A1).
+
+Ranking/analytic/frame batteries over orders/customer/events, plus
+the gap-based session window — the generalized form of the
+reference's PDF row clustering (pdf_parser.py:228-281).
+
+Determinism notes: every window ordering is made total with key
+tie-breaks; time arithmetic uses exact integer microseconds
+(``unix_micros`` / ``epoch_us``), never float epochs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sessionize import sessionize
+from ..sources.tables import load_table
+from . import Q
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number / rank / dense_rank."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_unique = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_ties = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_unique).cast("bigint").alias("rn"),
+            F.rank().over(w_ties).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w_ties).cast("bigint").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_RANK_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn,
+    CAST(rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+    CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS drnk
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row moving average per customer (frames)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        F.sum(price_dec).over(run).cast("double").alias("running_spend"),
+        (F.sum(price_dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER run AS VARCHAR) AS DOUBLE) AS running_spend,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER mov AS VARCHAR) AS DOUBLE)
+    / count(*) OVER mov AS moving_avg3
+FROM orders
+WINDOW run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + exact microsecond gaps per user over events."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_us", F.lag("us").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("event_type").over(w).alias("next_type"),
+            # integer division — DuckDB CAST(double AS BIGINT) rounds
+            # half-even while Spark truncates, so never divide in double
+            F.expr("CAST((us - prev_us) DIV 1000000 AS BIGINT)").alias("gap_s"),
+        )
+    )
+
+
+_LAG_SQL = """
+SELECT event_id, user_id, value,
+  lag(value)       OVER w AS prev_value,
+  lead(event_type) OVER w AS next_type,
+  ((epoch_ns(ts) // 1000) - lag(epoch_ns(ts) // 1000) OVER w) // 1000000 AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist per nation over customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_NTILE_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist()    OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+_SESSION_GAP_US = 4 * 3600 * 1000000  # 4 h
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session window over events (A1/W1 generalized).
+
+    lag → new-session flag → running sum, per user, gap = 4 h in
+    exact integer microseconds. Aggregates each session.
+    """
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    sessions = sessionize(
+        events,
+        ["user_id"],
+        "us",
+        _SESSION_GAP_US,
+        tiebreak_cols=["event_id"],
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(min(us) DIV 1000000 AS BIGINT)").alias("session_start_s"),
+        F.expr("CAST((max(us) - min(us)) DIV 1000000 AS BIGINT)").alias(
+            "session_len_s"
+        ),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "session_value"
+        ),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, value, (epoch_ns(ts) // 1000) AS us FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  count(*) AS n_events,
+  CAST(min(us) // 1000000 AS BIGINT) AS session_start_s,
+  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS session_len_s,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "window_rank": Q(q_window_rank, _RANK_SQL),
+    "window_running": Q(q_window_running, _RUNNING_SQL),
+    "window_lag": Q(q_window_lag, _LAG_SQL),
+    "window_ntile": Q(q_window_ntile, _NTILE_SQL),
+    "sessionize_events": Q(q_sessionize_events, _SESSIONIZE_SQL),
+}

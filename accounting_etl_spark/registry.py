@@ -7,12 +7,12 @@ iterate it. Modules register themselves here as they land.
 from __future__ import annotations
 
 from .queries import Q
-from .queries import relational
+from .queries import events, relational, windows
 
 
 def all_queries() -> dict[str, Q]:
     out: dict[str, Q] = {}
-    for mod in (relational,):
+    for mod in (relational, windows, events):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

@@ -25,7 +25,25 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
+    default. Read nanos as long (runtime-settable legacy conf), keep the
+    exact ``ts_ns`` bigint, and derive a µs-truncated TimestampType
+    ``ts`` (truncation, not rounding — the DuckDB oracle mirrors this
+    with ``epoch_ns(ts) // 1000``)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,116 @@
+"""Similarity search over ``embeddings`` (SURVEY §2.11).
+
+Brute-force cosine top-k as the exact baseline (oracle-checked), with
+the decimal-dot-product trick: element products and sums computed in
+exact decimal (order-independent), converted to double only at the
+end, so both engines produce bit-identical cosines and therefore
+identical rankings. The LSH-bucketed ANN scale path lives in
+operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import Q
+
+_N_QUERIES = 8
+_TOP_K = 3
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbors for each of the first 8 vectors.
+
+    Exact decimal dot products: elements cast to decimal(18,9),
+    products summed as decimal (order-independent — Spark's
+    ``aggregate()`` lambda can't hold a fixed decimal accumulator
+    type, so the plan explodes positions and uses native decimal SUM,
+    which keeps an exact (38,18) accumulator). Query side is tiny and
+    broadcast; the corpus side streams — the scale path swaps the
+    position join for the array-native double fold once exactness
+    isn't contractual (operators/similarity.py).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("decimal(18,9)").alias("xd"))
+    norms = el.groupBy("vec_id").agg(
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("n2")
+    )
+    qel = el.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "i", F.col("xd").alias("q_xd")
+    )
+    dots = (
+        F.broadcast(qel)
+        .join(el, "i")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", F.col("vec_id").alias("nb_id"))
+        .agg(F.sum(F.col("q_xd") * F.col("xd")).cast("double").alias("dot"))
+    )
+    q_norms = norms.select(
+        F.col("vec_id").alias("q_id"), F.col("n2").alias("q_n2")
+    )
+    nb_norms = norms.select(
+        F.col("vec_id").alias("nb_id"), F.col("n2").alias("nb_n2")
+    )
+    scored = (
+        dots.join(F.broadcast(q_norms), "q_id")
+        .join(nb_norms, "nb_id")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("nb_n2"))),
+        )
+    )
+    from ..operators.topk import topk_per_group
+
+    top = topk_per_group(
+        scored,
+        ["q_id"],
+        [F.desc("cosine"), F.asc("nb_id")],
+        _TOP_K,
+        rank_col="rank",
+    )
+    return top.select(
+        "q_id", "nb_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
+    )
+
+
+_COSINE_SQL = f"""
+WITH el0 AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding) AS x0
+  FROM embeddings
+), el AS (
+  -- FLOAT must widen to DOUBLE before the decimal cast: DuckDB's
+  -- direct FLOAT->DECIMAL path is not correctly rounded.
+  SELECT vec_id, i, CAST(CAST(x0 AS DOUBLE) AS DECIMAL(18,9)) AS x FROM el0
+), norms AS (
+  SELECT vec_id, CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS n2
+  FROM el GROUP BY vec_id
+), dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS nb_id,
+         CAST(CAST(SUM(a.x * b.x) AS VARCHAR) AS DOUBLE) AS dot
+  FROM el a JOIN el b USING (i)
+  WHERE a.vec_id < {_N_QUERIES} AND a.vec_id != b.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT q_id, nb_id,
+         dot / (sqrt(qa.n2) * sqrt(nb.n2)) AS cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot / (sqrt(qa.n2) * sqrt(nb.n2)) DESC,
+                                     nb_id ASC) AS rank
+  FROM dots
+  JOIN norms qa ON q_id = qa.vec_id
+  JOIN norms nb ON nb_id = nb.vec_id
+)
+SELECT q_id, nb_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM scored WHERE rank <= {_TOP_K}
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "cosine_topk": Q(q_cosine_topk, _COSINE_SQL),
+}

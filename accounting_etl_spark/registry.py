@@ -7,12 +7,12 @@ iterate it. Modules register themselves here as they land.
 from __future__ import annotations
 
 from .queries import Q
-from .queries import events, relational, windows
+from .queries import events, multimodal, relational, similarity, text, windows
 
 
 def all_queries() -> dict[str, Q]:
     out: dict[str, Q] = {}
-    for mod in (relational, windows, events):
+    for mod in (relational, windows, events, text, similarity, multimodal):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

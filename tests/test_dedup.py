@@ -1,0 +1,135 @@
+"""Unit tests for the non-SQL-expressible dedup/similarity/multimodal
+operators (SURVEY §5.3): verified against the exact-Jaccard baseline
+and for determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _exact_pairs(spark, threshold):
+    """Exact shingle-Jaccard pairs at the given threshold."""
+    from accounting_etl_spark.queries.text import q_near_dup_jaccard
+
+    pdf = q_near_dup_jaccard(spark, SF_SMOKE).toPandas()
+    return {
+        (int(r.doc_a), int(r.doc_b))
+        for r in pdf.itertuples()
+        if r.jaccard >= threshold
+    }
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates must recover the high-similarity exact pairs.
+
+    With 16 hashes / 4 bands (r=4), a pair at j=0.8 collides with
+    p = 1-(1-0.8^4)^4 ≈ 0.93; near-identical pairs ≈ always.
+    """
+    from accounting_etl_spark.operators.dedup import minhash_candidates
+    from accounting_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cands = minhash_candidates(docs, id_col="doc_id", text_col="text")
+    got = {(int(r.id_a), int(r.id_b)) for r in cands.collect()}
+    strong = _exact_pairs(spark, 0.8)
+    if not strong:
+        pytest.skip("no strong near-dup pairs at this sf")
+    recall = len(strong & got) / len(strong)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(strong)} pairs"
+
+
+def test_minhash_deterministic(spark):
+    from accounting_etl_spark.operators.dedup import minhash_candidates
+    from accounting_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(map(tuple, minhash_candidates(docs, id_col="doc_id", text_col="text").collect()))
+    b = sorted(map(tuple, minhash_candidates(docs, id_col="doc_id", text_col="text").collect()))
+    assert a == b
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    from accounting_etl_spark.operators.dedup import simhash64
+    from accounting_etl_spark.functions.text import tokens_ws
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely unrelated content here")],
+        "id bigint, text string",
+    ).select("id", simhash64(tokens_ws(F.col("text"))).alias("sim"))
+    rows = {r.id: r.sim for r in df.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_simhash_candidates_on_near_identical(spark):
+    """Identical docs → hamming 0 candidate; unrelated doc → no pair.
+
+    (A one-token-difference doc can land anywhere within a few bits
+    depending on tie margins, so the deterministic assertions are on
+    the exact-duplicate and the unrelated cases, plus hamming values
+    cross-checked against a python recomputation of the signatures.)
+    """
+    from accounting_etl_spark.operators.dedup import (
+        simhash64,
+        simhash_candidates,
+    )
+    from accounting_etl_spark.functions.text import tokens_ws
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5),
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5),
+         (3, "one two three four five six seven eight nine ten " * 5)],
+        "id bigint, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_candidates(
+        df, id_col="id", text_col="text").collect()}
+    assert pairs.get((1, 2)) == 0
+    assert not any(3 in p for p in pairs)
+    sigs = {r.id: r.sim for r in df.select(
+        "id", simhash64(tokens_ws(F.col("text"))).alias("sim")).collect()}
+    for (a, b), h in pairs.items():
+        assert bin(sigs[a] ^ sigs[b]).count("1") == h
+
+
+def test_multimodal_features_deterministic_and_typed(spark):
+    from accounting_etl_spark.operators.multimodal import (
+        attach_payload,
+        extract_media_features,
+    )
+    from accounting_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    feats = extract_media_features(attach_payload(docs))
+    pdf = feats.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(pdf) == 50
+    assert set(pdf.columns) == {
+        "doc_id", "modality", "n_bytes", "checksum",
+        "width", "height", "n_frames", "sample_rate",
+    }
+    # modality-conditional nullability
+    img = pdf[pdf.modality == "image"]
+    aud = pdf[pdf.modality == "audio"]
+    assert img["width"].notna().all() and img["sample_rate"].isna().all()
+    assert aud["sample_rate"].notna().all() and aud["width"].isna().all()
+    # deterministic across runs
+    pdf2 = feats.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert pdf.equals(pdf2)
+
+
+def test_multimodal_real_decode_raises(spark):
+    from accounting_etl_spark.operators.multimodal import (
+        attach_payload,
+        extract_media_features,
+    )
+    from accounting_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(2)
+    feats = extract_media_features(attach_payload(docs), real_decode=True)
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        feats.collect()

@@ -7,12 +7,28 @@ iterate it. Modules register themselves here as they land.
 from __future__ import annotations
 
 from .queries import Q
-from .queries import events, multimodal, relational, similarity, text, windows
+from .queries import (
+    events,
+    multimodal,
+    reference_pipeline,
+    relational,
+    similarity,
+    text,
+    windows,
+)
 
 
 def all_queries() -> dict[str, Q]:
     out: dict[str, Q] = {}
-    for mod in (relational, windows, events, text, similarity, multimodal):
+    for mod in (
+        relational,
+        windows,
+        events,
+        text,
+        similarity,
+        multimodal,
+        reference_pipeline,
+    ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

@@ -1,0 +1,112 @@
+"""Incremental ingestion (SURVEY §2.9 T1-T3) — the Spark form of the
+reference's mailbox poller (email_fetcher.py:27-98).
+
+Reference contract → Structured Streaming mapping:
+- poll + land only new attachments (skip-if-exists,
+  email_fetcher.py:87-90) → streaming file source with checkpointed
+  exactly-once file tracking, plus ``dropDuplicates`` on the landing
+  key under a watermark for at-least-once landers;
+- 30-day lookback (email_fetcher.py:38-42) → event-time filter +
+  watermark;
+- landing layout ``downloads/YYYY-MM/<name>`` (email_fetcher.py:71-74)
+  → ``partitionBy(ingest_month)``;
+- the dimension upsert becomes ``foreachBatch`` → merge_upsert, the
+  exactly-once sink pattern (each epoch applies one idempotent MERGE).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.upsert import merge_upsert
+
+LANDING_SCHEMA = (
+    "filename string, subject string, sender string, "
+    "received_at timestamp, size_bytes bigint"
+)
+
+
+def read_landing_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    *,
+    schema: str = LANDING_SCHEMA,
+    lookback_days: int = 30,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming scan of landed attachment metadata with the
+    reference's subject/extension/recency predicates (P9-P11) and
+    exactly-once dedup on the landing key (O6/T1)."""
+    raw = spark.readStream.schema(schema).json(landing_dir)
+    return (
+        raw.filter(F.lower("filename").endswith(".pdf"))
+        .filter(
+            F.lower("subject").rlike("statement|credit card|mastercard")
+        )
+        .filter(
+            F.col("received_at")
+            >= F.date_sub(F.current_date(), lookback_days).cast("timestamp")
+        )
+        .withColumn("ingest_month", F.date_format("received_at", "yyyy-MM"))
+        .withWatermark("received_at", watermark)
+        .dropDuplicates(["filename"])
+    )
+
+
+def land_partitioned(stream: DataFrame, out_dir: str, checkpoint: str):
+    """K3: month-partitioned landing sink (exactly-once by checkpoint)."""
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("ingest_month")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_upsert(
+    dim_path: str,
+    *,
+    key: str,
+    set_cols: list[str],
+    batch_ts_fn: Callable[[int], str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """K2 as a streaming sink: MERGE each micro-batch into a parquet
+    dim. Idempotent per epoch (deterministic batch_ts from epoch id),
+    the foreachBatch exactly-once pattern."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        ts = (
+            batch_ts_fn(epoch_id)
+            if batch_ts_fn
+            else f"epoch-{epoch_id:08d}"
+        )
+        try:
+            dim = spark.read.parquet(dim_path)
+        except Exception:  # first epoch: empty dim with update schema
+            dim = batch.select(
+                key, *set_cols,
+                F.lit(None).cast("string").alias("created_at"),
+                F.lit(None).cast("string").alias("updated_at"),
+            ).limit(0)
+        merged = merge_upsert(
+            dim,
+            batch.select(key, *set_cols),
+            key=key,
+            set_cols=set_cols,
+            batch_ts=ts,
+        )
+        # materialize before overwrite — the merge reads the same path
+        out = merged.toPandas()
+        spark.createDataFrame(out, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(dim_path)
+
+    return apply

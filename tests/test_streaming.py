@@ -1,0 +1,184 @@
+"""Streaming surface tests (SURVEY §5.5): finite streams through
+memory sinks, compared against the oracle-checked batch forms; the
+ingest path end-to-end through a tmp landing dir with foreachBatch
+MERGE.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _cleanup(spark, q):
+    q.stop()
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    from accounting_etl_spark.queries.events import q_tumbling_window
+    from accounting_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    name = f"tumb_{uuid.uuid4().hex[:8]}"
+    stream = tumbling_counts(read_events_stream(spark, SF_SMOKE))
+    q = run_to_memory(stream, name)
+    try:
+        got = {
+            (r.window_start_s, r.event_type): (r.n, r.total)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        batch = {
+            (r.window_start_s, r.event_type): (r.n, r.total)
+            for r in q_tumbling_window(spark, SF_SMOKE).collect()
+        }
+        # append mode withholds windows the watermark hasn't passed
+        assert got, "stream emitted nothing"
+        assert set(got) <= set(batch)
+        assert all(batch[k] == v for k, v in got.items())
+        # everything older than the final watermark must have emitted
+        assert len(got) >= len(batch) - 60
+    finally:
+        _cleanup(spark, q)
+
+
+def test_streaming_sessions_match_batch_sessionize(spark):
+    from accounting_etl_spark.queries.windows import q_sessionize_events
+    from accounting_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        session_counts,
+    )
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    stream = session_counts(read_events_stream(spark, SF_SMOKE))
+    q = run_to_memory(stream, name)
+    try:
+        got = {
+            (r.user_id, r.session_start_s): (r.n_events, r.session_value)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        batch = {
+            (r.user_id, r.session_start_s): (r.n_events, r.session_value)
+            for r in q_sessionize_events(spark, SF_SMOKE).collect()
+        }
+        assert got, "stream emitted nothing"
+        assert set(got) <= set(batch)
+        assert all(batch[k] == v for k, v in got.items())
+    finally:
+        _cleanup(spark, q)
+
+
+def test_ingest_dedup_and_upsert(spark, tmp_path):
+    from accounting_etl_spark.streaming.ingest import (
+        foreach_batch_upsert,
+        read_landing_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    recs = [
+        # kept: pdf + statement subject + recent
+        {"filename": "stmt_jan.pdf", "subject": "Your credit card statement",
+         "sender": "bank@example.com", "received_at": "2026-08-10T00:00:00Z",
+         "size_bytes": 1000},
+        # duplicate filename -> dropDuplicates keeps one
+        {"filename": "stmt_jan.pdf", "subject": "Your credit card statement",
+         "sender": "bank@example.com", "received_at": "2026-08-10T01:00:00Z",
+         "size_bytes": 1000},
+        # wrong extension -> dropped (P11)
+        {"filename": "notes.txt", "subject": "statement", "sender": "x",
+         "received_at": "2026-08-10T00:00:00Z", "size_bytes": 10},
+        # wrong subject -> dropped (P10)
+        {"filename": "cat.pdf", "subject": "cute cat pics", "sender": "x",
+         "received_at": "2026-08-10T00:00:00Z", "size_bytes": 10},
+        # too old -> dropped (P9)
+        {"filename": "old.pdf", "subject": "mastercard statement", "sender": "x",
+         "received_at": "2020-01-01T00:00:00Z", "size_bytes": 10},
+    ]
+    (landing / "batch1.json").write_text("\n".join(json.dumps(r) for r in recs))
+
+    stream = read_landing_stream(spark, str(landing))
+    dim_path = str(tmp_path / "dim")
+    sink = foreach_batch_upsert(
+        dim_path, key="filename", set_cols=["subject", "ingest_month"]
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dim = spark.read.parquet(dim_path).toPandas()
+    assert sorted(dim["filename"]) == ["stmt_jan.pdf"]
+    assert dim.iloc[0]["ingest_month"] == "2026-08"
+
+    # second epoch: same file again (idempotent re-land) + a new one
+    recs2 = [
+        {"filename": "stmt_jan.pdf", "subject": "Your credit card statement",
+         "sender": "bank@example.com", "received_at": "2026-08-10T00:00:00Z",
+         "size_bytes": 1000},
+        {"filename": "stmt_feb.pdf", "subject": "statement february",
+         "sender": "bank@example.com", "received_at": "2026-08-11T00:00:00Z",
+         "size_bytes": 2000},
+    ]
+    (landing / "batch2.json").write_text("\n".join(json.dumps(r) for r in recs2))
+    q2 = (
+        read_landing_stream(spark, str(landing))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    dim2 = spark.read.parquet(dim_path).toPandas()
+    assert sorted(dim2["filename"]) == ["stmt_feb.pdf", "stmt_jan.pdf"]
+
+
+def test_binaryfile_words_plumbing(spark, tmp_path):
+    """U1 plumbing with an injected extractor (pdfplumber absent)."""
+    from accounting_etl_spark.sources.binary_files import (
+        scan_binary_files,
+        words_from_pdfs,
+    )
+    from accounting_etl_spark.plans.statement import extract_transactions
+    from accounting_etl_spark.plans import fixtures as FX
+
+    # lay fake "pdfs" on disk: content = path key into the fixture
+    pdf_dir = tmp_path / "downloads" / "2026-08"
+    pdf_dir.mkdir(parents=True)
+    (pdf_dir / "stmt1.pdf").write_bytes(b"stmt1.pdf")
+    (pdf_dir / "stmt2.pdf").write_bytes(b"stmt2.pdf")
+    (pdf_dir / "ignore.txt").write_bytes(b"nope")
+
+    by_path: dict[str, list[tuple]] = {}
+    for (path, page, text, x0, x1, top, bottom) in FX.WORDS_ROWS:
+        by_path.setdefault(path, []).append((page, text, x0, x1, top, bottom))
+
+    def fake_extractor(payload: bytes) -> list[tuple]:
+        return by_path.get(payload.decode(), [])
+
+    binaries = scan_binary_files(spark, str(tmp_path / "downloads"))
+    assert binaries.count() == 2  # glob filtered the .txt
+    words = words_from_pdfs(binaries, extractor=fake_extractor)
+    # provenance: path comes from the file scan, not the payload
+    words = words.withColumn(
+        "path", F.element_at(F.split("path", "/"), -1)
+    )
+    txns = extract_transactions(words)
+    assert txns.count() == 8
+
+    def broken_extractor(payload: bytes):
+        raise ImportError("pdfplumber is not installed")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="pdfplumber"):
+        words_from_pdfs(binaries, extractor=broken_extractor).collect()

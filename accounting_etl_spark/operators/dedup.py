@@ -55,11 +55,27 @@ def minhash_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sh = word_shingles(tokens_ws(F.col(text_col)), k_shingle)
-    sig = df.select(
+    # signatures via explode + one grouped aggregation of num_hashes
+    # mins — ONE shuffle on the id, instead of num_hashes array passes
+    # per row (the array-native minhash_signature form is ~10x slower
+    # in codegen for large shingle sets)
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )  # small-file scans arrive single-partition; shingling is CPU-bound
+    sh = spread.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(sh, num_hashes).alias("__sig"),
-    ).filter(F.size("__sig") > 0)
+        F.explode(word_shingles(tokens_ws(F.col(text_col)), k_shingle)).alias(
+            "__sh"
+        ),
+    )
+    sig = sh.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"{h}:"), F.col("__sh")))).alias(
+                f"__h{h}"
+            )
+            for h in range(num_hashes)
+        ]
+    )
     banded = sig.select(
         "__id",
         F.explode(
@@ -68,7 +84,11 @@ def minhash_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat_ws(
-                            ",", *[F.col("__sig")[b * r + i].cast("string") for i in range(r)]
+                            ",",
+                            *[
+                                F.col(f"__h{b * r + i}").cast("string")
+                                for i in range(r)
+                            ],
                         ).alias("key"),
                     )
                     for b in range(bands)

@@ -258,9 +258,33 @@ SELECT * FROM kept UNION ALL SELECT * FROM refreshed UNION ALL SELECT * FROM new
 """
 
 
+def q_excel_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: the 10-column Excel output projection (sinks/excel.py) —
+    Description forced present, Receipt_Received forced False, code
+    columns null before enrichment (excel_builder.py:39-52)."""
+    from ..sinks.excel import excel_rows
+
+    return excel_rows(extract_transactions(FX.words_df(spark)))
+
+
+_EXCEL_SQL = f"""
+WITH {_STATEMENT_CORE}
+SELECT stmt_date_str AS "Date", vendor AS "Vendor",
+       description AS "Description",
+       CAST(NULL AS VARCHAR) AS "G/L Account",
+       CAST(NULL AS VARCHAR) AS "Location",
+       CAST(NULL AS VARCHAR) AS "Program",
+       CAST(NULL AS VARCHAR) AS "Funder",
+       CAST(NULL AS VARCHAR) AS "Dept",
+       amount AS "Amount", FALSE AS "Receipt_Received"
+FROM txns
+"""
+
+
 QUERIES: dict[str, Q] = {
     "statement_pipeline": Q(q_statement_pipeline, _STATEMENT_SQL),
     "coa_codes": Q(q_coa_codes, _COA_SQL),
     "vendor_enrich": Q(q_vendor_enrich, _ENRICH_SQL),
     "merge_upsert": Q(q_merge_upsert, _UPSERT_SQL),
+    "excel_projection": Q(q_excel_projection, _EXCEL_SQL),
 }

@@ -32,7 +32,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     position join for the array-native double fold once exactness
     isn't contractual (operators/similarity.py).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # single-file scans arrive as one partition; spread the decimal
+    # arithmetic across cores (no-op once the corpus is many splits)
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     el = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select("vec_id", "i", F.col("x").cast("decimal(18,9)").alias("xd"))

@@ -161,32 +161,54 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection counts → Jaccard filter. This is the exact oracle
     baseline; the MinHash-LSH scale path is operators/dedup.py.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # small-file scans arrive as ONE partition — spread the CPU-heavy
+    # shingling across cores before exploding (at 100 TB the scan is
+    # already many partitions and this repartition is a no-op to keep)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = F.split(F.trim(F.col("text")), " ")
-    sh = (
-        docs.select("doc_id", F.explode(word_shingles(toks)).alias("sh"))
-        .distinct()
-    )
-    ok_sh = (
+    sh = docs.select("doc_id", F.explode(word_shingles(toks)).alias("sh"))
+    # One groupBy on the shingle replaces the per-doc distinct, the
+    # df-filter join AND the shingle self-join: per shingle, a sorted
+    # SET posting list (collect_set dedups within-doc repeats) → local
+    # pair generation (df*(df-1)/2 pairs, bounded by the stop-shingle
+    # cutoff) → one groupBy on the pair. Two shuffles total instead of
+    # five, and no join of two exploded sides.
+    postings = (
         sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("sh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= _MAX_SHINGLE_DF)
     )
-    shf = sh.join(ok_sh, "sh")
-    counts = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shf.alias("a")
-    b = shf.alias("b")
+    n = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # counts derived from the SAME postings subtree (not from sh) so
+    # Spark reuses the aggregation exchange instead of re-scanning and
+    # re-shingling the corpus for a second branch
+    counts = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # counts is |docs|-sized — broadcast both enrichment joins
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
+        pairs.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
         .withColumn("un", (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint"))
         .withColumn("jaccard", F.col("inter").cast("double") / F.col("un"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)

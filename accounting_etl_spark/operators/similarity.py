@@ -1,0 +1,123 @@
+"""Approximate nearest neighbors: random-hyperplane LSH bucketing.
+
+The brute-force cosine top-k (queries/similarity.py) is O(|Q|·|C|);
+at 100 TB the corpus side must be pruned before any distance math.
+Random-hyperplane LSH: sign(v·h) over ``n_planes`` fixed hyperplanes
+gives a bucket id preserving angular locality (collision probability
+1 - θ/π per plane); only same-bucket pairs get exact cosine, and
+``n_tables`` independent plane sets union-ed recover recall lost to
+unlucky cuts.
+
+Plan shape: corpus → n_tables bucket ids (map-only; hyperplanes are
+driver-generated literals, seeded — no rand() in the plan) → explode
+→ equi-join with the bucketed query side on (table, bucket) → exact
+cosine on candidates → top-k window. The join is an equi-join on a
+small key — shuffle bounded by candidate count, never |Q|·|C|.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .topk import topk_per_group
+
+_SEED = 0x5EED
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int) -> list[list[list[float]]]:
+    rng = random.Random(_SEED)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    bits = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(c)) for c in plane])
+        proj = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    na = F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def ann_topk(
+    corpus: DataFrame,
+    query_ids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 3,
+    n_planes: int = 4,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors for ``query_ids`` (a
+    DataFrame with ``id_col``). Returns (q_id, nb_id, rank, cosine).
+    """
+    tables = _hyperplanes(dim, n_planes, n_tables)
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = corpus.select(
+        F.col(id_col).alias("nb_id"),
+        vec.alias("nb_emb"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket_expr(vec, planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("nb_id", "nb_emb", "tb.tbl", "tb.bucket")
+
+    q_side = (
+        bucketed.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("nb_id"))),
+            "nb_id",
+        )
+        .select(
+            F.col("nb_id").alias("q_id"),
+            F.col("nb_emb").alias("q_emb"),
+            "tbl",
+            "bucket",
+        )
+    )
+    cands = (
+        F.broadcast(q_side)
+        .join(bucketed, ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("nb_id"))
+        .select("q_id", "q_emb", "nb_id", "nb_emb")
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "cosine", _cosine(F.col("q_emb"), F.col("nb_emb"))
+    )
+    top = topk_per_group(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("nb_id")], k, rank_col="rank"
+    )
+    return top.select(
+        "q_id", "nb_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
+    )

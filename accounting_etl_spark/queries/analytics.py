@@ -1,0 +1,205 @@
+"""Analytic extensions: range frames, value windows, grouping sets,
+unpivot, date-spine gap filling, exact percentiles.
+
+These round out the W3/A-series batteries beyond what the reference
+needed — standard OLAP surface a user of any engine expects, each
+expressed portably enough to oracle-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import Q
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: count/sum of orders within ±5000 of each order's
+    totalprice, per priority (value-based frame, not row-based)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 5000)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_5k"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_within_5k"),
+    )
+
+
+_RANGE_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+  count(*) OVER w AS n_within_5k,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS sum_within_5k
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
+"""
+
+
+def q_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a running frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(w).alias("first_order"),
+        F.last_value("o_orderkey").over(w).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+_VALUES_SQL = """
+SELECT o_custkey, o_orderkey,
+  first_value(o_orderkey) OVER w AS first_order,
+  last_value(o_orderkey)  OVER w AS latest_order,
+  nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: (status, priority), (status), ()."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total,
+               count(*) AS n,
+               CAST(grouping_id() AS INT) AS gid
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total,
+       count(*) AS n,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): lineitem measures as (measure, value)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+            "'discount', l_discount) AS (measure, value)"
+        ),
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+"""
+
+
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling over a generated daily spine (time-series resample):
+    events-per-day for January 2024 including zero-event days."""
+    events = load_table(spark, sf_dir, "events")
+    spine = spark.range(31).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "day"
+        )
+    )
+    daily = (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+        )
+    )
+
+
+_DATE_SPINE_SQL = """
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+  FROM events GROUP BY 1
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n, 0) AS n, COALESCE(d.total, 0.0) AS total
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) of order totals per priority.
+
+    Exact linear-interpolation percentile — both engines implement the
+    same formula over the sorted set, so doubles match bit-for-bit
+    (the approximate sketches are engine-specific and live outside the
+    oracle surface).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_pct")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile(o_totalprice, 0.5) AS median_price,
+               percentile(o_totalprice, 0.9) AS p90_price,
+               count(*) AS n
+        FROM __orders_pct GROUP BY o_orderpriority
+        """
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "window_range_frame": Q(q_window_range_frame, _RANGE_SQL),
+    "window_values": Q(q_window_values, _VALUES_SQL),
+    "grouping_sets": Q(q_grouping_sets, _GROUPING_SETS_SQL),
+    "unpivot_measures": Q(q_unpivot, _UNPIVOT_SQL),
+    "date_spine": Q(q_date_spine, _DATE_SPINE_SQL),
+    "percentiles": Q(q_percentiles, _PERCENTILES_SQL),
+}

@@ -118,3 +118,22 @@ FROM scored WHERE rank <= {_TOP_K}
 QUERIES: dict[str, Q] = {
     "cosine_topk": Q(q_cosine_topk, _COSINE_SQL),
 }
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; the 100 TB path).
+
+    Hyperplane signs are engine-specific float folds, so no SQL
+    oracle; recall against the exact brute force is unit-tested
+    (tests/test_similarity.py).
+    """
+    from ..operators.similarity import ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id")
+    return ann_topk(emb, queries, k=_TOP_K)
+
+
+QUERIES["ann_topk"] = Q(q_ann_topk, None)

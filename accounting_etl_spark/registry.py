@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from .queries import Q
 from .queries import (
+    analytics,
     events,
     multimodal,
     reference_pipeline,
@@ -22,6 +23,7 @@ def all_queries() -> dict[str, Q]:
     out: dict[str, Q] = {}
     for mod in (
         relational,
+        analytics,
         windows,
         events,
         text,

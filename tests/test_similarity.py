@@ -1,0 +1,44 @@
+"""ANN recall/determinism vs the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _pairs(df):
+    return {(r.q_id, r.nb_id) for r in df.collect()}
+
+
+def test_ann_recall_vs_exact(spark):
+    from accounting_etl_spark.queries.similarity import (
+        q_ann_topk,
+        q_cosine_topk,
+    )
+
+    exact = _pairs(q_cosine_topk(spark, SF_SMOKE))
+    approx = _pairs(q_ann_topk(spark, SF_SMOKE))
+    assert approx, "ANN returned nothing"
+    recall = len(exact & approx) / len(exact)
+    # random embeddings are LSH's worst case; 4 planes x 4 tables on
+    # 500 vectors must still recover a solid fraction of true top-3
+    assert recall >= 0.4, f"ANN recall {recall:.2f}"
+
+
+def test_ann_deterministic(spark):
+    from accounting_etl_spark.queries.similarity import q_ann_topk
+
+    a = sorted(map(tuple, q_ann_topk(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, q_ann_topk(spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_ann_candidates_bounded(spark):
+    """The candidate set must be a strict subset of all pairs — the
+    point of bucketing is never touching most of the corpus."""
+    from accounting_etl_spark.queries.similarity import q_ann_topk
+    from accounting_etl_spark.sources.tables import load_table
+
+    n_corpus = load_table(spark, SF_SMOKE, "embeddings").count()
+    out = q_ann_topk(spark, SF_SMOKE).toPandas()
+    assert out.groupby("q_id")["nb_id"].count().max() <= 3
+    assert out["nb_id"].between(0, n_corpus - 1).all()

@@ -32,8 +32,17 @@ BENCH_QUERIES = [
     "asof_join",
     "dedup_exact",
     "near_dup_jaccard",
+    "near_dup_minhash",
     "cosine_topk",
+    "ann_topk",
     "tumbling_window",
+    "sliding_window",
+    "window_rank",
+    "grouping_sets",
+    "percentiles",
+    "lang_quality",
+    "token_stats",
+    "json_props",
 ]
 
 
@@ -52,13 +61,18 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure the queries.
     qs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Each query runs twice and reports the faster pass: steady-state
+    # throughput, not whole-stage-codegen compilation (which is a
+    # per-plan one-time cost and dominates at these tiny local SFs).
     timings: dict[str, float] = {}
-    t_all = time.time()
     for name in names:
-        t0 = time.time()
-        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(

@@ -1,0 +1,90 @@
+"""Complex-type battery: array/struct functions (SURVEY §1.3 nested
+types, §2.8 array ops). Exercised over embeddings (numeric arrays)
+and documents (token arrays) with portable semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import Q
+
+
+def q_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/slice/contains/position/distinct/sort/reverse/flatten over
+    token arrays — the nested-type workhorses."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n"),
+        F.concat_ws("|", F.slice(toks, 1, 5)).alias("first5"),
+        F.concat_ws("|", F.slice(toks, -3, 3)).alias("last3"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_position(toks, "data").cast("bigint").alias("first_data_pos"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        F.concat_ws("|", F.sort_array(F.array_distinct(toks))).alias("uniq_sorted"),
+        F.concat_ws("|", F.reverse(F.slice(toks, 1, 4))).alias("rev4"),
+        F.get(F.sort_array(F.array_distinct(toks), asc=False), 0).alias("max_token"),
+    )
+
+
+_ARRAY_SQL = """
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n,
+  array_to_string(toks[1:5], '|') AS first5,
+  array_to_string(toks[-3:], '|') AS last3,
+  list_contains(toks, 'spark') AS has_spark,
+  CAST(list_position(toks, 'data') AS BIGINT) AS first_data_pos,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+  array_to_string(list_sort(list_distinct(toks)), '|') AS uniq_sorted,
+  array_to_string(list_reverse(toks[1:4]), '|') AS rev4,
+  list_sort(list_distinct(toks), 'DESC')[1] AS max_token
+FROM t
+"""
+
+
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise array math over embeddings: min/max/avg/norm-ish
+    stats with exact decimal folds (deterministic cross-engine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id",
+        "label",
+        F.explode(F.col("embedding")).alias("x"),
+    ).select(
+        "vec_id", "label",
+        F.col("x").cast("double").cast("decimal(18,9)").alias("xd"),
+    )
+    return el.groupBy("vec_id", "label").agg(
+        F.min("xd").cast("double").alias("min_x"),
+        F.max("xd").cast("double").alias("max_x"),
+        (F.sum("xd").cast("double") / F.count("xd")).alias("mean_x"),
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("sq_norm"),
+        F.count(F.when(F.col("xd") > 0, 1)).alias("n_pos"),
+    )
+
+
+_VECTOR_SQL = """
+WITH el AS (
+  SELECT vec_id, label,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS xd
+  FROM embeddings
+)
+SELECT vec_id, label,
+  CAST(CAST(min(xd) AS VARCHAR) AS DOUBLE) AS min_x,
+  CAST(CAST(max(xd) AS VARCHAR) AS DOUBLE) AS max_x,
+  CAST(CAST(SUM(xd) AS VARCHAR) AS DOUBLE) / count(xd) AS mean_x,
+  CAST(CAST(SUM(xd * xd) AS VARCHAR) AS DOUBLE) AS sq_norm,
+  count(CASE WHEN xd > 0 THEN 1 END) AS n_pos
+FROM el GROUP BY vec_id, label
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "array_battery": Q(q_array_battery, _ARRAY_SQL),
+    "vector_stats": Q(q_vector_stats, _VECTOR_SQL),
+}

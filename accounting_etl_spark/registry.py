@@ -9,6 +9,7 @@ from __future__ import annotations
 from .queries import Q
 from .queries import (
     analytics,
+    arrays,
     events,
     multimodal,
     reference_pipeline,
@@ -24,6 +25,7 @@ def all_queries() -> dict[str, Q]:
     for mod in (
         relational,
         analytics,
+        arrays,
         windows,
         events,
         text,

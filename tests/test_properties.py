@@ -76,9 +76,12 @@ def test_sessionize_matches_python_model(spark, gaps, threshold):
     out = sessionize(df, ["k"], "x", threshold, tiebreak_cols=["i"])
     got = [r.session_id for r in out.orderBy("i").collect()]
 
+    # the model must diff the accumulated positions exactly as the
+    # operator does — (acc+g)-acc != g in floats, and hypothesis finds
+    # gaps within an ulp of the threshold
     expected, sid = [], 0
-    for j, g in enumerate(gaps):
-        if j > 0 and g >= threshold:
+    for j in range(len(xs)):
+        if j > 0 and xs[j] - xs[j - 1] >= threshold:
             sid += 1
         expected.append(sid)
     assert got == expected

@@ -1,0 +1,250 @@
+"""TPC-H-shaped deep analytics over the driver star schema: correlated
+subqueries, EXISTS/NOT-IN, nation-pair volume, market share, customer
+distribution, HAVING-gated joins. These exercise Catalyst's subquery
+decorrelation and multi-join planning the way a warehouse workload
+would; each maps to the classic query it's shaped after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_views
+from . import Q
+
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))"
+)
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped correlated scalar subquery: customers holding their
+    nation's maximum balance (decorrelated by Catalyst into a join)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c1.c_nationkey, c1.c_custkey, c1.c_name, c1.c_acctbal
+        FROM customer c1
+        WHERE c1.c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                              WHERE c2.c_nationkey = c1.c_nationkey)
+        """
+    )
+
+
+_TOP_CUST_SQL = """
+SELECT c1.c_nationkey, c1.c_custkey, c1.c_name, c1.c_acctbal
+FROM customer c1
+WHERE c1.c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                      WHERE c2.c_nationkey = c1.c_nationkey)
+"""
+
+
+def q_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS: orders with any line shipped > 90 days after
+    the order date, counted per priority."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_late
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAYS)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_LATE_SQL = """
+SELECT o_orderpriority, count(*) AS n_late
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped nation-pair trade volume: supplier nation × customer
+    nation × ship year (6-way join, two roles for nation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_cust), customer.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("sn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("volume"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_VOLUME_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(CAST(SUM({_REV}) AS VARCHAR) AS DOUBLE) AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE sn.n_name != cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped market share: one region's fraction of yearly revenue
+    (conditional decimal sums, double division at the edge)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+          CAST(CAST(SUM(CASE WHEN r_name = 'ASIA' THEN {_REV} END) AS STRING) AS DOUBLE)
+            / CAST(CAST(SUM({_REV}) AS STRING) AS DOUBLE) AS asia_share,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1
+        """
+    )
+
+
+_SHARE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(CAST(SUM(CASE WHEN r_name = 'ASIA' THEN {_REV} END) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM({_REV}) AS VARCHAR) AS DOUBLE) AS asia_share,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped two-level aggregation: how many customers placed k
+    orders (including zero, via the outer join)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_DISTRIBUTION_SQL = """
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped HAVING gate + join-back: orders whose total quantity
+    exceeds 150, with their customer."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_name, o_orderkey,
+               strftime_big AS o_date, total_qty
+        FROM (
+          SELECT l_orderkey,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+        ) big
+        JOIN orders ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN (SELECT o_orderkey AS ok2,
+                     date_format(o_orderdate, 'yyyy-MM-dd') AS strftime_big
+              FROM orders) d ON d.ok2 = o_orderkey
+        """
+    )
+
+
+_BIG_ORDERS_SQL = """
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_parts_not_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped NOT IN + anti-semantics: part brands/types never
+    shipped in 1995, counted per brand."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_parts
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                  WHERE year(l_shipdate) = 1995)
+          AND p_type NOT LIKE 'PROMO%'
+        GROUP BY p_brand
+        """
+    )
+
+
+_NOT_ORDERED_SQL = """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                          WHERE year(l_shipdate) = 1995)
+  AND p_type NOT LIKE 'PROMO%'
+GROUP BY p_brand
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "top_customer_per_nation": Q(q_top_customer_per_nation, _TOP_CUST_SQL),
+    "late_shipment_orders": Q(q_late_shipment_orders, _LATE_SQL),
+    "nation_volume": Q(q_nation_volume, _VOLUME_SQL),
+    "market_share": Q(q_market_share, _SHARE_SQL),
+    "order_count_distribution": Q(
+        q_order_count_distribution, _DISTRIBUTION_SQL
+    ),
+    "big_orders": Q(q_big_orders, _BIG_ORDERS_SQL),
+    "parts_not_ordered": Q(q_parts_not_ordered, _NOT_ORDERED_SQL),
+}

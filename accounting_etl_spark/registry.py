@@ -16,6 +16,7 @@ from .queries import (
     relational,
     similarity,
     text,
+    tpch_like,
     windows,
 )
 
@@ -32,6 +33,7 @@ def all_queries() -> dict[str, Q]:
         similarity,
         multimodal,
         reference_pipeline,
+        tpch_like,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,66 @@
+"""End-to-end ETL plan test: binary files → enriched Excel rows in
+one lazy job, with enrichment tiers visible in the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from accounting_etl_spark.plans import fixtures as FX
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    from accounting_etl_spark.plans.etl import run_pipeline
+
+    pdf_dir = tmp_path / "downloads" / "2026-08"
+    pdf_dir.mkdir(parents=True)
+    (pdf_dir / "stmt1.pdf").write_bytes(b"stmt1.pdf")
+    (pdf_dir / "stmt2.pdf").write_bytes(b"stmt2.pdf")
+
+    by_path: dict[str, list[tuple]] = {}
+    for (path, page, text, x0, x1, top, bottom) in FX.WORDS_ROWS:
+        by_path.setdefault(path, []).append((page, text, x0, x1, top, bottom))
+
+    def fake_extractor(payload: bytes) -> list[tuple]:
+        return by_path.get(payload.decode(), [])
+
+    out = run_pipeline(
+        spark,
+        str(tmp_path / "downloads"),
+        vendor_dim=FX.vendor_df(spark),
+        extractor=fake_extractor,
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == 8
+    assert list(pdf.columns) == [
+        "Date", "Vendor", "Description", "G/L Account", "Location",
+        "Program", "Funder", "Dept", "Amount", "Receipt_Received",
+    ]
+    by_vendor = pdf.set_index("Vendor")
+    # exact-tier enrichment carried through to the output projection
+    assert by_vendor.loc["AMAZON MKTPL", "G/L Account"] == "50010"
+    # fuzzy tier with deterministic tie-break
+    assert by_vendor.loc["CAFE LUNCH", "G/L Account"] == "50020"
+    # miss -> null codes
+    assert by_vendor.loc["REFUND ITEM", "G/L Account"] is None or \
+        str(by_vendor.loc["REFUND ITEM", "G/L Account"]) in ("None", "nan")
+
+
+def test_pipeline_without_dim_gives_null_codes(spark, tmp_path):
+    from accounting_etl_spark.plans.etl import run_pipeline
+
+    pdf_dir = tmp_path / "d"
+    pdf_dir.mkdir()
+    (pdf_dir / "stmt1.pdf").write_bytes(b"stmt1.pdf")
+
+    by_path: dict[str, list[tuple]] = {}
+    for (path, page, text, x0, x1, top, bottom) in FX.WORDS_ROWS:
+        by_path.setdefault(path, []).append((page, text, x0, x1, top, bottom))
+
+    out = run_pipeline(
+        spark, str(pdf_dir),
+        extractor=lambda b: by_path.get(b.decode(), []),
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == 6  # stmt1 only
+    assert pdf["G/L Account"].isna().all()

@@ -137,3 +137,77 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_topk"] = Q(q_ann_topk, None)
+
+
+_EMB_DD_LIMIT = 200
+_EMB_DD_THRESHOLD = 0.35
+
+
+def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (SURVEY §2.11 dedup family).
+
+    Exact decimal cosine over a bounded id range (all-pairs is the
+    oracle baseline; the unbounded path goes through the LSH buckets
+    of operators/similarity.py first). Same decimal-dot determinism
+    contract as q_cosine_topk.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _EMB_DD_LIMIT)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("decimal(18,9)").alias("xd"))
+    norms = el.groupBy("vec_id").agg(
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("n2")
+    )
+    a = el.select(F.col("vec_id").alias("va"), "i", F.col("xd").alias("xa"))
+    b = el.select(F.col("vec_id").alias("vb"), "i", F.col("xd").alias("xb"))
+    dots = (
+        a.join(b, "i")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "va")
+        .join(F.broadcast(nb), "vb")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        )
+        .filter(F.col("cosine") >= _EMB_DD_THRESHOLD)
+        .select("va", "vb", "cosine")
+    )
+
+
+_EMB_DD_SQL = f"""
+WITH el0 AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding) AS x0
+  FROM embeddings WHERE vec_id < {_EMB_DD_LIMIT}
+), el AS (
+  SELECT vec_id, i, CAST(CAST(x0 AS DOUBLE) AS DECIMAL(18,9)) AS x FROM el0
+), norms AS (
+  SELECT vec_id, CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS n2
+  FROM el GROUP BY vec_id
+), dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(CAST(SUM(a.x * b.x) AS VARCHAR) AS DOUBLE) AS dot
+  FROM el a JOIN el b USING (i)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT va, vb, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+FROM dots
+JOIN norms na ON va = na.vec_id
+JOIN norms nb ON vb = nb.vec_id
+WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {_EMB_DD_THRESHOLD}
+"""
+
+
+QUERIES["near_dup_embedding"] = Q(q_near_dup_embedding, _EMB_DD_SQL)

@@ -253,3 +253,66 @@ QUERIES: dict[str, Q] = {
     "lang_quality": Q(q_lang_quality, _LANG_SQL),
     "near_dup_jaccard": Q(q_near_dup_jaccard, _JACCARD_SQL),
 }
+
+
+_TFIDF_TOP = 5
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by a rational tf-idf.
+
+    idf is the exact ratio N/df (no log — libm rounding differs
+    across engines; the ranking semantics are identical), score =
+    tf*N/df as one integer product and one double division, so both
+    engines produce bit-identical scores.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_sources = docs.select("source").distinct().count()
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .withColumn(
+            "score", (F.col("tf") * F.lit(n_sources)).cast("double") / F.col("df")
+        )
+    )
+    from ..operators.topk import topk_per_group
+
+    top = topk_per_group(
+        scored, ["source"], [F.desc("score"), F.asc("token")], _TFIDF_TOP,
+        rank_col="rank",
+    )
+    return top.select(
+        "source", "token", F.col("rank").cast("bigint").alias("rank"), "score"
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents
+), tf AS (
+  SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT source) AS n_sources FROM documents
+), scored AS (
+  SELECT tf.source, tf.token,
+         CAST(tf.tf * n.n_sources AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT source, token, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= {_TFIDF_TOP}
+"""
+
+
+QUERIES["tfidf_terms"] = Q(q_tfidf_terms, _TFIDF_SQL)

@@ -195,3 +195,54 @@ QUERIES: dict[str, Q] = {
     "window_ntile": Q(q_window_ntile, _NTILE_SQL),
     "sessionize_events": Q(q_sessionize_events, _SESSIONIZE_SQL),
 }
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (batch form of the streaming twin in
+    streaming/windows.py) — same 4h-gap semantics as q_sessionize_events
+    but keyed by the window struct Spark maintains internally."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "4 hours").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end_s"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# same lag/cumsum oracle as sessionize, plus the window-end contract:
+# end = last event + gap, and floor(max_ts + 4h) == floor(max_ts) + 14400
+_SESSION_NATIVE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+  CAST(min(us) // 1000000 AS BIGINT) AS session_start_s,
+  CAST(max(us) // 1000000 + {_SESSION_GAP_US // 1000000} AS BIGINT) AS session_end_s,
+  count(*) AS n_events,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+QUERIES["session_window_native"] = Q(q_session_window_native, _SESSION_NATIVE_SQL)

@@ -203,3 +203,19 @@ QUERIES: dict[str, Q] = {
     "date_spine": Q(q_date_spine, _DATE_SPINE_SQL),
     "percentiles": Q(q_percentiles, _PERCENTILES_SQL),
 }
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (rows-only: HLL/KLL internals are
+    engine-specific, so no cross-engine oracle; error bounds vs exact
+    are unit-tested in tests/test_sketches.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_cust"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+        F.percentile_approx("o_totalprice", 0.9, 1000).alias("approx_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES["approx_sketches"] = Q(q_approx_sketches, None)

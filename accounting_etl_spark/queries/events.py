@@ -150,3 +150,43 @@ QUERIES: dict[str, Q] = {
     "json_props": Q(q_json_props, _JSON_SQL),
     "asof_join": Q(q_asof_join, _ASOF_SQL),
 }
+
+
+_RANGE_WINDOW_US = 30 * 60 * 1000000  # 30 minutes
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: event pairs from the same user within 30
+    minutes (operators/range_join.py — bucketized, no nested loop)."""
+    from ..operators.range_join import range_self_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    pairs = range_self_join(
+        events,
+        key="user_id",
+        time_col="t_us",
+        id_col="event_id",
+        window=_RANGE_WINDOW_US,
+    )
+    return pairs.select(
+        "user_id", "id_a", "id_b",
+        F.expr("CAST(dt DIV 1000000 AS BIGINT)").alias("dt_s"),
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t_us FROM events
+)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       (b.t_us - a.t_us) // 1000000 AS dt_s
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(b.t_us - a.t_us) <= {_RANGE_WINDOW_US}
+"""
+
+
+QUERIES["range_join_events"] = Q(q_range_join_events, _RANGE_JOIN_SQL)

@@ -132,8 +132,15 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day"
         )
     )
+    # UTC day from integer epoch — to_date(ts) would shift with the
+    # session timezone, and the driver's session may not pin UTC
     daily = (
-        events.withColumn("day", F.to_date("ts"))
+        events.withColumn(
+            "day",
+            F.expr(
+                "date_from_unix_date(CAST(unix_micros(ts) DIV 86400000000 AS INT))"
+            ),
+        )
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n"),

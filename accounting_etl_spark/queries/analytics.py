@@ -226,3 +226,85 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["approx_sketches"] = Q(q_approx_sketches, None)
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (integer bucket math)."""
+    orders = load_table(spark, sf_dir, "orders")
+    # explicit floor: CAST(double AS BIGINT) truncates in Spark but
+    # rounds half-even in DuckDB
+    bucket = F.expr("CAST(CAST(FLOOR(o_totalprice) AS BIGINT) DIV 25000 AS INT)")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .withColumn("bucket_start", (F.col("bucket") * 25000).cast("bigint"))
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT CAST(CAST(FLOOR(o_totalprice) AS BIGINT) // 25000 AS INTEGER) AS bucket,
+       count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+       CAST(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) // 25000 AS INTEGER) * 25000 AS BIGINT) AS bucket_start
+FROM orders GROUP BY 1
+"""
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic second moments: variance/stddev/covariance/
+    correlation per returnflag, assembled from EXACT decimal power
+    sums with one identical double formula on both engines — the
+    built-in corr()/stddev() stream doubles in engine-specific order
+    and can never hash-match across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        var_x.alias("var_qty"),
+        F.sqrt(var_x).alias("std_qty"),
+        cov.alias("cov_qty_price"),
+        (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
+    )
+
+
+_MOMENTS_SQL = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_qty,
+  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS std_qty,
+  (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cov_qty_price,
+  ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+    / (sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+       * sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) AS corr_qty_price
+FROM s
+"""
+
+
+QUERIES["histogram"] = Q(q_histogram, _HISTOGRAM_SQL)
+QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)

@@ -182,3 +182,46 @@ def test_binaryfile_words_plumbing(spark, tmp_path):
 
     with _pytest.raises(Exception, match="pdfplumber"):
         words_from_pdfs(binaries, extractor=broken_extractor).collect()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from accounting_etl_spark.sources.tables import load_table
+    from accounting_etl_spark.streaming.joins import stream_event_pairs
+    from accounting_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    stream = stream_event_pairs(read_events_stream(spark, SF_SMOKE))
+    q = run_to_memory(stream, name)
+    try:
+        got = {
+            (r.user_id, r.id_a, r.id_b): r.dt_s
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us")
+        )
+        a, b = ev.alias("a"), ev.alias("b")
+        batch = {
+            (r["user_id"], r["id_a"], r["id_b"]): r["dt_s"]
+            for r in a.join(
+                b,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.event_id") < F.col("b.event_id"))
+                & (F.col("b.us") >= F.col("a.us"))
+                & (F.col("b.us") <= F.col("a.us") + 30 * 60 * 1000000),
+            )
+            .select(
+                F.col("a.user_id").alias("user_id"),
+                F.col("a.event_id").alias("id_a"),
+                F.col("b.event_id").alias("id_b"),
+                F.expr("CAST((b.us - a.us) DIV 1000000 AS BIGINT)").alias("dt_s"),
+            )
+            .collect()
+        }
+        assert got, "stream-stream join emitted nothing"
+        assert got == batch
+    finally:
+        q.stop()

@@ -121,3 +121,93 @@ def ann_topk(
     return top.select(
         "q_id", "nb_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_ids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization into ``n_cells`` Voronoi
+    cells around deterministic sample centroids, multi-probe on the
+    query side, exact cosine rerank within probed cells.
+
+    Centroids are a deterministic corpus sample (every (|C|/n_cells)-th
+    id) collected to the driver — n_cells vectors, not data — and
+    inlined as literal arrays, so assignment is a map-only expression
+    and the only shuffle is the (cell) equi-join. Compared to the
+    hyperplane LSH above: IVF adapts to the data distribution (cells
+    follow density) at the cost of the tiny centroid collect.
+    """
+    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()[::max(1, corpus.count() // n_cells)]][:n_cells]
+    cents = (
+        corpus.filter(F.col(id_col).isin(ids))
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("c"))
+        .orderBy(id_col)
+        .collect()
+    )
+    cent_arrays = [
+        F.array(*[F.lit(float(x)) for x in r["c"]]) for r in cents
+    ]
+
+    vec = F.col(vec_col).cast("array<double>")
+
+    def dots(v):
+        return [
+            F.aggregate(
+                F.zip_with(v, c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda s, p: s + p,
+            )
+            for c in cent_arrays
+        ]
+
+    def ranked_cells(v):
+        pairs = F.array(
+            *[
+                F.struct(d.alias("dot"), F.lit(i).alias("cell"))
+                for i, d in enumerate(dots(v))
+            ]
+        )
+        return F.sort_array(pairs, asc=False)
+
+    assigned = corpus.select(
+        F.col(id_col).alias("nb_id"),
+        vec.alias("nb_emb"),
+        ranked_cells(vec)[0]["cell"].alias("cell"),
+    )
+    q_probe = (
+        assigned.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("nb_id"))),
+            "nb_id",
+        )
+        .select(
+            F.col("nb_id").alias("q_id"),
+            F.col("nb_emb").alias("q_emb"),
+            F.explode(
+                F.slice(ranked_cells(F.col("nb_emb")), 1, n_probe)
+            ).alias("pc"),
+        )
+        .select("q_id", "q_emb", F.col("pc.cell").alias("cell"))
+    )
+    cands = (
+        F.broadcast(q_probe)
+        .join(assigned, "cell")
+        .filter(F.col("q_id") != F.col("nb_id"))
+        .select("q_id", "q_emb", "nb_id", "nb_emb")
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "cosine", _cosine(F.col("q_emb"), F.col("nb_emb"))
+    )
+    top = topk_per_group(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("nb_id")], k, rank_col="rank"
+    )
+    return top.select(
+        "q_id", "nb_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
+    )

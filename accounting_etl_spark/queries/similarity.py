@@ -211,3 +211,18 @@ WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {_EMB_DD_THRESHOLD}
 
 
 QUERIES["near_dup_embedding"] = Q(q_near_dup_embedding, _EMB_DD_SQL)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantization ANN (rows-only; centroid sample +
+    multi-probe + exact rerank — operators/similarity.py)."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id")
+    return ivf_topk(emb, queries, k=_TOP_K)
+
+
+QUERIES["ann_ivf"] = Q(q_ann_ivf, None)

@@ -134,3 +134,102 @@ def test_salted_agg_rejects_non_decomposable(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(li, ["l_returnflag"], [("x", "avg", "l_quantity")])
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31))
+def test_coa_random_grids_match_python_model(spark, seed):
+    """Random COA grids (noisy headers, junk rows, dup codes, empty
+    cells) must extract exactly what a sequential model of the
+    reference's logic (pdf_parser.py:406-512) extracts."""
+    import re
+
+    from accounting_etl_spark.plans.coa import extract_codes
+
+    rng = random.Random(seed)
+    header_pool = {
+        "funder": ["FUNDER CODE", "Funder"],
+        "gl": ["EXP/GL CODE", "GL CODE"],
+        "location": ["LOC CODE", "LOCATION CODE"],
+        "program": ["PROG CODE", "PROGRAM CODE"],
+        "dept": ["DEPT CODE", "DEPARTMENT CODE"],
+    }
+    code_gen = {
+        "funder": lambda: str(rng.randint(1000, 9999)),
+        "gl": lambda: str(rng.randint(10000, 99999)),
+        "location": lambda: f"{rng.randint(0, 99):02d}",
+        "program": lambda: str(rng.randint(0, 999)),
+        "dept": lambda: str(rng.randint(0, 999)),
+    }
+    gates = {
+        "funder": r"^\d{4}$", "gl": r"^\d{5}$", "location": r"^\d{2}$",
+        "program": r"^\d+$", "dept": r"^\d+$",
+    }
+    rows = []
+    for page in range(1, 3):
+        for tbl in range(3):
+            ctype = rng.choice(list(header_pool))
+            classified = rng.random() < 0.8
+            hdr = (
+                [rng.choice(header_pool[ctype]), "NAME"]
+                if classified
+                else ["MISC", "STUFF"]
+            )
+            rows.append(("p.pdf", page, tbl, 0, hdr))
+            for ridx in range(1, rng.randint(2, 6)):
+                roll = rng.random()
+                if roll < 0.2:
+                    cells = ["", "Empty"]
+                elif roll < 0.3:
+                    cells = [code_gen[ctype](), None]
+                elif roll < 0.4:
+                    cells = ["ABC", "Not Numeric"]
+                else:
+                    cells = [code_gen[ctype](), f"Name {rng.randint(0, 99)}"]
+                rows.append(("p.pdf", page, tbl, ridx, cells))
+
+    # sequential model of the reference logic
+    expected: dict[tuple, str] = {}
+    for page in range(1, 3):
+        for tbl in range(3):
+            t_rows = [r for r in rows if r[1] == page and r[2] == tbl]
+            ttype = None
+            for r in sorted(t_rows, key=lambda r: r[3])[:3]:
+                txt = " ".join((c or "").upper() for c in r[4])
+                for cand, pats in [
+                    ("funder", ["FUNDER"]),
+                    ("gl", ["EXP CODE", "GL CODE"]),
+                    ("location", ["LOC CODE", "LOCATION CODE"]),
+                    ("program", ["PROG CODE", "PROGRAM CODE"]),
+                    ("dept", ["DEPT CODE", "DEPARTMENT CODE"]),
+                ]:
+                    extra = (
+                        ("EXP" in txt and "CODE" in txt) if cand == "gl"
+                        else ("LOC" in txt and "CODE" in txt) if cand == "location"
+                        else ("PROG" in txt and "CODE" in txt) if cand == "program"
+                        else ("DEPT" in txt and "CODE" in txt) if cand == "dept"
+                        else False
+                    )
+                    if any(p in txt for p in pats) or extra:
+                        ttype = cand
+                        break
+                if ttype:
+                    break
+            if not ttype:
+                continue
+            for r in sorted(t_rows, key=lambda r: r[3]):
+                code = (r[4][0] or "").strip()
+                name = (r[4][1] or "").strip() if len(r[4]) > 1 else ""
+                if not code or not name:
+                    continue
+                if "CODE" in code.upper() or "CODE" in name.upper():
+                    continue
+                if re.match(gates[ttype], code):
+                    expected[(ttype, code)] = name
+
+    df = spark.createDataFrame(
+        rows,
+        "path string, page int, table_idx int, row_idx int, cells array<string>",
+    )
+    got = {(r.code_type, r.code): r.name for r in extract_codes(df).collect()}
+    assert got == expected

@@ -42,3 +42,24 @@ def test_ann_candidates_bounded(spark):
     out = q_ann_topk(spark, SF_SMOKE).toPandas()
     assert out.groupby("q_id")["nb_id"].count().max() <= 3
     assert out["nb_id"].between(0, n_corpus - 1).all()
+
+
+def test_ivf_recall_vs_exact(spark):
+    from accounting_etl_spark.queries.similarity import (
+        q_ann_ivf,
+        q_cosine_topk,
+    )
+
+    exact = _pairs(q_cosine_topk(spark, SF_SMOKE))
+    approx = _pairs(q_ann_ivf(spark, SF_SMOKE))
+    assert approx, "IVF returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_deterministic(spark):
+    from accounting_etl_spark.queries.similarity import q_ann_ivf
+
+    a = sorted(map(tuple, q_ann_ivf(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, q_ann_ivf(spark, SF_SMOKE).collect()))
+    assert a == b

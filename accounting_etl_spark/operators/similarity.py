@@ -35,17 +35,29 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int) -> list[list[list[float
     ]
 
 
-def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    bits = []
-    for plane in planes:
-        lit_plane = F.array(*[F.lit(float(c)) for c in plane])
-        proj = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, h: x * h),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def _sign_bits(vec: Column, all_planes: list[list[float]]) -> Column:
+    """One transform over a nested literal plane matrix → array of
+    sign bits. A single shared expression tree: building a separate
+    fold per plane quadruples whole-stage-codegen size and dominated
+    wall time at local scale."""
+    planes_lit = F.array(
+        *[
+            F.array(*[F.lit(float(c)) for c in plane])
+            for plane in all_planes
+        ]
+    )
+    return F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, h: x * h),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
 
 
 def _cosine(a: Column, b: Column) -> Column:
@@ -76,18 +88,27 @@ def ann_topk(
     DataFrame with ``id_col``). Returns (q_id, nb_id, rank, cosine).
     """
     tables = _hyperplanes(dim, n_planes, n_tables)
+    flat_planes = [p for planes in tables for p in planes]
     vec = F.col(vec_col).cast("array<double>")
-    bucketed = corpus.select(
+    with_bits = corpus.select(
         F.col(id_col).alias("nb_id"),
         vec.alias("nb_emb"),
+        _sign_bits(vec, flat_planes).alias("__bits"),
+    )
+    bucketed = with_bits.select(
+        "nb_id",
+        "nb_emb",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        _bucket_expr(vec, planes).alias("bucket"),
+                        F.concat_ws(
+                            "",
+                            F.slice("__bits", t * n_planes + 1, n_planes),
+                        ).alias("bucket"),
                     )
-                    for t, planes in enumerate(tables)
+                    for t in range(n_tables)
                 ]
             )
         ).alias("tb"),

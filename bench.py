@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "lang_quality",
     "token_stats",
     "json_props",
+    "range_join_events",
+    "session_window_native",
+    "stats_moments",
+    "nation_volume",
 ]
 
 

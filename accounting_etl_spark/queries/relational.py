@@ -504,3 +504,80 @@ QUERIES: dict[str, Q] = {
     "filter_battery": Q(q_filter_battery, _FILTER_SQL),
     "scalar_battery": Q(q_scalar_battery, _SCALAR_SQL),
 }
+
+
+def q_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: pad/repeat/translate/reverse/strpos/
+    left/right + levenshtein (portable across both engines)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_type", 10, ".").alias("type_rpad"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.reverse("p_name").alias("name_rev"),
+        F.instr("p_name", "e").cast("bigint").alias("first_e"),
+        F.substring("p_name", 1, 4).alias("left4"),
+        F.col("p_name").substr(F.length("p_name") - 2, F.lit(3)).alias("right3"),
+        F.levenshtein(F.col("p_name"), F.col("p_brand")).alias("lev_to_brand"),
+    )
+
+
+_STRING2_SQL = """
+SELECT p_partkey,
+  lpad(p_brand, 12, '*') AS brand_lpad,
+  rpad(p_type, 10, '.') AS type_rpad,
+  repeat('ab', 3) AS rep,
+  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+  reverse(p_name) AS name_rev,
+  CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
+  substring(p_name, 1, 4) AS left4,
+  substring(p_name, length(p_name) - 2, 3) AS right3,
+  levenshtein(p_name, p_brand) AS lev_to_brand
+FROM part
+"""
+
+
+def q_vendor_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance vendor suggestion — the J1 extension for misses
+    that even containment can't match: nearest dim entry by
+    levenshtein, deterministic tie-break."""
+    part = load_table(spark, sf_dir, "part")
+    dim = (
+        part.filter(F.col("p_partkey") % 7 == 0)
+        .select(F.concat(F.lit("ACME "), F.col("p_name")).alias("vendor"))
+        .distinct()
+    )
+    fact = part.filter(F.col("p_partkey") % 10 == 0).select(
+        "p_partkey", "p_name"
+    )
+    scored = fact.join(F.broadcast(dim)).withColumn(
+        "dist", F.levenshtein("p_name", "vendor")
+    )
+    from ..operators.topk import topk_per_group
+
+    best = topk_per_group(
+        scored, ["p_partkey"], [F.asc("dist"), F.asc("vendor")], 1
+    )
+    return best.select("p_partkey", "p_name", "vendor", "dist")
+
+
+_SUGGEST_SQL = """
+WITH dim AS (
+  SELECT DISTINCT 'ACME ' || p_name AS vendor FROM part WHERE p_partkey % 7 = 0
+), fact AS (
+  SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0
+), scored AS (
+  SELECT f.p_partkey, f.p_name, d.vendor,
+         levenshtein(f.p_name, d.vendor) AS dist,
+         row_number() OVER (PARTITION BY f.p_partkey
+                            ORDER BY levenshtein(f.p_name, d.vendor), d.vendor) AS rn
+  FROM fact f CROSS JOIN dim d
+)
+SELECT p_partkey, p_name, vendor, dist FROM scored WHERE rn = 1
+"""
+
+
+QUERIES["string_battery2"] = Q(q_string_battery2, _STRING2_SQL)
+QUERIES["vendor_suggest"] = Q(q_vendor_suggest, _SUGGEST_SQL)

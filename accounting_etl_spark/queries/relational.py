@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.detsum import dsum
+from ..functions.detsum import dmean, dsum
 from ..operators.lookup_join import two_tier_lookup_join
 from ..sources.tables import load_table
 from . import Q
@@ -43,12 +43,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_E()).cast("double").alias("sum_base_price"),
         F.sum(_E() * _D1()).cast("double").alias("sum_disc_price"),
         F.sum(_E() * _D1() * _T1()).cast("double").alias("sum_charge"),
-        (F.sum(qty).cast("double") / F.count("l_quantity")).alias("avg_qty"),
-        (F.sum(_E()).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
-        (
-            F.sum(F.col("l_discount").cast("decimal(6,4)")).cast("double")
-            / F.count("l_discount")
-        ).alias("avg_disc"),
+        dmean("l_quantity", "decimal(12,2)").alias("avg_qty"),
+        dmean("l_extendedprice", "decimal(12,2)").alias("avg_price"),
+        dmean("l_discount", "decimal(6,4)").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 

@@ -578,3 +578,63 @@ SELECT p_partkey, p_name, vendor, dist FROM scored WHERE rn = 1
 
 QUERIES["string_battery2"] = Q(q_string_battery2, _STRING2_SQL)
 QUERIES["vendor_suggest"] = Q(q_vendor_suggest, _SUGGEST_SQL)
+
+
+def q_regex_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group extraction: brand number, name adjective/noun."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.regexp_extract("p_name", r"^(\w+)\s+(\w+)$", 1).alias("adjective"),
+        F.regexp_extract("p_name", r"^(\w+)\s+(\w+)$", 2).alias("noun"),
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+    )
+
+
+_REGEX_SQL = """
+SELECT p_partkey,
+  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
+  regexp_extract(p_name, '^(\w+)\s+(\w+)$', 1) AS adjective,
+  regexp_extract(p_name, '^(\w+)\s+(\w+)$', 2) AS noun,
+  regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head
+FROM part
+"""
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal part extraction battery over order dates.
+
+    Cross-engine weekday alignment: Spark ``weekday`` is Monday=0,
+    DuckDB ``isodow`` is Monday=1 — emitted as ISO (Monday=1) on both.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("isodow"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.trunc("o_orderdate", "quarter").cast("string").alias("quarter_start"),
+    )
+
+
+_DATE_PARTS_SQL = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS y,
+  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+  CAST(month(o_orderdate) AS INTEGER) AS m,
+  CAST(day(o_orderdate) AS INTEGER) AS dom,
+  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+  CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start
+FROM orders
+"""
+
+
+QUERIES["regex_groups"] = Q(q_regex_groups, _REGEX_SQL)
+QUERIES["date_parts"] = Q(q_date_parts, _DATE_PARTS_SQL)

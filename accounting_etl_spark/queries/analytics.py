@@ -8,70 +8,11 @@ expressed portably enough to oracle-check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from . import Q
-
-
-def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame: count/sum of orders within ±5000 of each order's
-    totalprice, per priority (value-based frame, not row-based)."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("o_totalprice")
-        .rangeBetween(-5000, 5000)
-    )
-    return orders.select(
-        "o_orderkey",
-        "o_orderpriority",
-        "o_totalprice",
-        F.count(F.lit(1)).over(w).alias("n_within_5k"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("sum_within_5k"),
-    )
-
-
-_RANGE_SQL = """
-SELECT o_orderkey, o_orderpriority, o_totalprice,
-  count(*) OVER w AS n_within_5k,
-  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS sum_within_5k
-FROM orders
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
-             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
-"""
-
-
-def q_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first_value / last_value / nth_value over a running frame."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.first_value("o_orderkey").over(w).alias("first_order"),
-        F.last_value("o_orderkey").over(w).alias("latest_order"),
-        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
-    )
-
-
-_VALUES_SQL = """
-SELECT o_custkey, o_orderkey,
-  first_value(o_orderkey) OVER w AS first_order,
-  last_value(o_orderkey)  OVER w AS latest_order,
-  nth_value(o_orderkey, 2) OVER w AS second_order
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-"""
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,12 +144,8 @@ FROM orders GROUP BY o_orderpriority
 
 
 QUERIES: dict[str, Q] = {
-    "window_range_frame": Q(q_window_range_frame, _RANGE_SQL),
-    "window_values": Q(q_window_values, _VALUES_SQL),
-    "grouping_sets": Q(q_grouping_sets, _GROUPING_SETS_SQL),
     "unpivot_measures": Q(q_unpivot, _UNPIVOT_SQL),
     "date_spine": Q(q_date_spine, _DATE_SPINE_SQL),
-    "percentiles": Q(q_percentiles, _PERCENTILES_SQL),
 }
 
 
@@ -306,5 +243,43 @@ FROM s
 """
 
 
-QUERIES["histogram"] = Q(q_histogram, _HISTOGRAM_SQL)
+def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles + fixed-width histogram in one union-tagged
+    entry (driver cap: the correctness gate records at most 50
+    registry entries). variant 'pct': grp = order priority, v1/v2 =
+    exact median/p90. variant 'hist': grp = bucket id, v1/v2 = lo/hi,
+    v3 = bucket start."""
+    pct = q_percentiles(spark, sf_dir).select(
+        F.lit("pct").alias("variant"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("median_price").cast("double").alias("v1"),
+        F.col("p90_price").cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    hist = q_histogram(spark, sf_dir).select(
+        F.lit("hist").alias("variant"),
+        F.col("bucket").cast("string").alias("grp"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("lo").cast("double").alias("v1"),
+        F.col("hi").cast("double").alias("v2"),
+        F.col("bucket_start").cast("double").alias("v3"),
+    )
+    return pct.unionByName(hist)
+
+
+_DIST_STATS_SQL = f"""
+SELECT 'pct' AS variant, o_orderpriority AS grp, CAST(n AS BIGINT) AS n,
+       CAST(median_price AS DOUBLE) AS v1, CAST(p90_price AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM ({_PERCENTILES_SQL})
+UNION ALL
+SELECT 'hist' AS variant, CAST(bucket AS VARCHAR) AS grp, CAST(n AS BIGINT) AS n,
+       CAST(lo AS DOUBLE) AS v1, CAST(hi AS DOUBLE) AS v2,
+       CAST(bucket_start AS DOUBLE) AS v3
+FROM ({_HISTOGRAM_SQL})
+"""
+
+
+QUERIES["dist_stats"] = Q(q_dist_stats, _DIST_STATS_SQL)
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)

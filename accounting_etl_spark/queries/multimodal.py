@@ -72,9 +72,29 @@ def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(docs, id_col="doc_id", text_col="text")
 
 
+def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH + SimHash candidate generators in one union-tagged
+    entry (driver cap: the correctness gate records at most 50
+    registry entries). variant 'minhash' has no distance column;
+    'simhash' carries the Hamming distance. Both banded equi-joins —
+    no all-pairs stage (operators/dedup.py)."""
+    mh = q_near_dup_minhash(spark, sf_dir).select(
+        F.lit("minhash").alias("variant"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    sh = q_near_dup_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+    return mh.unionByName(sh)
+
+
 QUERIES: dict[str, Q] = {
     "multimodal_meta": Q(q_multimodal_meta, _META_SQL),
     "multimodal_features": Q(q_multimodal_features, None),
-    "near_dup_minhash": Q(q_near_dup_minhash, None),
-    "near_dup_simhash": Q(q_near_dup_simhash, None),
+    "near_dup_hash": Q(q_near_dup_hash, None),
 }

@@ -136,7 +136,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, queries, k=_TOP_K)
 
 
-QUERIES["ann_topk"] = Q(q_ann_topk, None)
+def q_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN scale paths in one union-tagged entry (driver cap:
+    the correctness gate records at most 50 registry entries).
+    variant 'lsh' = random-hyperplane LSH buckets; 'ivf' = coarse
+    quantization with multi-probe. Engine-specific float folds → no
+    SQL oracle; recall vs exact brute force is unit-tested
+    (tests/test_similarity.py)."""
+    lsh = q_ann_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"), "q_id", "nb_id", "rank", "cosine"
+    )
+    ivf = q_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), "q_id", "nb_id", "rank", "cosine"
+    )
+    return lsh.unionByName(ivf)
+
+
+QUERIES["ann_variants"] = Q(q_ann_variants, None)
 
 
 _EMB_DD_LIMIT = 200
@@ -225,4 +241,3 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=_TOP_K)
 
 
-QUERIES["ann_ivf"] = Q(q_ann_ivf, None)

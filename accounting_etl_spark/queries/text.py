@@ -13,7 +13,7 @@ deterministic double division.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, word_shingles
@@ -26,57 +26,72 @@ def _norm_text() -> Column:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash (SURVEY §2.11).
+    """Exact dedup by content hash, reported per document (SURVEY
+    §2.11; absorbed the fingerprint entry — driver cap).
 
-    ``md5(normalized_text)`` → one shuffle on the hash; the survivor
-    is the minimum doc_id (deterministic, unlike first-wins). At
-    100 TB this is the canonical single-pass dedup: hash computed
-    map-side, group-by on the 128-bit key.
+    ``md5(normalized_text)`` computed map-side; one shuffle on the
+    128-bit key (the window over content_hash hash-partitions exactly
+    like the groupBy form). The survivor is the minimum doc_id
+    (deterministic, unlike first-wins); ``fingerprint`` is the compact
+    16-hex prefix id. At 100 TB this is the canonical single-pass
+    dedup with a per-row keep/drop verdict.
     """
     docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
     return (
-        docs.withColumn("content_hash", F.md5(_norm_text()))
-        .groupBy("content_hash")
-        .agg(
-            F.min("doc_id").alias("keep_id"),
-            F.count(F.lit(1)).alias("n_copies"),
+        docs.select(
+            "doc_id", "source", F.md5(_norm_text()).alias("content_hash")
         )
+        .select(
+            "doc_id",
+            "source",
+            "content_hash",
+            F.substring("content_hash", 1, 16).alias("fingerprint"),
+            F.min("doc_id").over(w).alias("keep_id"),
+            F.count(F.lit(1)).over(w).alias("n_copies"),
+        )
+        .withColumn("is_dup", F.col("doc_id") != F.col("keep_id"))
     )
 
 
 _DEDUP_EXACT_SQL = """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
-       min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents
-GROUP BY 1
+WITH h AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+)
+SELECT doc_id, source, content_hash,
+       substring(content_hash, 1, 16) AS fingerprint,
+       min(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
+       count(*) OVER (PARTITION BY content_hash) AS n_copies,
+       doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+FROM h
 """
 
 
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: content hash prefix as a compact id."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        "source",
-        F.substring(F.md5(_norm_text()), 1, 16).alias("fingerprint"),
-    )
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + language-ID + quality scoring in one per-doc
+    pass (absorbed the token_stats and lang_quality entries — driver
+    cap; one scan instead of two).
 
-
-_FINGERPRINT_SQL = """
-SELECT doc_id, source,
-       substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fingerprint
-FROM documents
-"""
-
-
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting battery: counts, distinct, lengths (BPE-ish regex)."""
+    Token columns use the BPE-ish ``[A-Za-z0-9]+`` regex; the
+    language/quality columns use whitespace tokens (``ws_`` prefix).
+    Stopword-ratio heuristic: share of {'the','a'} tokens; the
+    quality score mixes length and uniqueness. All exact integer
+    ratios so the doubles hash-match cross-engine.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)
     tok_lens = F.transform(toks, lambda t: F.length(t))
     sum_len = F.aggregate(tok_lens, F.lit(0), lambda acc, x: acc + x)
+    ws = F.split(F.trim(F.col("text")), " ")
+    n_ws = F.size(ws)
+    stops = F.size(F.filter(ws, lambda t: t.isin("the", "a")))
+    en_ratio = stops.cast("double") / n_ws
+    ws_uniq = F.size(F.array_distinct(ws)).cast("double") / n_ws
     return docs.select(
         "doc_id",
+        "lang",
         "n_chars",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
@@ -84,65 +99,41 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
             "uniq_ratio"
         ),
-    )
-
-
-_TOKEN_SQL = """
-WITH t AS (SELECT doc_id, n_chars, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
-           FROM documents)
-SELECT doc_id, n_chars,
-  CAST(len(toks) AS BIGINT) AS n_tokens,
-  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
-  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
-FROM t
-"""
-
-
-def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic + quality score (deterministic arithmetic).
-
-    Stopword-ratio n-gram heuristic: share of {'the','a'} tokens; the
-    quality score mixes length and uniqueness signals. Both are exact
-    integer ratios so the doubles hash-match.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), " ")
-    n = F.size(toks)
-    stops = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
-    en_ratio = stops.cast("double") / n
-    uniq = F.size(F.array_distinct(toks)).cast("double") / n
-    return docs.select(
-        "doc_id",
-        "lang",
         en_ratio.alias("en_ratio"),
         F.when(en_ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias(
             "pred_lang"
         ),
-        uniq.alias("uniq_ratio"),
+        ws_uniq.alias("ws_uniq_ratio"),
         (
             F.least(F.col("n_chars").cast("double") / 400, F.lit(1.0)) * 0.5
-            + uniq * 0.5
+            + ws_uniq * 0.5
         ).alias("quality_score"),
     )
 
 
-_LANG_SQL = """
+_TEXT_METRICS_SQL = """
 WITH t AS (
-  SELECT doc_id, lang, n_chars, string_split(trim(text), ' ') AS toks
+  SELECT doc_id, lang, n_chars,
+         regexp_extract_all(text, '[A-Za-z0-9]+') AS toks,
+         string_split(trim(text), ' ') AS ws
   FROM documents
 ), s AS (
-  SELECT doc_id, lang, n_chars, len(toks) AS n,
-         len(list_filter(toks, x -> x IN ('the', 'a'))) AS stops,
-         len(list_distinct(toks)) AS n_uniq
+  SELECT doc_id, lang, n_chars, toks,
+         len(ws) AS n_ws,
+         len(list_filter(ws, x -> x IN ('the', 'a'))) AS stops,
+         len(list_distinct(ws)) AS ws_uniq
   FROM t
 )
-SELECT doc_id, lang,
-  CAST(stops AS DOUBLE) / n AS en_ratio,
-  CASE WHEN CAST(stops AS DOUBLE) / n >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
-  CAST(n_uniq AS DOUBLE) / n AS uniq_ratio,
+SELECT doc_id, lang, n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+  CAST(stops AS DOUBLE) / n_ws AS en_ratio,
+  CASE WHEN CAST(stops AS DOUBLE) / n_ws >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
+  CAST(ws_uniq AS DOUBLE) / n_ws AS ws_uniq_ratio,
   least(CAST(n_chars AS DOUBLE) / 400, 1.0) * 0.5
-    + (CAST(n_uniq AS DOUBLE) / n) * 0.5 AS quality_score
+    + (CAST(ws_uniq AS DOUBLE) / n_ws) * 0.5 AS quality_score
 FROM s
 """
 
@@ -248,9 +239,7 @@ WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= {_JACCARD_THRESHOLD
 
 QUERIES: dict[str, Q] = {
     "dedup_exact": Q(q_dedup_exact, _DEDUP_EXACT_SQL),
-    "fingerprint": Q(q_fingerprint, _FINGERPRINT_SQL),
-    "token_stats": Q(q_token_stats, _TOKEN_SQL),
-    "lang_quality": Q(q_lang_quality, _LANG_SQL),
+    "text_metrics": Q(q_text_metrics, _TEXT_METRICS_SQL),
     "near_dup_jaccard": Q(q_near_dup_jaccard, _JACCARD_SQL),
 }
 

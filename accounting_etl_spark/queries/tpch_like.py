@@ -237,14 +237,83 @@ GROUP BY p_brand
 """
 
 
+def q_subquery_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-EXISTS + Q16-NOT-IN + Q13-distribution in one union-tagged
+    entry (driver cap: the correctness gate records at most 50
+    registry entries). All three decorrelate to (group, count) — the
+    subquery-planning battery in one driver-checked result."""
+    late = q_late_shipment_orders(spark, sf_dir).select(
+        F.lit("late_exists").alias("variant"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("n_late").cast("bigint").alias("n"),
+    )
+    not_in = q_parts_not_ordered(spark, sf_dir).select(
+        F.lit("not_in_brand").alias("variant"),
+        F.col("p_brand").alias("grp"),
+        F.col("n_parts").cast("bigint").alias("n"),
+    )
+    dist = q_order_count_distribution(spark, sf_dir).select(
+        F.lit("order_count_dist").alias("variant"),
+        F.col("n_orders").cast("string").alias("grp"),
+        F.col("n_customers").cast("bigint").alias("n"),
+    )
+    return late.unionByName(not_in).unionByName(dist)
+
+
+_SUBQUERY_COUNTS_SQL = f"""
+SELECT 'late_exists' AS variant, o_orderpriority AS grp, CAST(n_late AS BIGINT) AS n
+FROM ({_LATE_SQL})
+UNION ALL
+SELECT 'not_in_brand' AS variant, p_brand AS grp, CAST(n_parts AS BIGINT) AS n
+FROM ({_NOT_ORDERED_SQL})
+UNION ALL
+SELECT 'order_count_dist' AS variant, CAST(n_orders AS VARCHAR) AS grp,
+       CAST(n_customers AS BIGINT) AS n
+FROM ({_DISTRIBUTION_SQL})
+"""
+
+
+def q_trade_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 nation-pair volume + Q8 market share in one union-tagged
+    entry (driver cap). variant 'pair_volume': supplier×customer
+    nation revenue per ship year; 'asia_share': ASIA's fraction of
+    yearly revenue (nation columns NULL)."""
+    vol = q_nation_volume(spark, sf_dir).select(
+        F.lit("pair_volume").alias("variant"),
+        "supp_nation",
+        "cust_nation",
+        F.col("ship_year").cast("int").alias("yr"),
+        F.col("volume").cast("double").alias("measure"),
+        F.col("n_items").cast("bigint").alias("n_items"),
+    )
+    share = q_market_share(spark, sf_dir).select(
+        F.lit("asia_share").alias("variant"),
+        F.lit(None).cast("string").alias("supp_nation"),
+        F.lit(None).cast("string").alias("cust_nation"),
+        F.col("order_year").cast("int").alias("yr"),
+        F.col("asia_share").cast("double").alias("measure"),
+        F.col("n_items").cast("bigint").alias("n_items"),
+    )
+    return vol.unionByName(share)
+
+
+_TRADE_SQL = f"""
+SELECT 'pair_volume' AS variant, supp_nation, cust_nation,
+       CAST(ship_year AS INTEGER) AS yr, CAST(volume AS DOUBLE) AS measure,
+       CAST(n_items AS BIGINT) AS n_items
+FROM ({_VOLUME_SQL})
+UNION ALL
+SELECT 'asia_share' AS variant, CAST(NULL AS VARCHAR) AS supp_nation,
+       CAST(NULL AS VARCHAR) AS cust_nation,
+       CAST(order_year AS INTEGER) AS yr, CAST(asia_share AS DOUBLE) AS measure,
+       CAST(n_items AS BIGINT) AS n_items
+FROM ({_SHARE_SQL})
+"""
+
+
 QUERIES: dict[str, Q] = {
     "top_customer_per_nation": Q(q_top_customer_per_nation, _TOP_CUST_SQL),
-    "late_shipment_orders": Q(q_late_shipment_orders, _LATE_SQL),
-    "nation_volume": Q(q_nation_volume, _VOLUME_SQL),
-    "market_share": Q(q_market_share, _SHARE_SQL),
-    "order_count_distribution": Q(
-        q_order_count_distribution, _DISTRIBUTION_SQL
-    ),
+    "subquery_counts": Q(q_subquery_counts, _SUBQUERY_COUNTS_SQL),
+    "trade_analytics": Q(q_trade_analytics, _TRADE_SQL),
     "big_orders": Q(q_big_orders, _BIG_ORDERS_SQL),
-    "parts_not_ordered": Q(q_parts_not_ordered, _NOT_ORDERED_SQL),
 }

@@ -20,20 +20,33 @@ from . import Q
 
 
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer: row_number / rank / dense_rank."""
+    """Top-3 orders per customer: row_number / rank / dense_rank,
+    plus a value-based RANGE frame (±5000 of each order's totalprice
+    per priority — absorbed window_range_frame entry, driver cap)."""
     orders = load_table(spark, sf_dir, "orders")
     w_unique = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     w_ties = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    w_range = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 5000)
+    )
     return (
         orders.select(
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
+            "o_orderpriority",
             F.row_number().over(w_unique).cast("bigint").alias("rn"),
             F.rank().over(w_ties).cast("bigint").alias("rnk"),
             F.dense_rank().over(w_ties).cast("bigint").alias("drnk"),
+            F.count(F.lit(1)).over(w_range).alias("n_within_5k"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w_range)
+            .cast("double")
+            .alias("sum_within_5k"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -41,17 +54,23 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANK_SQL = """
 SELECT * FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority,
     CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn,
     CAST(rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
-    CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS drnk
+    CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS drnk,
+    count(*) OVER wr AS n_within_5k,
+    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS VARCHAR) AS DOUBLE) AS sum_within_5k
   FROM orders
+  WINDOW wr AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
 ) WHERE rn <= 3
 """
 
 
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total + 3-row moving average per customer (frames)."""
+    """Running total + 3-row moving average per customer (frames),
+    plus first/last/nth value over the running frame (absorbed
+    window_values entry — driver cap)."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -65,6 +84,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(price_dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias(
             "moving_avg3"
         ),
+        F.first_value("o_orderkey").over(run).alias("first_order"),
+        F.last_value("o_orderkey").over(run).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(run).alias("second_order"),
     )
 
 
@@ -73,7 +95,10 @@ SELECT o_custkey, o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER run AS VARCHAR) AS DOUBLE) AS running_spend,
   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER mov AS VARCHAR) AS DOUBLE)
-    / count(*) OVER mov AS moving_avg3
+    / count(*) OVER mov AS moving_avg3,
+  first_value(o_orderkey) OVER run AS first_order,
+  last_value(o_orderkey)  OVER run AS latest_order,
+  nth_value(o_orderkey, 2) OVER run AS second_order
 FROM orders
 WINDOW run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -193,7 +218,6 @@ QUERIES: dict[str, Q] = {
     "window_running": Q(q_window_running, _RUNNING_SQL),
     "window_lag": Q(q_window_lag, _LAG_SQL),
     "window_ntile": Q(q_window_ntile, _NTILE_SQL),
-    "sessionize_events": Q(q_sessionize_events, _SESSIONIZE_SQL),
 }
 
 
@@ -245,4 +269,51 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
-QUERIES["session_window_native"] = Q(q_session_window_native, _SESSION_NATIVE_SQL)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sessionization forms in one union-tagged entry (driver
+    cap: the correctness gate records at most 50 registry entries).
+
+    variant 'lag_cumsum' is the general lag→flag→running-sum form
+    (mark_s = session length in seconds); variant 'native' is Spark's
+    built-in ``session_window`` (mark_s = window end = last event +
+    gap, in epoch seconds). Both oracle-checked from the same DuckDB
+    lag/cumsum CTE — the cross-check that the two implementations
+    agree on session membership.
+    """
+    lagform = q_sessionize_events(spark, sf_dir).select(
+        F.lit("lag_cumsum").alias("variant"),
+        "user_id",
+        F.col("session_start_s").cast("bigint").alias("session_start_s"),
+        F.col("session_len_s").cast("bigint").alias("mark_s"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("session_value").cast("double").alias("session_value"),
+    )
+    native = q_session_window_native(spark, sf_dir).select(
+        F.lit("native").alias("variant"),
+        "user_id",
+        F.col("session_start_s").cast("bigint").alias("session_start_s"),
+        F.col("session_end_s").cast("bigint").alias("mark_s"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("session_value").cast("double").alias("session_value"),
+    )
+    return lagform.unionByName(native)
+
+
+_SESSION_WINDOWS_SQL = f"""
+SELECT 'lag_cumsum' AS variant, user_id,
+       CAST(session_start_s AS BIGINT) AS session_start_s,
+       CAST(session_len_s AS BIGINT) AS mark_s,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(session_value AS DOUBLE) AS session_value
+FROM ({_SESSIONIZE_SQL})
+UNION ALL
+SELECT 'native' AS variant, user_id,
+       CAST(session_start_s AS BIGINT) AS session_start_s,
+       CAST(session_end_s AS BIGINT) AS mark_s,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(session_value AS DOUBLE) AS session_value
+FROM ({_SESSION_NATIVE_SQL})
+"""
+
+
+QUERIES["session_windows"] = Q(q_session_windows, _SESSION_WINDOWS_SQL)

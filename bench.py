@@ -26,27 +26,25 @@ BENCH_QUERIES = [
     "top_orders",
     "outer_join_agg",
     "two_tier_lookup",
-    "cube_agg",
+    "grouping_multi",
     "window_running",
-    "sessionize_events",
+    "window_rank",
+    "session_windows",
     "asof_join",
     "dedup_exact",
     "near_dup_jaccard",
-    "near_dup_minhash",
+    "near_dup_hash",
     "cosine_topk",
-    "ann_topk",
-    "tumbling_window",
-    "sliding_window",
-    "window_rank",
-    "grouping_sets",
-    "percentiles",
-    "lang_quality",
-    "token_stats",
+    "ann_variants",
+    "event_windows",
+    "dist_stats",
+    "text_metrics",
     "json_props",
     "range_join_events",
-    "session_window_native",
     "stats_moments",
-    "nation_volume",
+    "trade_analytics",
+    "statement_pipeline",
+    "vendor_enrich",
 ]
 
 

@@ -3,8 +3,10 @@ right row with right_time <= left_time per key.
 
 Spark lacks a native as-of join. The scalable plan used here is the
 union-sort trick: tag both sides, union, sort within each key by
-(time, side, tiebreak), and carry the right payload forward with
-``last(..., ignorenulls=True)`` over an unbounded-preceding frame.
+(time, side, tiebreak), and carry the right payload forward as ONE
+struct with ``last(..., ignorenulls=True)`` over an unbounded-
+preceding frame (atomic: every payload column comes from the same
+matched right row, even when some of its columns are NULL).
 ONE shuffle on the key, no range explosion, no per-key driver loop —
 at 100 TB this is a single sort-merge pass. (The applyInPandas +
 ``pd.merge_asof`` per-key variant is the fallback for semantics this
@@ -62,9 +64,24 @@ def asof_join(
         .orderBy("__t", "__is_left", *[f"__tb_{c}" for c in tb])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry ONE struct atomically, not per-column lasts: a right row
+    # with NULL in some payload column must not donate its other
+    # columns while an earlier row fills the NULL one — all payload
+    # fields must come from the same matched right row. The struct is
+    # non-null exactly on right rows, so last(ignorenulls) picks the
+    # whole latest right row.
+    row_struct = F.when(
+        F.col("__is_left") == 0, F.struct(*[F.col(c) for c in payload])
+    )
     carried = unioned.select(
         "__is_left",
         *[F.col(c) for c in left.columns],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last(row_struct, ignorenulls=True).over(w).alias("__match"),
     )
-    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"__match.{c}").alias(c) for c in payload],
+        )
+    )

@@ -158,18 +158,35 @@ def ivf_topk(
     cells around deterministic sample centroids, multi-probe on the
     query side, exact cosine rerank within probed cells.
 
-    Centroids are a deterministic corpus sample (every (|C|/n_cells)-th
-    id) collected to the driver — n_cells vectors, not data — and
+    Centroids are a deterministic distributed sample: each row hashes
+    to one of ``n_cells`` seed cells (``pmod(xxhash64(id), n_cells)``)
+    and a map-side-combining ``min_by`` picks one representative per
+    cell, so the driver collects exactly ≤ n_cells (id, vector) rows —
+    never a full column (the shuffle carries at most n_cells rows per
+    input partition thanks to partial aggregation). The centroids are
     inlined as literal arrays, so assignment is a map-only expression
     and the only shuffle is the (cell) equi-join. Compared to the
     hyperplane LSH above: IVF adapts to the data distribution (cells
-    follow density) at the cost of the tiny centroid collect.
+    follow density) at the cost of the tiny centroid sample.
     """
-    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()[::max(1, corpus.count() // n_cells)]][:n_cells]
+    id_str = F.col(id_col).cast("string")
+    reps = (
+        corpus.select(
+            F.pmod(F.xxhash64(id_str), F.lit(n_cells)).alias("__cell"),
+            F.xxhash64(id_str, F.lit("centroid-rank")).alias("__rk"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__vec"),
+        )
+        .groupBy("__cell")
+        .agg(
+            F.min_by(
+                F.struct("__id", "__vec"), F.struct("__rk", "__id")
+            ).alias("rep")
+        )
+    )
     cents = (
-        corpus.filter(F.col(id_col).isin(ids))
-        .select(id_col, F.col(vec_col).cast("array<double>").alias("c"))
-        .orderBy(id_col)
+        reps.select(F.col("rep.__id").alias("id"), F.col("rep.__vec").alias("c"))
+        .orderBy("id")
         .collect()
     )
     cent_arrays = [

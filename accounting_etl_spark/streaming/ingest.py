@@ -16,6 +16,8 @@ Reference contract → Structured Streaming mapping:
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,16 +70,46 @@ def land_partitioned(stream: DataFrame, out_dir: str, checkpoint: str):
     )
 
 
+def _current_marker(dim_path: str) -> str:
+    return os.path.join(dim_path, "_CURRENT")
+
+
+def read_dim(spark: SparkSession, dim_path: str) -> DataFrame | None:
+    """Read the live snapshot of a versioned dim (None before the
+    first upsert). The dim directory holds immutable ``v-*`` parquet
+    snapshots plus a ``_CURRENT`` pointer file naming the live one."""
+    try:
+        with open(_current_marker(dim_path)) as f:
+            version = f.read().strip()
+    except OSError:
+        return None
+    return spark.read.parquet(os.path.join(dim_path, version))
+
+
 def foreach_batch_upsert(
     dim_path: str,
     *,
     key: str,
     set_cols: list[str],
     batch_ts_fn: Callable[[int], str] | None = None,
+    keep_versions: int = 2,
 ) -> Callable[[DataFrame, int], None]:
     """K2 as a streaming sink: MERGE each micro-batch into a parquet
     dim. Idempotent per epoch (deterministic batch_ts from epoch id),
-    the foreachBatch exactly-once pattern."""
+    the foreachBatch exactly-once pattern.
+
+    The merge output is written distributed-side to a NEW immutable
+    snapshot directory (``v-<epoch>``), then the ``_CURRENT`` pointer
+    is swapped atomically (tmp file + rename) — the dim never
+    round-trips through driver memory and a crash between write and
+    swap leaves the previous snapshot live (readers go through
+    ``read_dim``). Epoch replay rewrites the same snapshot dir and
+    repoints: idempotent. Old snapshots beyond ``keep_versions`` are
+    pruned after the swap. On a real cluster the same pattern runs on
+    the Hadoop FileSystem API (rename is atomic on HDFS) or is
+    replaced wholesale by Delta ``MERGE INTO`` (operators/upsert.py
+    docstring) — jars absent in this container.
+    """
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
@@ -88,9 +120,8 @@ def foreach_batch_upsert(
             if batch_ts_fn
             else f"epoch-{epoch_id:08d}"
         )
-        try:
-            dim = spark.read.parquet(dim_path)
-        except Exception:  # first epoch: empty dim with update schema
+        dim = read_dim(spark, dim_path)
+        if dim is None:  # first epoch: empty dim with update schema
             dim = batch.select(
                 key, *set_cols,
                 F.lit(None).cast("string").alias("created_at"),
@@ -103,10 +134,19 @@ def foreach_batch_upsert(
             set_cols=set_cols,
             batch_ts=ts,
         )
-        # materialize before overwrite — the merge reads the same path
-        out = merged.toPandas()
-        spark.createDataFrame(out, merged.schema).write.mode(
-            "overwrite"
-        ).parquet(dim_path)
+        version = f"v-{epoch_id:08d}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(dim_path, version)
+        )
+        marker = _current_marker(dim_path)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, marker)  # atomic pointer swap
+        versions = sorted(
+            d for d in os.listdir(dim_path) if d.startswith("v-")
+        )
+        for stale in versions[:-keep_versions]:
+            shutil.rmtree(os.path.join(dim_path, stale), ignore_errors=True)
 
     return apply

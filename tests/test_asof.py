@@ -1,0 +1,56 @@
+"""asof_join unit tests — the NULL-payload atomicity case the oracle
+gate can't catch (reference queries pass non-null payloads)."""
+
+from __future__ import annotations
+
+from accounting_etl_spark.operators.asof import asof_join
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_asof_struct_carry_is_atomic(spark):
+    """A right row with a NULL payload column must not be back-filled
+    from an older right row: all payload fields come from the single
+    matched row (row_number ORDER BY time DESC, tiebreak DESC = 1)."""
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 200, "e2")], "k int, t bigint, ev string"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, "old", 10), (1, 150, None, 20)],
+        "k int, t bigint, a string, b int",
+    )
+    out = asof_join(
+        left.select("k", "t", "ev"),
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        payload=["a", "b"],
+        tiebreak=["b"],
+    )
+    got = {r["ev"]: (r["a"], r["b"]) for r in out.collect()}
+    assert got["e1"] == ("old", 10)
+    # e2's match is the t=150 row: a must stay NULL (not 'old' carried
+    # from t=50 while b comes from t=150)
+    assert got["e2"] == (None, 20)
+
+
+def test_asof_no_match_and_ties(spark):
+    left = spark.createDataFrame([(1, 10), (2, 500)], "k int, t bigint")
+    right = spark.createDataFrame(
+        [(2, 500, "x", 1), (2, 500, "y", 2)], "k int, t bigint, a string, b int"
+    )
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        payload=["a", "b"],
+        tiebreak=["b"],
+    )
+    got = {r["k"]: (r["a"], r["b"]) for r in out.collect()}
+    assert got[1] == (None, None)  # no right row at/before t=10
+    assert got[2] == ("y", 2)  # equal-time tie: max tiebreak wins

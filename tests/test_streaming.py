@@ -78,6 +78,7 @@ def test_streaming_sessions_match_batch_sessionize(spark):
 def test_ingest_dedup_and_upsert(spark, tmp_path):
     from accounting_etl_spark.streaming.ingest import (
         foreach_batch_upsert,
+        read_dim,
         read_landing_stream,
     )
 
@@ -116,7 +117,7 @@ def test_ingest_dedup_and_upsert(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    dim = spark.read.parquet(dim_path).toPandas()
+    dim = read_dim(spark, dim_path).toPandas()
     assert sorted(dim["filename"]) == ["stmt_jan.pdf"]
     assert dim.iloc[0]["ingest_month"] == "2026-08"
 
@@ -138,8 +139,18 @@ def test_ingest_dedup_and_upsert(spark, tmp_path):
         .start()
     )
     q2.awaitTermination(120)
-    dim2 = spark.read.parquet(dim_path).toPandas()
+    dim2 = read_dim(spark, dim_path).toPandas()
     assert sorted(dim2["filename"]) == ["stmt_feb.pdf", "stmt_jan.pdf"]
+
+    # snapshot layout: atomic _CURRENT pointer + bounded version history
+    import os
+
+    entries = sorted(os.listdir(dim_path))
+    assert "_CURRENT" in entries
+    versions = [d for d in entries if d.startswith("v-")]
+    assert 1 <= len(versions) <= 2  # keep_versions prunes older snapshots
+    with open(os.path.join(dim_path, "_CURRENT")) as f:
+        assert f.read().strip() == versions[-1]
 
 
 def test_binaryfile_words_plumbing(spark, tmp_path):

@@ -29,13 +29,17 @@ from ..functions.text import tokens_ws, word_shingles
 
 
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """Array of ``num_hashes`` min-hashes (xxhash64, seed-prefixed)."""
+    """Array of ``num_hashes`` min-hashes.
+
+    The shingle string is hashed ONCE (xxhash64 → bigint); each family
+    member re-hashes the 64-bit key with the member index — integer
+    mixing instead of ``num_hashes`` string concat+hash passes.
+    """
+    keyed = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.array(
         *[
             F.array_min(
-                F.transform(
-                    shingles, lambda s, h=h: F.xxhash64(F.concat(F.lit(f"{h}:"), s))
-                )
+                F.transform(keyed, lambda k, h=h: F.xxhash64(k, F.lit(h)))
             )
             for h in range(num_hashes)
         ]
@@ -58,7 +62,9 @@ def minhash_candidates(
     # signatures via explode + one grouped aggregation of num_hashes
     # mins — ONE shuffle on the id, instead of num_hashes array passes
     # per row (the array-native minhash_signature form is ~10x slower
-    # in codegen for large shingle sets)
+    # in codegen for large shingle sets). Each shingle string is hashed
+    # ONCE to a 64-bit key; the hash family re-hashes that bigint with
+    # the member index — no per-member string concat.
     spread = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, id_col
     )  # small-file scans arrive single-partition; shingling is CPU-bound
@@ -67,15 +73,17 @@ def minhash_candidates(
         F.explode(word_shingles(tokens_ws(F.col(text_col)), k_shingle)).alias(
             "__sh"
         ),
-    )
+    ).select("__id", F.xxhash64("__sh").alias("__kh"))
     sig = sh.groupBy("__id").agg(
         *[
-            F.min(F.xxhash64(F.concat(F.lit(f"{h}:"), F.col("__sh")))).alias(
-                f"__h{h}"
-            )
+            F.min(F.xxhash64(F.col("__kh"), F.lit(h))).alias(f"__h{h}")
             for h in range(num_hashes)
         ]
     )
+    # band key = one 64-bit hash of the band's r signature slots (not a
+    # concatenated string) — a bigint shuffle key; xxhash64 collisions
+    # only ever ADD candidate pairs, which the downstream exact verify
+    # filters, so the candidate contract is unaffected.
     banded = sig.select(
         "__id",
         F.explode(
@@ -83,12 +91,8 @@ def minhash_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"__h{b * r + i}").cast("string")
-                                for i in range(r)
-                            ],
+                        F.xxhash64(
+                            *[F.col(f"__h{b * r + i}") for i in range(r)]
                         ).alias("key"),
                     )
                     for b in range(bands)
@@ -96,15 +100,27 @@ def minhash_candidates(
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.key")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.__id") < F.col("b.__id")),
+    # posting lists per (band, key) → local pair generation → one
+    # distinct on the pair: 2 shuffles, no self-join of two exploded
+    # sides (the same plan shape as the exact-Jaccard pair stage).
+    postings = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("__id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    )
+    return (
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -113,27 +129,36 @@ def simhash64(tokens: Column) -> Column:
     """63-bit SimHash of a token array (bit 63 unused — sign safety).
 
     Array-native majority vote: bit j is set when more than half the
-    tokens have bit j set in their xxhash64. One expression tree, no
-    shuffle, no UDF.
+    tokens have bit j set in their xxhash64. ONE fold over the token
+    hashes whose accumulator is the 63-element bit-count array
+    (``zip_with`` add of each hash's bit vector), then one indexed
+    fold assembles the signature — two aggregate subtrees total
+    instead of 63 (the same codegen-bloat fix as the ANN shared
+    sign-bit tree). ``pow(2, j)`` is exact in double for j <= 62.
     """
     n = F.size(tokens)
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    def _ones(j: int):
-        # closure (not a default arg): aggregate's merge lambda must
-        # have exactly two parameters or pyspark rejects it
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int"),
-        )
-
-    out = F.lit(0).cast("bigint")
-    for j in range(63):
-        out = out + F.when(_ones(j) * 2 > n, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return out
+    bit_idx = F.sequence(F.lit(0), F.lit(62))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), 63),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(bit_idx, lambda j: F.getbit(h, j).cast("bigint")),
+            lambda a, b: a + b,
+        ),
+    )
+    indexed = F.zip_with(
+        counts, bit_idx, lambda c, j: F.struct(c.alias("c"), j.alias("j"))
+    )
+    return F.aggregate(
+        indexed,
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.when(
+            s["c"] * 2 > n, F.pow(F.lit(2.0), s["j"]).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
 
 
 def simhash_candidates(
@@ -152,7 +177,12 @@ def simhash_candidates(
     """
     width = 64 // chunks
     mask = (1 << width) - 1
-    sig = df.select(
+    # small-file scans arrive single-partition; the signature fold is
+    # CPU-bound (no-op repartition once the corpus is many splits)
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    sig = spread.select(
         F.col(id_col).alias("__id"),
         simhash64(tokens_ws(F.col(text_col))).alias("__sim"),
     )
@@ -173,21 +203,38 @@ def simhash_candidates(
             )
         ).alias("cv"),
     ).select("__id", "__sim", "cv.chunk", "cv.val")
-    a, b = chunked.alias("a"), chunked.alias("b")
+    # posting lists per (chunk, val) → local pair generation with the
+    # Hamming check inline → one grouped dedup on the pair. The
+    # signature pipeline runs ONCE (a chunked self-join would recompute
+    # scan+shingle+fold on both sides); 2 shuffles total.
+    postings = (
+        chunked.groupBy("chunk", "val")
+        .agg(
+            F.sort_array(F.collect_set(F.struct("__id", "__sim"))).alias("xs")
+        )
+        .filter(F.size("xs") >= 2)
+    )
+    n = F.size("xs")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice("xs", i + 2, n - i - 1),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    F.bit_count(x["__sim"].bitwiseXOR(y["__sim"]))
+                    .cast("int")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.__id") < F.col("b.__id")),
+        postings.select(F.explode(pair_arr).alias("p"))
+        .filter(F.col("p.hamming") <= max_hamming)
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.bit_count(
-                F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
-            ).cast("int").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .agg(F.first("p.hamming").alias("hamming"))
     )

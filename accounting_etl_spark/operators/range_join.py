@@ -71,5 +71,9 @@ def range_self_join(
             *[F.col(f"{c}_a") for c in payload],
             *[F.col(f"{c}_b") for c in payload],
         )
-        .distinct()
     )
+    # No trailing distinct: only the LEFT side explodes into the three
+    # neighbor buckets while the right keeps its single home bucket, so
+    # each (a, b) candidate meets on exactly one __bj (= b's bucket) and
+    # the id_a < id_b predicate removes the mirrored ordering — the join
+    # emits every true pair exactly once by construction.

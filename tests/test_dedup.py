@@ -133,3 +133,39 @@ def test_multimodal_real_decode_raises(spark):
     feats = extract_media_features(attach_payload(docs), real_decode=True)
     with pytest.raises(Exception, match="NotImplementedError|media codecs"):
         feats.collect()
+
+
+def test_simhash_single_pass_matches_per_bit_reference(spark):
+    """The one-fold bit-count form must produce bit-identical
+    signatures to the original 63-subtree per-bit formula."""
+    from accounting_etl_spark.functions.text import tokens_ws
+    from accounting_etl_spark.operators.dedup import simhash64
+
+    def simhash64_per_bit(tokens):
+        n = F.size(tokens)
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+        def _ones(j):
+            return F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int"),
+            )
+
+        out = F.lit(0).cast("bigint")
+        for j in range(63):
+            out = out + F.when(
+                _ones(j) * 2 > n, F.lit(1 << j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return out
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = tokens_ws(F.col("text"))
+    both = docs.select(
+        "doc_id",
+        simhash64(toks).alias("new_sig"),
+        simhash64_per_bit(toks).alias("ref_sig"),
+    )
+    diff = both.filter(F.col("new_sig") != F.col("ref_sig")).count()
+    assert diff == 0

@@ -38,12 +38,23 @@ def read_landing_stream(
     schema: str = LANDING_SCHEMA,
     lookback_days: int = 30,
     watermark: str = "1 day",
+    dedup_within_watermark: bool = False,
 ) -> DataFrame:
     """Streaming scan of landed attachment metadata with the
     reference's subject/extension/recency predicates (P9-P11) and
-    exactly-once dedup on the landing key (O6/T1)."""
+    exactly-once dedup on the landing key (O6/T1).
+
+    ``dedup_within_watermark=True`` switches to
+    ``dropDuplicatesWithinWatermark``: duplicate keys are only
+    suppressed while they can still arrive (inside the watermark
+    delay) and their state is EVICTED once the watermark passes —
+    bounded state, the 100 TB posture. The default ``dropDuplicates``
+    keeps every key forever (exact, but state grows with the key
+    cardinality); use it when the landing key space is small (the
+    reference's single-mailbox case).
+    """
     raw = spark.readStream.schema(schema).json(landing_dir)
-    return (
+    filtered = (
         raw.filter(F.lower("filename").endswith(".pdf"))
         .filter(
             F.lower("subject").rlike("statement|credit card|mastercard")
@@ -54,8 +65,10 @@ def read_landing_stream(
         )
         .withColumn("ingest_month", F.date_format("received_at", "yyyy-MM"))
         .withWatermark("received_at", watermark)
-        .dropDuplicates(["filename"])
     )
+    if dedup_within_watermark:
+        return filtered.dropDuplicatesWithinWatermark(["filename"])
+    return filtered.dropDuplicates(["filename"])
 
 
 def land_partitioned(stream: DataFrame, out_dir: str, checkpoint: str):

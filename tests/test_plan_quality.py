@@ -55,3 +55,49 @@ def test_dedup_exact_single_shuffle(spark):
     plan = _plan(q_dedup_exact(spark, SF_SMOKE))
     # hash-groupBy dedup: exactly one exchange (plus AQE reads)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_plan_no_product_bounded_exchanges(spark):
+    from accounting_etl_spark.queries.multimodal import q_near_dup_minhash
+
+    plan = _plan(q_near_dup_minhash(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # posting-list pair generation: no join stage at all, and the
+    # shuffle count stays bounded (repartition + sig agg + band agg +
+    # pair distinct)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_plan_single_signature_pass(spark):
+    from accounting_etl_spark.queries.multimodal import q_near_dup_simhash
+
+    plan = _plan(q_near_dup_simhash(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # the signature fold must appear in ONE scan branch, not on both
+    # sides of a self-join: exactly one parquet scan of documents
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_ann_plans_bucketed_not_all_pairs(spark):
+    from accounting_etl_spark.queries.similarity import q_ann_topk, q_ann_ivf
+
+    for fn in (q_ann_topk, q_ann_ivf):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+
+
+def test_range_join_two_exchanges_no_distinct(spark):
+    from accounting_etl_spark.queries.events import q_range_join_events
+
+    plan = _plan(q_range_join_events(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # equi-join on (key, bucket): at most one exchange per side (at
+    # smoke scale AQE broadcasts instead: zero), and never a third
+    # exchange for a trailing distinct (pairs are unique by construction)
+    assert plan.count("Exchange hashpartitioning") <= 2

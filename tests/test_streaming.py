@@ -236,3 +236,102 @@ def test_stream_stream_join_matches_batch(spark):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    delay are suppressed, and the key state is evicted after the
+    watermark passes (bounded state — the 100 TB posture)."""
+    import uuid
+
+    from accounting_etl_spark.streaming.ingest import read_landing_stream
+
+    landing = tmp_path / "landing_wm"
+    landing.mkdir()
+    recs = [
+        {"filename": "stmt.pdf", "subject": "statement", "sender": "b",
+         "received_at": "2026-08-10T00:00:00Z", "size_bytes": 1},
+        # duplicate key 2h later — inside the 1-day watermark delay
+        {"filename": "stmt.pdf", "subject": "statement", "sender": "b",
+         "received_at": "2026-08-10T02:00:00Z", "size_bytes": 1},
+        {"filename": "other.pdf", "subject": "statement", "sender": "b",
+         "received_at": "2026-08-10T03:00:00Z", "size_bytes": 1},
+    ]
+    (landing / "b1.json").write_text("\n".join(json.dumps(r) for r in recs))
+    name = f"wmdd_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_landing_stream(spark, str(landing), dedup_within_watermark=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        rows = spark.sql(f"SELECT filename FROM {name}").collect()
+        names = sorted(r.filename for r in rows)
+        assert names == ["other.pdf", "stmt.pdf"]
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_drops_late_data(spark, tmp_path):
+    """A row older than the advanced watermark must be dropped from
+    the stream-stream join state — no pairs involve the late event."""
+    import time
+    import uuid
+
+    from accounting_etl_spark.streaming.joins import stream_event_pairs
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = "user_id bigint, event_id bigint, ts timestamp"
+
+    def write_batch(fname, rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").json(str(tmp_path / fname))
+        # land as a single json file the stream picks up
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / fname / "part-*.json"))[0]
+        shutil.copy(part, str(src / f"{fname}.json"))
+
+    from datetime import datetime, timezone
+
+    def t(h, m=0):
+        return datetime(2026, 8, 10, h, m, tzinfo=timezone.utc)
+
+    # epoch 1: two close events (a pair) far in the future so the
+    # watermark (max ts - 1h) advances well past the late event below
+    write_batch("b1", [(1, 1, t(10, 0)), (1, 2, t(10, 10)), (1, 99, t(20, 0))])
+
+    events = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    pairs = stream_event_pairs(events, window="30 minutes", watermark="1 hour")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {(r.id_a, r.id_b) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        assert (1, 2) in got1
+        # epoch 2: a late event at 10:05 — within pairing range of
+        # events 1 and 2, but hours older than the watermark (19:00)
+        write_batch("b2", [(1, 3, t(10, 5))])
+        q.processAllAvailable()
+        time.sleep(1)
+        q.processAllAvailable()
+        got2 = {(r.id_a, r.id_b) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        late_pairs = {p for p in got2 if 3 in p}
+        assert late_pairs == set(), f"late event paired: {late_pairs}"
+    finally:
+        q.stop()

@@ -281,5 +281,48 @@ FROM ({_HISTOGRAM_SQL})
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/salting.py) on the
+    3-value returnflag key — the aggregation-skew mitigation AQE does
+    not re-plan. The oracle is the PLAIN one-phase GROUP BY: salting
+    must be value-identical under any partitioning, which is exactly
+    what the decimal sum guarantees (order-independent re-merge)."""
+    from ..operators.salting import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        "l_extendedprice",
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("sum_qty", "sum", "qty"),
+            ("n", "count", "l_extendedprice"),
+            ("min_price", "min", "l_extendedprice"),
+            ("max_price", "max", "l_extendedprice"),
+        ],
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n").cast("bigint").alias("n"),
+        "min_price",
+        "max_price",
+    )
+
+
+_SALTED_SQL = """
+SELECT l_returnflag,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  count(l_extendedprice) AS n,
+  min(l_extendedprice) AS min_price,
+  max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES["dist_stats"] = Q(q_dist_stats, _DIST_STATS_SQL)
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)
+QUERIES["salted_agg"] = Q(q_salted_agg, _SALTED_SQL)

@@ -21,15 +21,23 @@ from . import Q
 
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer: row_number / rank / dense_rank,
-    plus a value-based RANGE frame (±5000 of each order's totalprice
-    per priority — absorbed window_range_frame entry, driver cap)."""
+    plus a value-based RANGE frame (orders within ±5000 of each
+    order's totalprice for the SAME customer — absorbed the
+    window_range_frame entry, driver cap).
+
+    The range frame partitions by o_custkey, not a low-cardinality
+    enum: a frame keyed by the 5-value priority column would serialize
+    into 5 tasks at ANY scale (the 100 TB skew wall), while the
+    customer key parallelizes with the data and shares the rank
+    windows' hash exchange.
+    """
     orders = load_table(spark, sf_dir, "orders")
     w_unique = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     w_ties = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
     w_range = (
-        Window.partitionBy("o_orderpriority")
+        Window.partitionBy("o_custkey")
         .orderBy("o_totalprice")
         .rangeBetween(-5000, 5000)
     )
@@ -38,7 +46,6 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            "o_orderpriority",
             F.row_number().over(w_unique).cast("bigint").alias("rn"),
             F.rank().over(w_ties).cast("bigint").alias("rnk"),
             F.dense_rank().over(w_ties).cast("bigint").alias("drnk"),
@@ -54,14 +61,14 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANK_SQL = """
 SELECT * FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority,
+  SELECT o_custkey, o_orderkey, o_totalprice,
     CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn,
     CAST(rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
     CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS drnk,
     count(*) OVER wr AS n_within_5k,
     CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS VARCHAR) AS DOUBLE) AS sum_within_5k
   FROM orders
-  WINDOW wr AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+  WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_totalprice
                 RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
 ) WHERE rn <= 3
 """

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "json_props",
     "range_join_events",
     "stats_moments",
+    "salted_agg",
     "trade_analytics",
     "statement_pipeline",
     "vendor_enrich",

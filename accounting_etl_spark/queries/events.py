@@ -97,12 +97,7 @@ GROUP BY 1, 2
 """
 
 
-def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of join: latest order at/before each event, per user.
-
-    Implemented with the union-sort/last-carry operator
-    (operators/asof.py) — one shuffle, no range explosion.
-    """
+def _asof_inputs(spark: SparkSession, sf_dir: str):
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_micros("ts").alias("t_us")
     )
@@ -112,6 +107,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
+    return events, orders
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: latest order at/before each event, per user.
+
+    Implemented with the union-sort/last-carry operator
+    (operators/asof.py) — one shuffle, no range explosion.
+    """
+    events, orders = _asof_inputs(spark, sf_dir)
     joined = asof_join(
         events,
         orders,
@@ -122,6 +127,35 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["o_orderkey"],
     )
     return joined.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: the closest order in either
+    direction per event (backward wins exact-distance ties)."""
+    events, orders = _asof_inputs(spark, sf_dir)
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_time="t_us",
+        right_time="t_us",
+        payload=["o_orderkey", "o_totalprice"],
+        tiebreak=["o_orderkey"],
+        direction="nearest",
+    )
+    return joined.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+def q_asof_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward + nearest as-of joins in one union-tagged entry
+    (driver cap: the correctness gate records at most 50 entries)."""
+    back = q_asof_join(spark, sf_dir).select(
+        F.lit("backward").alias("variant"), "*"
+    )
+    near = q_asof_nearest(spark, sf_dir).select(
+        F.lit("nearest").alias("variant"), "*"
+    )
+    return back.unionByName(near)
 
 
 _ASOF_SQL = """
@@ -177,10 +211,36 @@ FROM ({_SLIDING_SQL})
 """
 
 
+_ASOF_NEAREST_SQL = """
+WITH cand AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id ORDER BY
+            abs((epoch_ns(e.ts) // 1000) - epoch_us(o.o_orderdate)) ASC,
+            (epoch_us(o.o_orderdate) <= (epoch_ns(e.ts) // 1000)) DESC,
+            CASE WHEN epoch_us(o.o_orderdate) <= (epoch_ns(e.ts) // 1000)
+                 THEN -o.o_orderkey ELSE o.o_orderkey END ASC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id
+)
+SELECT event_id, user_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
+UNION ALL
+SELECT e.event_id, e.user_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id)
+"""
+
+_ASOF_VARIANTS_SQL = f"""
+SELECT 'backward' AS variant, event_id, user_id, o_orderkey, o_totalprice
+FROM ({_ASOF_SQL})
+UNION ALL
+SELECT 'nearest' AS variant, event_id, user_id, o_orderkey, o_totalprice
+FROM ({_ASOF_NEAREST_SQL})
+"""
+
 QUERIES: dict[str, Q] = {
     "event_windows": Q(q_event_windows, _EVENT_WINDOWS_SQL),
     "json_props": Q(q_json_props, _JSON_SQL),
-    "asof_join": Q(q_asof_join, _ASOF_SQL),
+    "asof_join": Q(q_asof_variants, _ASOF_VARIANTS_SQL),
 }
 
 

@@ -54,3 +54,46 @@ def test_asof_no_match_and_ties(spark):
     got = {r["k"]: (r["a"], r["b"]) for r in out.collect()}
     assert got[1] == (None, None)  # no right row at/before t=10
     assert got[2] == ("y", 2)  # equal-time tie: max tiebreak wins
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 210, "e2"), (2, 50, "e3")],
+        "k int, t bigint, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "b", 1), (1, 205, "f", 2), (2, 300, "far", 3)],
+        "k int, t bigint, a string, b int",
+    )
+    out = asof_join(
+        left.select("k", "t", "ev"),
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        payload=["a", "b"],
+        tiebreak=["b"],
+        direction="nearest",
+    )
+    got = {r["ev"]: r["a"] for r in out.collect()}
+    assert got["e1"] == "b"  # |100-90|=10 < |205-100|=105
+    assert got["e2"] == "f"  # |210-205|=5 < |210-90|=120
+    assert got["e3"] == "far"  # forward-only match (no backward row)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([(1, 100)], "k int, t bigint")
+    right = spark.createDataFrame(
+        [(1, 90, "back", 1), (1, 110, "fwd", 2)], "k int, t bigint, a string, b int"
+    )
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        payload=["a", "b"],
+        tiebreak=["b"],
+        direction="nearest",
+    )
+    assert out.collect()[0]["a"] == "back"

@@ -233,3 +233,63 @@ def test_coa_random_grids_match_python_model(spark, seed):
     )
     got = {(r.code_type, r.code): r.name for r in extract_codes(df).collect()}
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31))
+def test_two_tier_lookup_random_containment_structures(spark, seed):
+    """Random fact/dim universes (exact hits, substring-only hits,
+    multi-candidate containment, short keys, total misses): both
+    lookup strategies must match the sequential reference model
+    (exact equality, else min containing vendor, else miss)."""
+    from accounting_etl_spark.operators.lookup_join import two_tier_lookup_join
+
+    rng = random.Random(seed)
+    frags = ["al", "bor", "cux", "dee", "eph", "fi", "go", "hy"]
+
+    def word():
+        return "".join(rng.choice(frags) for _ in range(rng.randint(1, 3)))
+
+    dims = {}
+    for i in range(rng.randint(3, 12)):
+        dims[f"{word().upper()} {word()}"] = i
+    dim_keys = list(dims)
+    facts = []
+    for i in range(rng.randint(5, 25)):
+        roll = rng.random()
+        if roll < 0.25 and dim_keys:  # exact hit
+            facts.append((i, rng.choice(dim_keys)))
+        elif roll < 0.55 and dim_keys:  # substring of some dim key
+            v = rng.choice(dim_keys)
+            a = rng.randint(0, max(0, len(v) - 2))
+            b = rng.randint(a + 1, len(v))
+            facts.append((i, v[a:b]))
+        elif roll < 0.65:  # short key (trigram fallback routing)
+            facts.append((i, rng.choice("abxz")))
+        else:  # random (usually a miss)
+            facts.append((i, word()))
+
+    expected = {}
+    for fid, fkey in facts:
+        if fkey in dims:
+            expected[fid] = (fkey, 1)
+        else:
+            cands = [v for v in dim_keys if fkey.lower() in v.lower()]
+            expected[fid] = (min(cands), 2) if cands else (None, 0)
+
+    fact_df = spark.createDataFrame(facts, "fid int, fkey string")
+    dim_df = spark.createDataFrame(
+        [(k, v) for k, v in dims.items()], "vendor string, ref int"
+    )
+    for strategy in ("broadcast", "trigram"):
+        out = two_tier_lookup_join(
+            fact_df,
+            dim_df,
+            fact_id="fid",
+            fact_key="fkey",
+            dim_key="vendor",
+            dim_cols=["ref"],
+            prefilter=strategy,
+        )
+        got = {r.fid: (r.vendor, r.tier) for r in out.collect()}
+        assert got == expected, f"strategy={strategy} seed={seed}"

@@ -1,0 +1,76 @@
+"""Connected components over near-duplicate pair edges.
+
+Candidate generators (exact Jaccard, MinHash-LSH, SimHash) emit PAIRS;
+a production dedup needs CLUSTERS — one survivor per connected group
+of near-duplicates. This is min-label propagation (the Pregel
+formulation): every node starts labeled with itself; each round a
+node takes the minimum label among itself and its neighbors; at
+fixpoint the label is the component's minimum node id, a
+deterministic canonical cluster id.
+
+Scale notes:
+- each round is one equi-join + one groupBy (shuffles on node id) —
+  no all-pairs anything; rounds are bounded by the component
+  diameter, and near-dup clusters are short-diameter in practice;
+- ``localCheckpoint`` truncates lineage per round (executor-side
+  materialization, NOT a driver collect) — without it the plan
+  doubles every iteration, the classic iterative-algorithm failure;
+- the convergence probe is a scalar ``count`` per round (the one
+  driver-visible value, same contract as any aggregate). For graphs
+  with pathological diameters, the large-star/small-star variant
+  (Kiveris et al., "Connected Components in MapReduce and Beyond")
+  halves rounds; not needed for near-dup workloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component label per node of the undirected graph in ``edges``.
+
+    Returns (node, label) where label = min node id in the component.
+    Nodes are exactly those appearing in an edge; callers union in
+    isolated nodes themselves if they need them labeled.
+    """
+    # one lazy executor-side materialization of the edge list: the
+    # upstream pair generator (shingling, banding, ...) must run once,
+    # not once per derived reference / iteration
+    edges = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    adj = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(max_iter):
+        nbr = (
+            adj.join(labels, adj["u"] == labels["node"])
+            .select(F.col("v").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=False)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

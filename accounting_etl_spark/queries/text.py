@@ -305,3 +305,50 @@ FROM ranked WHERE rank <= {_TFIDF_TOP}
 
 
 QUERIES["tfidf_terms"] = Q(q_tfidf_terms, _TFIDF_SQL)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the exact-Jaccard pair edges: connected
+    components via min-label propagation (operators/graph.py), sized,
+    with the minimum doc_id as the deterministic survivor. This is
+    the step a production dedup runs after candidate pairs — drop
+    everything where is_survivor is false."""
+    from ..operators.graph import connected_components
+
+    pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(F.broadcast(sizes), "label").select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("node") == F.col("label")).alias("is_survivor"),
+    )
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_SQL})
+), und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u
+), lab AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS label FROM reach GROUP BY u
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(label AS BIGINT) AS cluster_id,
+       CAST(s.cnt AS BIGINT) AS cluster_size,
+       node = label AS is_survivor
+FROM lab
+JOIN (SELECT label, count(*) AS cnt FROM lab GROUP BY label) s USING (label)
+"""
+
+
+QUERIES["dedup_clusters"] = Q(q_dedup_clusters, _CLUSTERS_SQL)

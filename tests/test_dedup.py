@@ -169,3 +169,18 @@ def test_simhash_single_pass_matches_per_bit_reference(spark):
     )
     diff = both.filter(F.col("new_sig") != F.col("ref_sig")).count()
     assert diff == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (diameter > 1 iteration) and a separate island
+    must resolve to min-label components; labels are deterministic."""
+    from accounting_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (9, 8)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.node: r.label
+        for r in connected_components(edges, src="id_a", dst="id_b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}

@@ -263,11 +263,15 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_sources = docs.select("source").distinct().count()
+    # one-row source count cross-joined lazily (mirrors the oracle's
+    # CROSS JOIN n) — no eager .count() action while building the plan
+    n_src = docs.agg(F.countDistinct("source").alias("__n_sources"))
     scored = (
         tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_src))
         .withColumn(
-            "score", (F.col("tf") * F.lit(n_sources)).cast("double") / F.col("df")
+            "score",
+            (F.col("tf") * F.col("__n_sources")).cast("double") / F.col("df"),
         )
     )
     from ..operators.topk import topk_per_group

@@ -335,3 +335,24 @@ def test_stream_stream_join_drops_late_data(spark, tmp_path):
         assert late_pairs == set(), f"late event paired: {late_pairs}"
     finally:
         q.stop()
+
+
+def test_read_dim_survives_unswapped_snapshot(spark, tmp_path):
+    """A snapshot directory written WITHOUT the pointer swap (a crash
+    between write and rename) must be invisible to readers."""
+    from accounting_etl_spark.streaming.ingest import read_dim
+
+    dim_path = tmp_path / "dim_crash"
+    dim_path.mkdir()
+    good = spark.createDataFrame([("a", 1)], "k string, v int")
+    good.write.parquet(str(dim_path / "v-00000001"))
+    (dim_path / "_CURRENT").write_text("v-00000001")
+    # crash scenario: half-landed newer snapshot, pointer not swapped
+    bad = spark.createDataFrame([("b", 2)], "k string, v int")
+    bad.write.parquet(str(dim_path / "v-00000002"))
+    got = read_dim(spark, str(dim_path)).collect()
+    assert [(r.k, r.v) for r in got] == [("a", 1)]
+    # and before any pointer exists at all: no dim
+    empty = tmp_path / "dim_none"
+    empty.mkdir()
+    assert read_dim(spark, str(empty)) is None

@@ -219,16 +219,20 @@ def ivf_topk(
         vec.alias("nb_emb"),
         ranked_cells(vec)[0]["cell"].alias("cell"),
     )
+    # query side joins the RAW corpus (scan + broadcast semi-filter to
+    # |Q| rows), not `assigned` — referencing assigned here would
+    # compile the full-corpus centroid-assignment subtree twice
     q_probe = (
-        assigned.join(
-            F.broadcast(query_ids.select(F.col(id_col).alias("nb_id"))),
-            "nb_id",
+        corpus.select(F.col(id_col).alias("q_id"), vec.alias("q_emb"))
+        .join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("q_id"))),
+            "q_id",
         )
         .select(
-            F.col("nb_id").alias("q_id"),
-            F.col("nb_emb").alias("q_emb"),
+            "q_id",
+            "q_emb",
             F.explode(
-                F.slice(ranked_cells(F.col("nb_emb")), 1, n_probe)
+                F.slice(ranked_cells(F.col("q_emb")), 1, n_probe)
             ).alias("pc"),
         )
         .select("q_id", "q_emb", F.col("pc.cell").alias("cell"))

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.pairs import ordered_id_pairs, pair_structs
 from ..functions.text import tokens_ws, word_shingles
 
 
@@ -108,18 +109,8 @@ def minhash_candidates(
         .agg(F.sort_array(F.collect_set("__id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    n = F.size("ids")
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, n - i - 1),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     return (
-        postings.select(F.explode(pair_arr).alias("p"))
+        postings.select(F.explode(ordered_id_pairs("ids")).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
@@ -214,21 +205,15 @@ def simhash_candidates(
         )
         .filter(F.size("xs") >= 2)
     )
-    n = F.size("xs")
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("xs"),
-            lambda x, i: F.transform(
-                F.slice("xs", i + 2, n - i - 1),
-                lambda y: F.struct(
-                    x["__id"].alias("id_a"),
-                    y["__id"].alias("id_b"),
-                    F.bit_count(x["__sim"].bitwiseXOR(y["__sim"]))
-                    .cast("int")
-                    .alias("hamming"),
-                ),
-            ),
-        )
+    pair_arr = pair_structs(
+        "xs",
+        lambda x, y: F.struct(
+            x["__id"].alias("id_a"),
+            y["__id"].alias("id_b"),
+            F.bit_count(x["__sim"].bitwiseXOR(y["__sim"]))
+            .cast("int")
+            .alias("hamming"),
+        ),
     )
     return (
         postings.select(F.explode(pair_arr).alias("p"))

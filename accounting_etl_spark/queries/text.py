@@ -171,18 +171,12 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") <= _MAX_SHINGLE_DF)
     )
-    n = F.size("ids")
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, n - i - 1),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    from ..functions.pairs import ordered_id_pairs
+
     pairs = (
-        postings.select(F.explode(pair_arr).alias("p"))
+        postings.select(
+            F.explode(ordered_id_pairs("ids", "doc_a", "doc_b")).alias("p")
+        )
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )

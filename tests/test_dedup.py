@@ -184,3 +184,44 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges, src="id_a", dst="id_b").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}
+
+
+def test_frame_sampling_fanout_and_determinism(spark):
+    """Video payloads fan out to one typed row per sampled frame,
+    deterministically; non-video rows don't appear."""
+    from accounting_etl_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    frames = sample_frames(attach_payload(docs), every_n=30, max_frames=4)
+    pdf = frames.toPandas()
+    assert len(pdf) > 0
+    assert list(pdf.columns) == ["doc_id", "frame_idx", "ts_ms", "frame"]
+    # only video docs (doc_id % 3 == 2 per attach_payload) fan out
+    assert set(pdf["doc_id"] % 3) == {2}
+    assert (pdf.groupby("doc_id").size() <= 4).all()
+    assert (pdf["ts_ms"] == pdf["frame_idx"] * 1000 // 30).all()
+    again = sample_frames(
+        attach_payload(docs), every_n=30, max_frames=4
+    ).toPandas()
+    assert pdf.equals(again)
+
+
+def test_resize_images_typed_output(spark):
+    from accounting_etl_spark.operators.multimodal import (
+        attach_payload,
+        resize_images,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    out = resize_images(attach_payload(docs), width=64, height=32).toPandas()
+    assert len(out) > 0
+    assert set(out["doc_id"] % 3) == {0}  # image modality only
+    assert (out["width"] == 64).all() and (out["height"] == 32).all()
+    assert out["content"].map(len).eq(16).all()  # md5-sized fake payloads

@@ -293,3 +293,66 @@ def test_two_tier_lookup_random_containment_structures(spark, seed):
         )
         got = {r.fid: (r.vendor, r.tier) for r in out.collect()}
         assert got == expected, f"strategy={strategy} seed={seed}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31))
+def test_asof_join_random_times_match_python_model(spark, seed):
+    """Random left/right event times (with duplicate timestamps and
+    keys missing on either side): both as-of directions must match the
+    obvious sequential model."""
+    from accounting_etl_spark.operators.asof import asof_join
+
+    rng = random.Random(seed)
+    keys = [1, 2, 3]
+    left = [
+        (i, rng.choice(keys + [9]), rng.randint(0, 50))
+        for i in range(rng.randint(3, 20))
+    ]
+    right = [
+        (100 + j, rng.choice(keys), rng.randint(0, 50))
+        for j in range(rng.randint(0, 15))
+    ]
+
+    def model(direction):
+        out = {}
+        for lid, k, lt in left:
+            cands = [(rid, rt) for rid, rk, rt in right if rk == k]
+            if direction == "backward":
+                cands = [c for c in cands if c[1] <= lt]
+                # max time, then max tiebreak (rid)
+                pick = max(cands, key=lambda c: (c[1], c[0])) if cands else None
+            else:
+                if cands:
+                    best = min(abs(rt - lt) for _, rt in cands)
+                    tied = [c for c in cands if abs(c[1] - lt) == best]
+                    back = [c for c in tied if c[1] <= lt]
+                    pool = back if back else tied
+                    # backward ties: max rid; forward ties: min rid
+                    pick = (
+                        max(pool, key=lambda c: c[0])
+                        if back
+                        else min(pool, key=lambda c: c[0])
+                    )
+                else:
+                    pick = None
+            out[lid] = pick[0] if pick else None
+        return out
+
+    ldf = spark.createDataFrame(left, "lid int, k int, t bigint")
+    rdf = spark.createDataFrame(right, "rid int, k int, t bigint")
+    for direction in ("backward", "nearest"):
+        got = {
+            r.lid: r.rid
+            for r in asof_join(
+                ldf.select("lid", "k", "t"),
+                rdf,
+                on="k",
+                left_time="t",
+                right_time="t",
+                payload=["rid"],
+                tiebreak=["rid"],
+                direction=direction,
+            ).collect()
+        }
+        assert got == model(direction), f"direction={direction} seed={seed}"

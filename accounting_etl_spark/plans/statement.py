@@ -48,8 +48,11 @@ def find_column_thresholds(words: DataFrame) -> DataFrame:
         F.col("x0").alias("h_x0"), F.col("x1").alias("h_x1"),
         F.col("top").alias("h_top"),
     )
+    # one 'Charges' word per page: broadcast — the non-equi pair
+    # predicate then runs as a broadcast hash join on (path,page)
+    # instead of sorting both sides
     pairs = c.join(
-        h,
+        F.broadcast(h),
         (F.col("path") == F.col("h_path"))
         & (F.col("page") == F.col("h_page"))
         & (F.abs(F.col("c_top") - F.col("h_top")) < 2)
@@ -77,7 +80,7 @@ def find_header_tops(words: DataFrame) -> DataFrame:
             F.col("top").alias("n_top"),
         )
         out = out.join(
-            near,
+            F.broadcast(near),  # one header word per page
             (F.col("path") == F.col("n_path"))
             & (F.col("page") == F.col("n_page"))
             & (F.abs(F.col("n_top") - F.col("top")) < 2),
@@ -95,9 +98,11 @@ def extract_transactions(words: DataFrame) -> DataFrame:
     """Full words → transactions plan (see module docstring)."""
     thresholds = find_column_thresholds(words)
     headers = find_header_tops(words)
+    # thresholds/headers carry ONE row per page — broadcast both so the
+    # full words relation never shuffles for these joins
     data_words = (
-        words.join(thresholds, ["path", "page"])
-        .join(headers, ["path", "page"])
+        words.join(F.broadcast(thresholds), ["path", "page"])
+        .join(F.broadcast(headers), ["path", "page"])
         .filter(F.col("top") > F.col("header_top") + HEADER_BUFFER)
         .drop("header_top", "bottom")
     )

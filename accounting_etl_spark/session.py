@@ -28,6 +28,10 @@ def get_spark(app_name: str = "accounting-etl-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter join pruning: inject a bloom filter from
+        # the selective side of a join into the probe-side scan — at
+        # 100 TB this prunes shuffle input the static optimizer can't
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", os.environ.get("SPARK_GRAFT_TZ", "UTC"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))

@@ -356,3 +356,34 @@ def test_asof_join_random_times_match_python_model(spark, seed):
             ).collect()
         }
         assert got == model(direction), f"direction={direction} seed={seed}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31))
+def test_range_self_join_matches_brute_force(spark, seed):
+    """Bucketized range self-join == brute-force O(n²) model on random
+    timelines, including bucket-boundary-straddling pairs."""
+    from accounting_etl_spark.operators.range_join import range_self_join
+
+    rng = random.Random(seed)
+    window = rng.choice([7, 10, 100])
+    rows = [
+        (rng.randint(1, 3), i, rng.randint(0, 40 * window))
+        for i in range(rng.randint(2, 40))
+    ]
+    expected = {
+        (ka, ia, ib, tb - ta)
+        for (ka, ia, ta) in rows
+        for (kb, ib, tb) in rows
+        if ka == kb and ia < ib and abs(tb - ta) <= window
+    }
+    df = spark.createDataFrame(rows, "k int, eid bigint, t bigint")
+    got = sorted(
+        (r.k, r.id_a, r.id_b, r.dt)
+        for r in range_self_join(
+            df, key="k", time_col="t", id_col="eid", window=window
+        ).collect()
+    )
+    # sorted-list compare: each true pair must appear EXACTLY once
+    # (the operator has no trailing distinct — duplicates would show)
+    assert got == sorted(expected), f"seed={seed} window={window}"

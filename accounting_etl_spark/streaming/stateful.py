@@ -53,3 +53,66 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EXPIRING_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_cents bigint, final boolean"
+)
+EXPIRING_STATE_SCHEMA = "n bigint, cents bigint, last_ms bigint"
+
+
+def expiring_session_totals(
+    events: DataFrame,
+    *,
+    gap_ms: int = 3600_000,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user totals whose state EXPIRES on event-time inactivity.
+
+    ``running_user_totals`` keeps a state row per key forever — fine
+    for a bounded key space, a leak at 100 TB. This variant sets an
+    event-time timeout ``gap_ms`` past each key's latest event; when
+    the watermark passes it, the state fires once as a closed summary
+    (``final=true``) and is REMOVED. Live batches emit refreshed open
+    summaries (``final=false``). Deterministic: expiry is driven by
+    the event-time watermark, not wall clock.
+    """
+
+    def fold(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, cents, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "total_cents": cents,
+                  "final": True}]
+            )
+            return
+        n, cents, last_ms = state.get if state.exists else (0, 0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            cents += int(pdf["value_cents"].sum())
+            last_ms = max(last_ms, int(pdf["ts_ms"].max()))
+        state.update((n, cents, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_cents": cents,
+              "final": False}]
+        )
+
+    prepared = events.withWatermark("ts", watermark).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        (F.unix_micros("ts") / 1000).cast("bigint").alias("ts_ms"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=EXPIRING_OUTPUT_SCHEMA,
+        stateStructType=EXPIRING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -52,3 +52,63 @@ def test_running_totals_converge_to_batch(spark):
         assert (final["total_cents"] == batch["total_cents"]).all()
     finally:
         q.stop()
+
+
+def test_expiring_state_emits_final_and_removes(spark, tmp_path):
+    """Event-time timeout: after the watermark passes a key's
+    inactivity gap, its state fires once as final=true and is removed
+    (bounded state — the 100 TB posture for per-key state)."""
+    import json as _json
+    import uuid
+
+    from accounting_etl_spark.streaming.stateful import expiring_session_totals
+
+    src = tmp_path / "ev_exp"
+    src.mkdir()
+    schema = "user_id bigint, ts timestamp, value double"
+
+    def land(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "ts": t, "value": v})
+                for u, t, v in rows
+            )
+        )
+
+    # epoch 1: user 1 active at 10:00
+    land("b1.json", [(1, "2026-08-10T10:00:00Z", 1.25),
+                     (1, "2026-08-10T10:05:00Z", 2.00)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = expiring_session_totals(
+        stream, gap_ms=3600_000, watermark="30 minutes"
+    )
+    name = f"exp_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_exp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows1 = spark.sql(f"SELECT * FROM {name}").collect()
+        open1 = [r for r in rows1 if r.user_id == 1 and not r.final]
+        assert open1 and open1[-1].n_events == 2
+        assert open1[-1].total_cents == 325
+        assert not [r for r in rows1 if r.final]
+        # epoch 2: user 2 at 20:00 — watermark advances to 19:30,
+        # far past user 1's timeout (11:05 + 1h)
+        land("b2.json", [(2, "2026-08-10T20:00:00Z", 5.00)])
+        q.processAllAvailable()
+        # one more empty-ish batch so the timeout pass runs if the
+        # engine deferred it
+        land("b3.json", [(2, "2026-08-10T20:10:00Z", 1.00)])
+        q.processAllAvailable()
+        rows2 = spark.sql(f"SELECT * FROM {name}").collect()
+        finals = [r for r in rows2 if r.final]
+        assert [(r.user_id, r.n_events, r.total_cents) for r in finals] == [
+            (1, 2, 325)
+        ]
+    finally:
+        q.stop()

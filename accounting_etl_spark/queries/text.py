@@ -35,18 +35,54 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic, unlike first-wins); ``fingerprint`` is the compact
     16-hex prefix id. At 100 TB this is the canonical single-pass
     dedup with a per-row keep/drop verdict.
+
+    ``winnow_fp`` adds the rolling-hash fingerprint set (winnowing,
+    Schleimer et al.): 3-gram hashes, sliding-window-of-4 minima,
+    deduplicated. The gram hash is the md5 hex prefix — fixed-width
+    hex orders lexicographically exactly like the number it encodes,
+    so window minima are bit-identical across engines with no integer
+    hash conversion.
     """
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("content_hash")
+    toks = F.split(F.trim(F.col("text")), " ")
+    grams = word_shingles(toks, 3)
+    ghash = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    # bind the gram-hash array as a projected column FIRST: the window
+    # minima reference it once per position, and an inlined expression
+    # would re-hash every gram per window (measured 17s -> 2s at
+    # sf0.01 from this binding alone)
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5(_norm_text()).alias("content_hash"),
+        ghash.alias("__gh"),
+    )
+    n_g = F.size("__gh")
+    win = 4
+    minima = F.when(
+        n_g >= win,
+        F.transform(
+            F.sequence(F.lit(1), n_g - win + 1),
+            lambda i: F.array_min(F.slice(F.col("__gh"), i, win)),
+        ),
+    ).otherwise(F.array(F.array_min("__gh")))
+    winnow = F.when(
+        n_g >= 1, F.concat_ws("|", F.sort_array(F.array_distinct(minima)))
+    ).otherwise(F.lit(""))
     return (
-        docs.select(
-            "doc_id", "source", F.md5(_norm_text()).alias("content_hash")
+        base.select(
+            "doc_id",
+            "source",
+            "content_hash",
+            winnow.alias("winnow_fp"),
         )
         .select(
             "doc_id",
             "source",
             "content_hash",
             F.substring("content_hash", 1, 16).alias("fingerprint"),
+            "winnow_fp",
             F.min("doc_id").over(w).alias("keep_id"),
             F.count(F.lit(1)).over(w).alias("n_copies"),
         )
@@ -57,15 +93,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_EXACT_SQL = """
 WITH h AS (
   SELECT doc_id, source,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+         string_split(trim(text), ' ') AS t
   FROM documents
+), g AS (
+  SELECT doc_id, source, content_hash,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(
+                     list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' ')),
+                     s -> substring(md5(s), 1, 16))
+              ELSE CAST([] AS VARCHAR[]) END AS gh
+  FROM h
+), m AS (
+  SELECT doc_id, source, content_hash, len(gh) AS n_g,
+         CASE WHEN len(gh) >= 4
+              THEN list_transform(range(1, len(gh) - 2),
+                                  i -> list_min(gh[i:i+3]))
+              WHEN len(gh) >= 1 THEN [list_min(gh)]
+              ELSE CAST([] AS VARCHAR[]) END AS minima
+  FROM g
 )
 SELECT doc_id, source, content_hash,
        substring(content_hash, 1, 16) AS fingerprint,
+       CASE WHEN n_g >= 1
+            THEN array_to_string(list_sort(list_distinct(minima)), '|')
+            ELSE '' END AS winnow_fp,
        min(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
        count(*) OVER (PARTITION BY content_hash) AS n_copies,
        doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
-FROM h
+FROM m
 """
 
 
@@ -79,6 +136,12 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stopword-ratio heuristic: share of {'the','a'} tokens; the
     quality score mixes length and uniqueness. All exact integer
     ratios so the doubles hash-match cross-engine.
+
+    The redaction battery synthesizes per-doc PII (an email and a
+    phone fragment derived from doc_id — same pattern as the
+    scalar battery's printf-money parse), then counts and masks it:
+    detection via ``regexp_extract_all`` length, masking via chained
+    replace-all — the pipeline a pre-training corpus scrubber runs.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)
@@ -108,17 +171,47 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("n_chars").cast("double") / 400, F.lit(1.0)) * 0.5
             + ws_uniq * 0.5
         ).alias("quality_score"),
+        F.size(
+            F.regexp_extract_all(_pii_text(), F.lit(_EMAIL_RE), 0)
+        ).cast("bigint").alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(_pii_text(), F.lit(_PHONE_RE), 0)
+        ).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(_pii_text(), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("pii_redacted"),
     )
 
 
-_TEXT_METRICS_SQL = """
+# RE2-compatible (no backrefs/lookaround) so Java regex and DuckDB
+# agree byte-for-byte
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-\d{4}\b"
+
+
+def _pii_text() -> Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+_TEXT_METRICS_SQL = f"""
 WITH t AS (
   SELECT doc_id, lang, n_chars,
          regexp_extract_all(text, '[A-Za-z0-9]+') AS toks,
-         string_split(trim(text), ' ') AS ws
+         string_split(trim(text), ' ') AS ws,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
   FROM documents
 ), s AS (
-  SELECT doc_id, lang, n_chars, toks,
+  SELECT doc_id, lang, n_chars, toks, pii,
          len(ws) AS n_ws,
          len(list_filter(ws, x -> x IN ('the', 'a'))) AS stops,
          len(list_distinct(ws)) AS ws_uniq
@@ -133,7 +226,11 @@ SELECT doc_id, lang, n_chars,
   CASE WHEN CAST(stops AS DOUBLE) / n_ws >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
   CAST(ws_uniq AS DOUBLE) / n_ws AS ws_uniq_ratio,
   least(CAST(n_chars AS DOUBLE) / 400, 1.0) * 0.5
-    + (CAST(ws_uniq AS DOUBLE) / n_ws) * 0.5 AS quality_score
+    + (CAST(ws_uniq AS DOUBLE) / n_ws) * 0.5 AS quality_score,
+  CAST(len(regexp_extract_all(pii, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(pii, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(pii, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g') AS pii_redacted
 FROM s
 """
 

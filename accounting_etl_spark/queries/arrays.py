@@ -49,7 +49,16 @@ FROM t
 
 def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise array math over embeddings: min/max/avg/norm-ish
-    stats with exact decimal folds (deterministic cross-engine)."""
+    stats with exact decimal folds (deterministic cross-engine), plus
+    symmetric int8 quantization (the storage-reduction step an
+    embedding store runs).
+
+    Quantization determinism: scale = max|x|/127 is one double
+    division; values round half-up via ``floor(x/scale + 0.5)`` (both
+    engines' ``round`` disagree on ties — floor doesn't); the verified
+    outputs (L1 mass, max code, saturation count) are pure integers,
+    so no float aggregation order can enter the hash.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     el = emb.select(
         "vec_id",
@@ -59,13 +68,35 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label",
         F.col("x").cast("double").cast("decimal(18,9)").alias("xd"),
     )
-    return el.groupBy("vec_id", "label").agg(
+    stats = el.groupBy("vec_id", "label").agg(
         F.min("xd").cast("double").alias("min_x"),
         F.max("xd").cast("double").alias("max_x"),
         (F.sum("xd").cast("double") / F.count("xd")).alias("mean_x"),
         F.sum(F.col("xd") * F.col("xd")).cast("double").alias("sq_norm"),
         F.count(F.when(F.col("xd") > 0, 1)).alias("n_pos"),
     )
+    vec = F.col("embedding").cast("array<double>")
+    maxabs = F.array_max(F.transform(vec, F.abs))
+    scale = maxabs / F.lit(127.0)
+    qarr = F.when(
+        maxabs > 0,
+        F.transform(vec, lambda x: F.floor(x / scale + 0.5).cast("int")),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0)))
+    # bind the quantized array before aggregating over it (the same
+    # projection-binding rule as the winnowing fingerprints)
+    qbase = emb.select("vec_id", scale.alias("q_scale"), qarr.alias("__q"))
+    quant = qbase.select(
+        "vec_id",
+        "q_scale",
+        F.aggregate(
+            "__q", F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+        F.array_max("__q").cast("int").alias("q_max"),
+        F.size(F.filter("__q", lambda x: F.abs(x) == 127))
+        .cast("bigint")
+        .alias("n_sat"),
+    )
+    return stats.join(quant, "vec_id")
 
 
 _VECTOR_SQL = """
@@ -73,14 +104,34 @@ WITH el AS (
   SELECT vec_id, label,
          CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS xd
   FROM embeddings
+), stats AS (
+  SELECT vec_id, label,
+    CAST(CAST(min(xd) AS VARCHAR) AS DOUBLE) AS min_x,
+    CAST(CAST(max(xd) AS VARCHAR) AS DOUBLE) AS max_x,
+    CAST(CAST(SUM(xd) AS VARCHAR) AS DOUBLE) / count(xd) AS mean_x,
+    CAST(CAST(SUM(xd * xd) AS VARCHAR) AS DOUBLE) AS sq_norm,
+    count(CASE WHEN xd > 0 THEN 1 END) AS n_pos
+  FROM el GROUP BY vec_id, label
+), v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), q AS (
+  SELECT vec_id,
+         list_max(list_transform(vd, x -> abs(x))) / 127.0 AS q_scale,
+         CASE WHEN list_max(list_transform(vd, x -> abs(x))) > 0
+              THEN list_transform(vd, x -> CAST(floor(
+                     x / (list_max(list_transform(vd, y -> abs(y))) / 127.0)
+                     + 0.5) AS INTEGER))
+              ELSE list_transform(vd, x -> 0) END AS qv
+  FROM v
 )
-SELECT vec_id, label,
-  CAST(CAST(min(xd) AS VARCHAR) AS DOUBLE) AS min_x,
-  CAST(CAST(max(xd) AS VARCHAR) AS DOUBLE) AS max_x,
-  CAST(CAST(SUM(xd) AS VARCHAR) AS DOUBLE) / count(xd) AS mean_x,
-  CAST(CAST(SUM(xd * xd) AS VARCHAR) AS DOUBLE) AS sq_norm,
-  count(CASE WHEN xd > 0 THEN 1 END) AS n_pos
-FROM el GROUP BY vec_id, label
+SELECT s.vec_id, s.label, s.min_x, s.max_x, s.mean_x, s.sq_norm, s.n_pos,
+       q.q_scale,
+       CAST(list_sum(list_transform(q.qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_max(q.qv) AS INTEGER) AS q_max,
+       CAST(len(list_filter(q.qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+FROM stats s JOIN q ON s.vec_id = q.vec_id
 """
 
 

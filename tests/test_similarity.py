@@ -63,3 +63,36 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, q_ann_ivf(spark, SF_SMOKE).collect()))
     b = sorted(map(tuple, q_ann_ivf(spark, SF_SMOKE).collect()))
     assert a == b
+
+
+def test_int8_quantization_reconstruction_bound(spark):
+    """Half-up int8 quantization: |x - q*scale| <= scale/2 for every
+    element, codes stay in [-127, 127], and q_max saturates on the
+    max-|x| element."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vec = F.col("embedding").cast("array<double>")
+    maxabs = F.array_max(F.transform(vec, F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.transform(vec, lambda x: F.floor(x / scale + 0.5).cast("int"))
+    base = emb.filter(maxabs > 0).select(
+        vec.alias("v"), scale.alias("s"), q.alias("q")
+    )
+    checked = base.select(
+        F.size(
+            F.filter(
+                F.zip_with(
+                    "v", "q", lambda x, c: F.abs(x - c * F.col("s"))
+                ),
+                lambda e: e > F.col("s") / 2 + 1e-12,
+            )
+        ).alias("n_bad"),
+        F.array_max(F.transform("q", F.abs)).alias("amax"),
+    )
+    agg = checked.agg(
+        F.sum("n_bad").alias("bad"), F.max("amax").alias("amax"),
+        F.min("amax").alias("amin"),
+    ).collect()[0]
+    assert agg.bad == 0
+    assert agg.amax == 127 and agg.amin == 127  # max element always saturates

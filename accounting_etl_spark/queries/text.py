@@ -142,6 +142,12 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar battery's printf-money parse), then counts and masks it:
     detection via ``regexp_extract_all`` length, masking via chained
     replace-all — the pipeline a pre-training corpus scrubber runs.
+
+    Sentiment (SURVEY §2.11): weighted-lexicon scoring. The lexicon is
+    tiny, so it inlines as a per-token CASE — the degenerate form of
+    the broadcast lexicon join (zero shuffle, map-only); a large
+    lexicon would broadcast-join the exploded tokens instead. Integer
+    weight sum / integer token count → one exact double division.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)
@@ -182,7 +188,42 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             _PHONE_RE,
             "<PHONE>",
         ).alias("pii_redacted"),
+        _sent_sum(ws).alias("sent_sum"),
+        _sent_matches(ws).alias("n_sent_tokens"),
+        (_sent_sum(ws).cast("double") / n_ws).alias("sentiment"),
+        F.when(_sent_sum(ws) > 0, F.lit("pos"))
+        .when(_sent_sum(ws) < 0, F.lit("neg"))
+        .otherwise(F.lit("neutral"))
+        .alias("sent_label"),
     )
+
+
+# weighted sentiment lexicon (SURVEY §2.11) — inlined as a CASE chain.
+# 'fast'/'slow' appear throughout the driver's synthetic corpus, so
+# the label distribution is non-degenerate at every SF.
+_SENT_LEXICON = {
+    "excellent": 2, "outstanding": 2,
+    "good": 1, "great": 1, "strong": 1, "gain": 1, "profit": 1, "fast": 1,
+    "bad": -1, "weak": -1, "loss": -1, "late": -1, "slow": -1,
+    "terrible": -2, "fraud": -2,
+}
+
+
+def _sent_weight(tok: Column) -> Column:
+    expr: Column = F.lit(0)
+    for word, wt in _SENT_LEXICON.items():
+        expr = F.when(F.lower(tok) == word, F.lit(wt)).otherwise(expr)
+    return expr
+
+
+def _sent_sum(ws: Column) -> Column:
+    return F.aggregate(
+        ws, F.lit(0).cast("bigint"), lambda acc, t: acc + _sent_weight(t)
+    )
+
+
+def _sent_matches(ws: Column) -> Column:
+    return F.size(F.filter(ws, lambda t: _sent_weight(t) != 0)).cast("bigint")
 
 
 # RE2-compatible (no backrefs/lookaround) so Java regex and DuckDB
@@ -201,6 +242,14 @@ def _pii_text() -> Column:
     )
 
 
+_SENT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lower(x) = '{w}' THEN {wt}" for w, wt in _SENT_LEXICON.items()
+    )
+    + " ELSE 0 END"
+)
+
 _TEXT_METRICS_SQL = f"""
 WITH t AS (
   SELECT doc_id, lang, n_chars,
@@ -214,7 +263,9 @@ WITH t AS (
   SELECT doc_id, lang, n_chars, toks, pii,
          len(ws) AS n_ws,
          len(list_filter(ws, x -> x IN ('the', 'a'))) AS stops,
-         len(list_distinct(ws)) AS ws_uniq
+         len(list_distinct(ws)) AS ws_uniq,
+         CAST(list_sum(list_transform(ws, x -> {_SENT_CASE})) AS BIGINT) AS sent_sum,
+         CAST(len(list_filter(ws, x -> ({_SENT_CASE}) != 0)) AS BIGINT) AS n_sent_tokens
   FROM t
 )
 SELECT doc_id, lang, n_chars,
@@ -230,7 +281,12 @@ SELECT doc_id, lang, n_chars,
   CAST(len(regexp_extract_all(pii, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
   CAST(len(regexp_extract_all(pii, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
   regexp_replace(regexp_replace(pii, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                 '{_PHONE_RE}', '<PHONE>', 'g') AS pii_redacted
+                 '{_PHONE_RE}', '<PHONE>', 'g') AS pii_redacted,
+  sent_sum,
+  n_sent_tokens,
+  CAST(sent_sum AS DOUBLE) / n_ws AS sentiment,
+  CASE WHEN sent_sum > 0 THEN 'pos' WHEN sent_sum < 0 THEN 'neg'
+       ELSE 'neutral' END AS sent_label
 FROM s
 """
 

@@ -592,6 +592,22 @@ def q_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("o_orderdate") + 1).cast("int").alias("isodow"),
         F.last_day("o_orderdate").cast("string").alias("month_end"),
         F.trunc("o_orderdate", "quarter").cast("string").alias("quarter_start"),
+        # null-semantics battery: NULLIF / null-safe equality /
+        # COALESCE chain — NULLs synthesized since the table has none
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_nullif"),
+        F.col("o_orderstatus")
+        .eqNullSafe(F.nullif(F.col("o_orderstatus"), F.lit("O")))
+        .alias("ns_eq"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")),
+            F.nullif(F.col("o_orderstatus"), F.lit("F")),
+            F.lit("both_null"),
+        ).alias("first_nonnull"),
+        # ANSI-safe casts: malformed input yields NULL, never an error
+        F.expr("TRY_CAST(o_orderpriority AS INT)").alias("bad_int"),
+        F.expr("TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT)").alias(
+            "prio_int"
+        ),
     )
 
 
@@ -618,7 +634,13 @@ SELECT o_orderkey,
   CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
   CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
   strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
-  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start
+  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+  NULLIF(o_orderstatus, 'O') AS status_nullif,
+  o_orderstatus IS NOT DISTINCT FROM NULLIF(o_orderstatus, 'O') AS ns_eq,
+  COALESCE(NULLIF(o_orderstatus, 'O'), NULLIF(o_orderstatus, 'F'),
+           'both_null') AS first_nonnull,
+  TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+  TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio_int
 FROM orders
 """
 

@@ -43,7 +43,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     so window minima are bit-identical across engines with no integer
     hash conversion.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # small-file scans arrive single-partition; the gram hashing is
+    # CPU-bound (no-op repartition once the corpus is many splits)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     w = Window.partitionBy("content_hash")
     toks = F.split(F.trim(F.col("text")), " ")
     grams = word_shingles(toks, 3)

@@ -114,24 +114,45 @@ def ann_topk(
         ).alias("tb"),
     ).select("nb_id", "nb_emb", "tb.tbl", "tb.bucket")
 
-    q_side = (
-        bucketed.join(
-            F.broadcast(query_ids.select(F.col(id_col).alias("nb_id"))),
-            "nb_id",
-        )
-        .select(
-            F.col("nb_id").alias("q_id"),
-            F.col("nb_emb").alias("q_emb"),
-            "tbl",
-            "bucket",
-        )
+    # query side joins the RAW corpus (broadcast semi-filter to |Q|
+    # rows) and buckets only those — deriving it from `bucketed` would
+    # compile the full-corpus sign-bit pass twice (same fix as the IVF
+    # probe side)
+    q_vecs = corpus.select(
+        F.col(id_col).alias("q_id"), vec.alias("q_emb")
+    ).join(
+        F.broadcast(query_ids.select(F.col(id_col).alias("q_id"))), "q_id"
     )
+    q_side = q_vecs.select(
+        "q_id",
+        "q_emb",
+        _sign_bits(F.col("q_emb"), flat_planes).alias("__qbits"),
+    ).select(
+        "q_id",
+        "q_emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.concat_ws(
+                            "",
+                            F.slice("__qbits", t * n_planes + 1, n_planes),
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("q_id", "q_emb", "tb.tbl", "tb.bucket")
+    # dedup on the id pair, not on the wide embedding payload — the
+    # shuffle hashes two longs instead of two 64-double arrays
     cands = (
         F.broadcast(q_side)
         .join(bucketed, ["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("nb_id"))
         .select("q_id", "q_emb", "nb_id", "nb_emb")
-        .distinct()
+        .dropDuplicates(["q_id", "nb_id"])
     )
     scored = cands.withColumn(
         "cosine", _cosine(F.col("q_emb"), F.col("nb_emb"))
@@ -242,7 +263,7 @@ def ivf_topk(
         .join(assigned, "cell")
         .filter(F.col("q_id") != F.col("nb_id"))
         .select("q_id", "q_emb", "nb_id", "nb_emb")
-        .distinct()
+        .dropDuplicates(["q_id", "nb_id"])
     )
     scored = cands.withColumn(
         "cosine", _cosine(F.col("q_emb"), F.col("nb_emb"))

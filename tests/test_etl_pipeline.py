@@ -64,3 +64,24 @@ def test_pipeline_without_dim_gives_null_codes(spark, tmp_path):
     pdf = out.toPandas()
     assert len(pdf) == 6  # stmt1 only
     assert pdf["G/L Account"].isna().all()
+
+
+def test_pipeline_runner_end_to_end(spark, tmp_path, monkeypatch):
+    """tools/run_pipeline.py — the reference's one-command flow
+    (main.py) against the engine: all four stages land outputs."""
+    import sys
+
+    from tools.run_pipeline import main
+
+    monkeypatch.setattr(
+        sys, "argv", ["run_pipeline.py", "--out", str(tmp_path / "out")]
+    )
+    assert main() == 0
+    out = tmp_path / "out"
+    assert (out / "coa_codes").exists()
+    assert (out / "transactions").exists()
+    assert (out / "enriched").exists()
+    # openpyxl absent here -> CSV fallback; either artifact counts
+    assert (out / "review_csv").exists() or (out / "review.xlsx").exists()
+    txns = spark.read.parquet(str(out / "transactions"))
+    assert txns.count() == 8

@@ -47,3 +47,75 @@ def merge_upsert(
         .select(*out_cols)
     )
     return kept.unionByName(refreshed).unionByName(new)
+
+
+def scd2_upsert(
+    dim: DataFrame,
+    updates: DataFrame,
+    *,
+    key: str,
+    set_cols: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+    batch_ts: str,
+) -> DataFrame:
+    """SCD Type-2 history-preserving upsert.
+
+    ``dim`` carries versioned rows (``valid_from``, ``valid_to`` NULL
+    while open, ``is_current``). Per update key:
+    - values CHANGED vs the current row → the current row closes
+      (valid_to = batch_ts, is_current = false) and a new current
+      version inserts;
+    - values identical (null-safe compare) → no-op, no spurious
+      version churn;
+    - new key → first version inserts.
+    History rows pass through untouched. Same single-shuffle posture
+    as :func:`merge_upsert` (every join keys on ``key``; pre-bucketing
+    the dim co-locates them all), and the same explicit ``batch_ts``
+    idempotency contract.
+    """
+    out_cols = [key, *set_cols, valid_from, valid_to, current_col]
+    hist = dim.filter(~F.col(current_col)).select(*out_cols)
+    cur = dim.filter(F.col(current_col))
+    u = updates.select(
+        key,
+        *[F.col(c).alias(f"__u_{c}") for c in set_cols],
+        F.lit(True).alias("__has_u"),
+    )
+    j = cur.join(u, key, "left")
+    same = F.lit(True)
+    for c in set_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    changed = F.coalesce(F.col("__has_u"), F.lit(False)) & ~same
+    kept_cur = j.filter(~changed).select(*out_cols)
+    closed = j.filter(changed).select(
+        key,
+        *set_cols,
+        valid_from,
+        F.lit(batch_ts).alias(valid_to),
+        F.lit(False).alias(current_col),
+    )
+    new_versions = j.filter(changed).select(
+        key,
+        *[F.col(f"__u_{c}").alias(c) for c in set_cols],
+        F.lit(batch_ts).alias(valid_from),
+        F.lit(None).cast("string").alias(valid_to),
+        F.lit(True).alias(current_col),
+    )
+    brand_new = (
+        updates.join(cur.select(key), key, "left_anti")
+        .select(
+            key,
+            *set_cols,
+            F.lit(batch_ts).alias(valid_from),
+            F.lit(None).cast("string").alias(valid_to),
+            F.lit(True).alias(current_col),
+        )
+    )
+    return (
+        hist.unionByName(kept_cur)
+        .unionByName(closed)
+        .unionByName(new_versions)
+        .unionByName(brand_new)
+    )

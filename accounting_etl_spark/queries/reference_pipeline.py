@@ -235,6 +235,73 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pre-existing closed version: exercises history passthrough
+_SCD2_HISTORY_ROW = (
+    "AMAZON MKTPL", "50000", "01", "712", "1001", "300",
+    "2024-01-01 00:00:00", "2025-01-01 00:00:00", False,
+)
+# AMAZON changes (new version), NEW VENDOR inserts, UNRELATED VENDOR is
+# byte-identical (no-op — no spurious version churn)
+_SCD2_UPDATE_ROWS = [
+    *_UPDATE_ROWS,
+    ("UNRELATED VENDOR", "50010", "01", "7", "1001", "300"),
+]
+_SCD2_DDL = (
+    "vendor string, gl_account string, location string, program string, "
+    "funder string, department string, valid_from string, valid_to string, "
+    "is_current boolean"
+)
+
+
+def q_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 extension: SCD Type-2 history-preserving upsert."""
+    from ..operators.upsert import scd2_upsert
+
+    dim = (
+        FX.vendor_df(spark)
+        .select(
+            "vendor",
+            *_DIM_COLS,
+            F.col("created_at").alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .unionByName(spark.createDataFrame([_SCD2_HISTORY_ROW], _SCD2_DDL))
+    )
+    updates = spark.createDataFrame(
+        _SCD2_UPDATE_ROWS,
+        "vendor string, gl_account string, location string, program string, "
+        "funder string, department string",
+    )
+    return scd2_upsert(
+        dim, updates, key="vendor", set_cols=_DIM_COLS, batch_ts=_BATCH_TS
+    )
+
+
+def q_upsert_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 + SCD2 MERGE semantics in one union-tagged entry (driver
+    cap). variant 'scd1': ts1/ts2 = created_at/updated_at; variant
+    'scd2': ts1/ts2 = valid_from/valid_to (NULL while open) with the
+    is_current flag."""
+    scd1 = q_merge_upsert(spark, sf_dir).select(
+        F.lit("scd1").alias("variant"),
+        "vendor",
+        *_DIM_COLS,
+        F.col("created_at").alias("ts1"),
+        F.col("updated_at").alias("ts2"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+    scd2 = q_scd2_upsert(spark, sf_dir).select(
+        F.lit("scd2").alias("variant"),
+        "vendor",
+        *_DIM_COLS,
+        F.col("valid_from").alias("ts1"),
+        F.col("valid_to").alias("ts2"),
+        "is_current",
+    )
+    return scd1.unionByName(scd2)
+
+
 _UPSERT_SQL = f"""
 WITH {FX.vendor_cte()},
 dim AS (SELECT *, created_at AS updated_at FROM vendor_dim),
@@ -255,6 +322,80 @@ kept AS (
   FROM updates u WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.vendor = u.vendor)
 )
 SELECT * FROM kept UNION ALL SELECT * FROM refreshed UNION ALL SELECT * FROM new
+"""
+
+_UPSERT_VARIANTS_SQL = f"""
+WITH {FX.vendor_cte()},
+dim AS (SELECT *, created_at AS updated_at FROM vendor_dim),
+updates(vendor, gl_account, location, program, funder, department) AS (VALUES
+    {FX.values_clause(_UPDATE_ROWS)}
+),
+kept AS (
+  SELECT vendor, gl_account, location, program, funder, department,
+         created_at, updated_at
+  FROM dim d WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.vendor = d.vendor)
+), refreshed AS (
+  SELECT u.vendor, u.gl_account, u.location, u.program, u.funder, u.department,
+         d.created_at, '{_BATCH_TS}' AS updated_at
+  FROM updates u JOIN dim d ON u.vendor = d.vendor
+), new AS (
+  SELECT u.vendor, u.gl_account, u.location, u.program, u.funder, u.department,
+         '{_BATCH_TS}' AS created_at, '{_BATCH_TS}' AS updated_at
+  FROM updates u WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.vendor = u.vendor)
+), scd1 AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM refreshed UNION ALL SELECT * FROM new
+),
+scd2_dim(vendor, gl_account, location, program, funder, department,
+         valid_from, valid_to, is_current) AS (
+  SELECT vendor, gl_account, location, program, funder, department,
+         created_at, CAST(NULL AS VARCHAR), TRUE
+  FROM vendor_dim
+  UNION ALL
+  VALUES {FX.values_clause([_SCD2_HISTORY_ROW])}
+),
+u2(vendor, gl_account, location, program, funder, department) AS (VALUES
+    {FX.values_clause(_SCD2_UPDATE_ROWS)}
+),
+cur AS (SELECT * FROM scd2_dim WHERE is_current),
+hist AS (SELECT * FROM scd2_dim WHERE NOT is_current),
+j AS (
+  SELECT c.*, u.gl_account AS u_gl, u.location AS u_loc, u.program AS u_prog,
+         u.funder AS u_fun, u.department AS u_dept,
+         u.vendor IS NOT NULL AS has_u
+  FROM cur c LEFT JOIN u2 u ON c.vendor = u.vendor
+), flag AS (
+  SELECT *, has_u AND NOT (
+      gl_account IS NOT DISTINCT FROM u_gl
+      AND location IS NOT DISTINCT FROM u_loc
+      AND program IS NOT DISTINCT FROM u_prog
+      AND funder IS NOT DISTINCT FROM u_fun
+      AND department IS NOT DISTINCT FROM u_dept) AS changed
+  FROM j
+), scd2 AS (
+  SELECT vendor, gl_account, location, program, funder, department,
+         valid_from, valid_to, is_current FROM hist
+  UNION ALL
+  SELECT vendor, gl_account, location, program, funder, department,
+         valid_from, valid_to, is_current FROM flag WHERE NOT changed
+  UNION ALL
+  SELECT vendor, gl_account, location, program, funder, department,
+         valid_from, '{_BATCH_TS}', FALSE FROM flag WHERE changed
+  UNION ALL
+  SELECT vendor, u_gl, u_loc, u_prog, u_fun, u_dept,
+         '{_BATCH_TS}', CAST(NULL AS VARCHAR), TRUE FROM flag WHERE changed
+  UNION ALL
+  SELECT u.vendor, u.gl_account, u.location, u.program, u.funder, u.department,
+         '{_BATCH_TS}', CAST(NULL AS VARCHAR), TRUE
+  FROM u2 u WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.vendor = u.vendor)
+)
+SELECT 'scd1' AS variant, vendor, gl_account, location, program, funder,
+       department, created_at AS ts1, updated_at AS ts2,
+       CAST(NULL AS BOOLEAN) AS is_current
+FROM scd1
+UNION ALL
+SELECT 'scd2' AS variant, vendor, gl_account, location, program, funder,
+       department, valid_from AS ts1, valid_to AS ts2, is_current
+FROM scd2
 """
 
 
@@ -285,6 +426,6 @@ QUERIES: dict[str, Q] = {
     "statement_pipeline": Q(q_statement_pipeline, _STATEMENT_SQL),
     "coa_codes": Q(q_coa_codes, _COA_SQL),
     "vendor_enrich": Q(q_vendor_enrich, _ENRICH_SQL),
-    "merge_upsert": Q(q_merge_upsert, _UPSERT_SQL),
+    "merge_upsert": Q(q_upsert_variants, _UPSERT_VARIANTS_SQL),
     "excel_projection": Q(q_excel_projection, _EXCEL_SQL),
 }

@@ -85,3 +85,29 @@ def test_pipeline_runner_end_to_end(spark, tmp_path, monkeypatch):
     assert (out / "review_csv").exists() or (out / "review.xlsx").exists()
     txns = spark.read.parquet(str(out / "transactions"))
     assert txns.count() == 8
+
+
+def test_scd2_upsert_idempotent_and_churn_free(spark):
+    """Re-applying the same update batch (same batch_ts) to the SCD2
+    output changes nothing: identical current rows are no-ops, so no
+    version churn on replay — the exactly-once contract."""
+    from accounting_etl_spark.operators.upsert import scd2_upsert
+    from accounting_etl_spark.queries.reference_pipeline import (
+        _BATCH_TS,
+        _DIM_COLS,
+        _SCD2_UPDATE_ROWS,
+        q_scd2_upsert,
+    )
+
+    once = q_scd2_upsert(spark, None)
+    updates = spark.createDataFrame(
+        _SCD2_UPDATE_ROWS,
+        "vendor string, gl_account string, location string, program string, "
+        "funder string, department string",
+    )
+    twice = scd2_upsert(
+        once, updates, key="vendor", set_cols=_DIM_COLS, batch_ts=_BATCH_TS
+    )
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b

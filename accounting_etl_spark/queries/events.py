@@ -244,6 +244,73 @@ QUERIES: dict[str, Q] = {
 }
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: users who viewed, then clicked within
+    48h of their first view, then purchased within 48h of that click (strict event-time ordering + conversion windows, exact
+    integer microseconds — unbounded funnels are degenerate on a
+    dense stream). Each stage is one filtered aggregate joined to the
+    previous stage's first-reach time — at scale all three joins
+    share the user_id shuffle key. Returns (variant, grp, n) rows for
+    the subquery_counts entry.
+    """
+    conv_us = 48 * 3600 * 1000000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + conv_us))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + conv_us))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+
+    def step(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("funnel").alias("variant"),
+            F.lit(name).alias("grp"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+
+    return (
+        step(s1, "1_view")
+        .unionByName(step(s2, "2_click"))
+        .unionByName(step(s3, "3_purchase"))
+    )
+
+
+_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+), s1 AS (
+  SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND us > t1 AND us <= t1 + 172800000000 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 172800000000 GROUP BY 1
+)
+SELECT 'funnel' AS variant, '1_view' AS grp, CAST(count(*) AS BIGINT) AS n FROM s1
+UNION ALL
+SELECT 'funnel' AS variant, '2_click' AS grp, CAST(count(*) AS BIGINT) AS n FROM s2
+UNION ALL
+SELECT 'funnel' AS variant, '3_purchase' AS grp, CAST(count(*) AS BIGINT) AS n FROM s3
+"""
+
+
 _RANGE_WINDOW_US = 30 * 60 * 1000000  # 30 minutes
 
 

@@ -257,10 +257,19 @@ def q_subquery_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("string").alias("grp"),
         F.col("n_customers").cast("bigint").alias("n"),
     )
-    return late.unionByName(not_in).unionByName(dist)
+    from .events import q_funnel_steps
+
+    return (
+        late.unionByName(not_in)
+        .unionByName(dist)
+        .unionByName(q_funnel_steps(spark, sf_dir))
+    )
 
 
-_SUBQUERY_COUNTS_SQL = f"""
+def _subquery_counts_sql() -> str:
+    from .events import _FUNNEL_SQL
+
+    return f"""
 SELECT 'late_exists' AS variant, o_orderpriority AS grp, CAST(n_late AS BIGINT) AS n
 FROM ({_LATE_SQL})
 UNION ALL
@@ -270,7 +279,12 @@ UNION ALL
 SELECT 'order_count_dist' AS variant, CAST(n_orders AS VARCHAR) AS grp,
        CAST(n_customers AS BIGINT) AS n
 FROM ({_DISTRIBUTION_SQL})
+UNION ALL
+SELECT variant, grp, n FROM ({_FUNNEL_SQL})
 """
+
+
+_SUBQUERY_COUNTS_SQL = _subquery_counts_sql()
 
 
 def q_trade_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:

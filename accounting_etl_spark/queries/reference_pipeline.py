@@ -302,28 +302,6 @@ def q_upsert_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd1.unionByName(scd2)
 
 
-_UPSERT_SQL = f"""
-WITH {FX.vendor_cte()},
-dim AS (SELECT *, created_at AS updated_at FROM vendor_dim),
-updates(vendor, gl_account, location, program, funder, department) AS (VALUES
-    {FX.values_clause(_UPDATE_ROWS)}
-),
-kept AS (
-  SELECT vendor, gl_account, location, program, funder, department,
-         created_at, updated_at
-  FROM dim d WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.vendor = d.vendor)
-), refreshed AS (
-  SELECT u.vendor, u.gl_account, u.location, u.program, u.funder, u.department,
-         d.created_at, '{_BATCH_TS}' AS updated_at
-  FROM updates u JOIN dim d ON u.vendor = d.vendor
-), new AS (
-  SELECT u.vendor, u.gl_account, u.location, u.program, u.funder, u.department,
-         '{_BATCH_TS}' AS created_at, '{_BATCH_TS}' AS updated_at
-  FROM updates u WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.vendor = u.vendor)
-)
-SELECT * FROM kept UNION ALL SELECT * FROM refreshed UNION ALL SELECT * FROM new
-"""
-
 _UPSERT_VARIANTS_SQL = f"""
 WITH {FX.vendor_cte()},
 dim AS (SELECT *, created_at AS updated_at FROM vendor_dim),

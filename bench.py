@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "stats_moments",
     "salted_agg",
     "trade_analytics",
+    "subquery_counts",
     "statement_pipeline",
     "vendor_enrich",
 ]

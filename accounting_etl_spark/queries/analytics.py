@@ -243,12 +243,51 @@ FROM s
 """
 
 
+_SAMPLE_RATES = {0: 0.2, 1: 0.4, 2: 0.6, 3: 0.8}
+
+
+def q_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling audit over documents: the
+    per-source-bucket keep quota a training-data pipeline applies.
+    Hash-based (functions/sampling.py) — reproducible across engines,
+    reruns, and partitionings, unlike df.sample()'s RNG. Reports per
+    stratum: rows kept (n), target rate (v1), total rows (v2),
+    achieved rate (v3 — exact integer division)."""
+    from ..functions.sampling import stratified_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    stratum = F.pmod(
+        F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(4)
+    )
+    keep = stratified_keep(stratum, F.col("doc_id"), _SAMPLE_RATES)
+    return (
+        docs.select(stratum.alias("stratum"), keep.alias("keep"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            F.lit("sample").alias("variant"),
+            F.col("stratum").cast("string").alias("grp"),
+            F.col("n_kept").cast("bigint").alias("n"),
+            F.element_at(
+                F.array(*[F.lit(v) for v in _SAMPLE_RATES.values()]),
+                F.col("stratum").cast("int") + 1,
+            ).alias("v1"),
+            F.col("n_total").cast("double").alias("v2"),
+            (F.col("n_kept").cast("double") / F.col("n_total")).alias("v3"),
+        )
+    )
+
+
 def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles + fixed-width histogram in one union-tagged
-    entry (driver cap: the correctness gate records at most 50
-    registry entries). variant 'pct': grp = order priority, v1/v2 =
-    exact median/p90. variant 'hist': grp = bucket id, v1/v2 = lo/hi,
-    v3 = bucket start."""
+    """Exact percentiles + fixed-width histogram + stratified-sample
+    audit in one union-tagged entry (driver cap: the correctness gate
+    records at most 50 registry entries). variant 'pct': grp = order
+    priority, v1/v2 = exact median/p90. variant 'hist': grp = bucket
+    id, v1/v2 = lo/hi, v3 = bucket start. variant 'sample': see
+    q_sample_stats."""
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -265,10 +304,20 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi").cast("double").alias("v2"),
         F.col("bucket_start").cast("double").alias("v3"),
     )
-    return pct.unionByName(hist)
+    return pct.unionByName(hist).unionByName(q_sample_stats(spark, sf_dir))
 
 
-_DIST_STATS_SQL = f"""
+def _dist_stats_sql() -> str:
+    from ..functions.sampling import rate_cutoff_hex
+
+    cutoff = " ".join(
+        f"WHEN {k} THEN '{rate_cutoff_hex(r)}'"
+        for k, r in _SAMPLE_RATES.items()
+    )
+    rate = " ".join(
+        f"WHEN {k} THEN CAST({r} AS DOUBLE)" for k, r in _SAMPLE_RATES.items()
+    )
+    return f"""
 SELECT 'pct' AS variant, o_orderpriority AS grp, CAST(n AS BIGINT) AS n,
        CAST(median_price AS DOUBLE) AS v1, CAST(p90_price AS DOUBLE) AS v2,
        CAST(NULL AS DOUBLE) AS v3
@@ -278,7 +327,31 @@ SELECT 'hist' AS variant, CAST(bucket AS VARCHAR) AS grp, CAST(n AS BIGINT) AS n
        CAST(lo AS DOUBLE) AS v1, CAST(hi AS DOUBLE) AS v2,
        CAST(bucket_start AS DOUBLE) AS v3
 FROM ({_HISTOGRAM_SQL})
+UNION ALL
+SELECT 'sample' AS variant, CAST(stratum AS VARCHAR) AS grp,
+       CAST(n_kept AS BIGINT) AS n,
+       CASE stratum {rate} END AS v1,
+       CAST(n_total AS DOUBLE) AS v2,
+       CAST(n_kept AS DOUBLE) / n_total AS v3
+FROM (
+  SELECT stratum,
+         count(CASE WHEN h < (CASE stratum {cutoff} END) THEN 1 END) AS n_kept,
+         count(*) AS n_total
+  FROM (
+    SELECT stratum,
+           substring(md5(CAST(stratum AS VARCHAR) || '#'
+                         || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+    FROM (
+      SELECT CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4
+                  AS INTEGER) AS stratum, doc_id
+      FROM documents
+    )
+  ) GROUP BY stratum
+)
 """
+
+
+_DIST_STATS_SQL = _dist_stats_sql()
 
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,24 @@ def tokens_ws(col: Column) -> Column:
     return F.split(F.trim(col), " ")
 
 
+def chunk_starts(tokens: Column, *, size: int, step: int) -> Column:
+    """1-based start offsets of sliding token chunks.
+
+    Regular starts every ``step`` tokens, plus the tail-covering start
+    (``n - size + 1``) so the final chunk always reaches the last
+    token; deduplicated and sorted. Short docs yield one start.
+    """
+    n = F.size(tokens)
+    last = F.greatest(n - F.lit(size), F.lit(0)) + 1
+    return F.sort_array(
+        F.array_distinct(
+            F.concat(
+                F.sequence(F.lit(1), last, F.lit(step)), F.array(last)
+            )
+        )
+    )
+
+
 def word_shingles(tokens: Column, k: int = 3) -> Column:
     """Word k-shingles as strings; empty array when the doc is short.
 

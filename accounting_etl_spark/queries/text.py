@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, word_shingles
+from ..functions.text import chunk_starts, normalize_text, word_shingles
 from ..sources.tables import load_table
 from . import Q
 
@@ -192,6 +192,9 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             _PHONE_RE,
             "<PHONE>",
         ).alias("pii_redacted"),
+        F.size(chunk_starts(ws, size=64, step=48)).cast("bigint").alias(
+            "n_chunks"
+        ),
         _sent_sum(ws).alias("sent_sum"),
         _sent_matches(ws).alias("n_sent_tokens"),
         (_sent_sum(ws).cast("double") / n_ws).alias("sentiment"),
@@ -286,6 +289,9 @@ SELECT doc_id, lang, n_chars,
   CAST(len(regexp_extract_all(pii, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
   regexp_replace(regexp_replace(pii, '{_EMAIL_RE}', '<EMAIL>', 'g'),
                  '{_PHONE_RE}', '<PHONE>', 'g') AS pii_redacted,
+  CAST(len(list_distinct(list_append(
+        range(1, greatest(n_ws - 64, 0) + 2, 48),
+        greatest(n_ws - 64, 0) + 1))) AS BIGINT) AS n_chunks,
   sent_sum,
   n_sent_tokens,
   CAST(sent_sum AS DOUBLE) / n_ws AS sentiment,

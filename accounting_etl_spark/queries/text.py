@@ -153,7 +153,11 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicon would broadcast-join the exploded tokens instead. Integer
     weight sum / integer token count → one exact double division.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # small-file scans arrive single-partition; the per-doc battery is
+    # CPU-bound (no-op repartition once the corpus is many splits)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)
     tok_lens = F.transform(toks, lambda t: F.length(t))
     sum_len = F.aggregate(tok_lens, F.lit(0), lambda acc, x: acc + x)

@@ -65,13 +65,15 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure the queries.
     qs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Each query runs twice and reports the faster pass: steady-state
-    # throughput, not whole-stage-codegen compilation (which is a
-    # per-plan one-time cost and dominates at these tiny local SFs).
+    # Each query runs three times and reports the fastest pass:
+    # steady-state throughput, not whole-stage-codegen compilation
+    # (a per-plan one-time cost that dominates at these tiny local
+    # SFs) and not scheduler jitter (fixture-bound plans vary ±50%
+    # between passes under load).
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

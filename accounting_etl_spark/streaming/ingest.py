@@ -111,21 +111,48 @@ def foreach_batch_upsert(
     dim. Idempotent per epoch (deterministic batch_ts from epoch id),
     the foreachBatch exactly-once pattern.
 
-    The merge output is written distributed-side to a NEW immutable
-    snapshot directory (``v-<epoch>``), then the ``_CURRENT`` pointer
-    is swapped atomically (tmp file + rename) — the dim never
-    round-trips through driver memory and a crash between write and
-    swap leaves the previous snapshot live (readers go through
-    ``read_dim``). Epoch replay rewrites the same snapshot dir and
-    repoints: idempotent. Old snapshots beyond ``keep_versions`` are
-    pruned after the swap. On a real cluster the same pattern runs on
-    the Hadoop FileSystem API (rename is atomic on HDFS) or is
+    The merge output is written distributed-side to a STAGING
+    directory (``v-<epoch>.staging``), renamed into the immutable
+    snapshot slot (``v-<epoch>``), then the ``_CURRENT`` pointer is
+    swapped atomically (tmp file + rename) — the dim never round-trips
+    through driver memory and a crash between write and swap leaves
+    the previous snapshot live (readers go through ``read_dim``).
+
+    foreachBatch is at-least-once, so the same epoch can replay after
+    a crash. Two guards make that safe:
+
+    * if ``_CURRENT`` already names ``v-<epoch>`` the epoch committed
+      fully before the streaming checkpoint did — the merge is
+      deterministic, so the replay returns early instead of reading
+      the snapshot it would be overwriting (self-overwrite is a Spark
+      error and a correctness hazard);
+    * otherwise the merge reads from the *previous* snapshot and
+      writes to the staging dir, never the directory being read, so a
+      replay that raced a partial prior attempt just rebuilds staging.
+
+    Old snapshots beyond ``keep_versions`` (and orphaned staging dirs)
+    are pruned after the swap. On a real cluster the same pattern runs
+    on the Hadoop FileSystem API (rename is atomic on HDFS) or is
     replaced wholesale by Delta ``MERGE INTO`` (operators/upsert.py
     docstring) — jars absent in this container.
     """
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
+            return
+        version = f"v-{epoch_id:08d}"
+        marker = _current_marker(dim_path)
+        try:
+            with open(marker) as f:
+                committed = f.read().strip()
+        except OSError:
+            committed = None
+        if committed == version:
+            # Replay of a fully-committed epoch (pointer swapped, but
+            # the streaming checkpoint commit never landed). The merge
+            # is deterministic per epoch — nothing to redo, and
+            # re-running would read dim_path/v-<epoch> while writing
+            # to it. No-op.
             return
         spark = batch.sparkSession
         ts = (
@@ -147,19 +174,26 @@ def foreach_batch_upsert(
             set_cols=set_cols,
             batch_ts=ts,
         )
-        version = f"v-{epoch_id:08d}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(dim_path, version)
-        )
-        marker = _current_marker(dim_path)
+        staging = os.path.join(dim_path, version + ".staging")
+        merged.write.mode("overwrite").parquet(staging)
+        final = os.path.join(dim_path, version)
+        shutil.rmtree(final, ignore_errors=True)  # partial prior attempt
+        os.replace(staging, final)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, marker)  # atomic pointer swap
         versions = sorted(
-            d for d in os.listdir(dim_path) if d.startswith("v-")
+            d
+            for d in os.listdir(dim_path)
+            if d.startswith("v-") and not d.endswith(".staging")
         )
         for stale in versions[:-keep_versions]:
             shutil.rmtree(os.path.join(dim_path, stale), ignore_errors=True)
+        for orphan in os.listdir(dim_path):
+            if orphan.endswith(".staging"):
+                shutil.rmtree(
+                    os.path.join(dim_path, orphan), ignore_errors=True
+                )
 
     return apply

@@ -356,3 +356,109 @@ def test_read_dim_survives_unswapped_snapshot(spark, tmp_path):
     empty = tmp_path / "dim_none"
     empty.mkdir()
     assert read_dim(spark, str(empty)) is None
+
+
+def test_upsert_replay_of_committed_epoch_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch whose
+    _CURRENT pointer already swapped (the streaming checkpoint commit
+    was lost) must return early — re-running would read the snapshot
+    it is about to overwrite (ADVICE r2 medium)."""
+    import os
+
+    from accounting_etl_spark.streaming.ingest import (
+        foreach_batch_upsert,
+        read_dim,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    os.makedirs(dim_path)
+    sink = foreach_batch_upsert(dim_path, key="k", set_cols=["v"])
+    b0 = spark.createDataFrame([("a", "1"), ("b", "2")], "k string, v string")
+    sink(b0, 0)
+    before = sorted(
+        (r.k, r.v) for r in read_dim(spark, dim_path).collect()
+    )
+    sink(b0, 0)  # replay: guard no-ops instead of self-overwriting
+    after = sorted((r.k, r.v) for r in read_dim(spark, dim_path).collect())
+    assert before == after == [("a", "1"), ("b", "2")]
+    # a replay that raced a crash BEFORE the pointer swap (partial
+    # snapshot dir exists, _CURRENT still points at the old version)
+    # rebuilds via staging and completes
+    partial = spark.createDataFrame([("junk", "x")], "k string, v string")
+    partial.write.parquet(os.path.join(dim_path, "v-00000001"))
+    b1 = spark.createDataFrame([("a", "9")], "k string, v string")
+    sink(b1, 1)
+    cur = {r.k: r.v for r in read_dim(spark, dim_path).collect()}
+    assert cur == {"a": "9", "b": "2"}
+    # no staging leftovers
+    assert not [d for d in os.listdir(dim_path) if d.endswith(".staging")]
+
+
+def test_stream_restart_recovers_exactly_once(spark, tmp_path):
+    """Kill/resume a checkpointed ingest query: drop the final
+    checkpoint commit (crash between sink commit and checkpoint
+    commit), restart, and assert the dim survives the forced epoch
+    replay unchanged, then keeps advancing on new data."""
+    import os
+
+    from accounting_etl_spark.streaming.ingest import (
+        foreach_batch_upsert,
+        read_dim,
+        read_landing_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    dim_path = str(tmp_path / "dim")
+    rec = {
+        "filename": "stmt_jan.pdf",
+        "subject": "Your credit card statement",
+        "sender": "bank@example.com",
+        "received_at": "2026-08-10T00:00:00Z",
+        "size_bytes": 1000,
+    }
+    (landing / "b1.json").write_text(json.dumps(rec))
+    sink = foreach_batch_upsert(
+        dim_path, key="filename", set_cols=["subject", "ingest_month"]
+    )
+
+    def run_once():
+        q = (
+            read_landing_stream(spark, str(landing))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    dim1 = sorted(
+        r.filename for r in read_dim(spark, dim_path).collect()
+    )
+    assert dim1 == ["stmt_jan.pdf"]
+
+    # simulate the crash window: the sink committed (pointer swapped)
+    # but the streaming commit log never landed -> on restart Spark
+    # REPLAYS the last epoch into foreachBatch
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if f.isdigit()
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    # the local ChecksumFs keeps a hidden .N.crc sibling; a real crash
+    # loses both, and leaving it makes the re-commit rename fail
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # new data arrives while "down"
+    rec2 = dict(rec, filename="stmt_feb.pdf", subject="statement feb")
+    (landing / "b2.json").write_text(json.dumps(rec2))
+
+    run_once()  # restart: replayed epoch no-ops, new epoch applies
+    dim2 = sorted(
+        r.filename for r in read_dim(spark, dim_path).collect()
+    )
+    assert dim2 == ["stmt_feb.pdf", "stmt_jan.pdf"]

@@ -22,6 +22,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litmatrix import lit_matrix
 from .topk import topk_per_group
 
 _SEED = 0x5EED
@@ -40,12 +41,9 @@ def _sign_bits(vec: Column, all_planes: list[list[float]]) -> Column:
     sign bits. A single shared expression tree: building a separate
     fold per plane quadruples whole-stage-codegen size and dominated
     wall time at local scale."""
-    planes_lit = F.array(
-        *[
-            F.array(*[F.lit(float(c)) for c in plane])
-            for plane in all_planes
-        ]
-    )
+    # one parsed expression — F.lit(nested_list) costs a py4j round
+    # trip per element (~1.5s of driver wall per plan build here)
+    planes_lit = lit_matrix(all_planes)
     return F.transform(
         planes_lit,
         lambda p: F.when(
@@ -210,28 +208,26 @@ def ivf_topk(
         .orderBy("id")
         .collect()
     )
-    cent_arrays = [
-        F.array(*[F.lit(float(x)) for x in r["c"]]) for r in cents
-    ]
+    # ONE nested literal centroid matrix shared by a single transform:
+    # emitting a separate F.aggregate subtree per cell (and using it on
+    # both the assign and probe sides) bloats whole-stage codegen by
+    # n_cells× — the same pattern already folded in _sign_bits and the
+    # simhash bit-count (operators/dedup.py).
+    cents_lit = lit_matrix([[float(x) for x in r["c"]] for r in cents])
 
     vec = F.col(vec_col).cast("array<double>")
 
-    def dots(v):
-        return [
-            F.aggregate(
-                F.zip_with(v, c, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda s, p: s + p,
-            )
-            for c in cent_arrays
-        ]
-
     def ranked_cells(v):
-        pairs = F.array(
-            *[
-                F.struct(d.alias("dot"), F.lit(i).alias("cell"))
-                for i, d in enumerate(dots(v))
-            ]
+        pairs = F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda s, p: s + p,
+                ).alias("dot"),
+                i.alias("cell"),
+            ),
         )
         return F.sort_array(pairs, asc=False)
 

@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass(frozen=True)
 class Q:
-    """A declared query: Spark implementation + optional DuckDB oracle."""
+    """A declared query: Spark implementation + optional DuckDB oracle.
+
+    ``variants`` names the sub-queries a union-tagged entry merges
+    (the driver-cap consolidation pattern). The driver only sees
+    ``fn``/``sql``; bench.py times each variant separately so merged
+    entries stay comparable across rounds (BENCH dotted sub-keys).
+    """
 
     fn: Callable[[SparkSession, str], DataFrame]
     sql: Optional[str] = None
+    variants: Optional[dict[str, Callable[[SparkSession, str], DataFrame]]] = None

@@ -238,9 +238,17 @@ FROM ({_ASOF_NEAREST_SQL})
 """
 
 QUERIES: dict[str, Q] = {
-    "event_windows": Q(q_event_windows, _EVENT_WINDOWS_SQL),
+    "event_windows": Q(
+        q_event_windows,
+        _EVENT_WINDOWS_SQL,
+        variants={"tumble10m": q_tumbling_window, "slide10m5m": q_sliding_window},
+    ),
     "json_props": Q(q_json_props, _JSON_SQL),
-    "asof_join": Q(q_asof_variants, _ASOF_VARIANTS_SQL),
+    "asof_join": Q(
+        q_asof_variants,
+        _ASOF_VARIANTS_SQL,
+        variants={"backward": q_asof_join, "nearest": q_asof_nearest},
+    ),
 }
 
 

@@ -96,5 +96,9 @@ def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Q] = {
     "multimodal_meta": Q(q_multimodal_meta, _META_SQL),
     "multimodal_features": Q(q_multimodal_features, None),
-    "near_dup_hash": Q(q_near_dup_hash, None),
+    "near_dup_hash": Q(
+        q_near_dup_hash,
+        None,
+        variants={"minhash": q_near_dup_minhash, "simhash": q_near_dup_simhash},
+    ),
 }

@@ -404,6 +404,10 @@ QUERIES: dict[str, Q] = {
     "statement_pipeline": Q(q_statement_pipeline, _STATEMENT_SQL),
     "coa_codes": Q(q_coa_codes, _COA_SQL),
     "vendor_enrich": Q(q_vendor_enrich, _ENRICH_SQL),
-    "merge_upsert": Q(q_upsert_variants, _UPSERT_VARIANTS_SQL),
+    "merge_upsert": Q(
+        q_upsert_variants,
+        _UPSERT_VARIANTS_SQL,
+        variants={"scd1": q_merge_upsert, "scd2": q_scd2_upsert},
+    ),
     "excel_projection": Q(q_excel_projection, _EXCEL_SQL),
 }

@@ -152,7 +152,7 @@ def q_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf)
 
 
-QUERIES["ann_variants"] = Q(q_ann_variants, None)
+# registered below, after q_ann_ivf is defined (variants reference it)
 
 
 _EMB_DD_LIMIT = 200
@@ -241,3 +241,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=_TOP_K)
 
 
+
+
+QUERIES["ann_variants"] = Q(
+    q_ann_variants, None, variants={"lsh": q_ann_topk, "ivf": q_ann_ivf}
+)

@@ -323,4 +323,11 @@ FROM ({_SESSION_NATIVE_SQL})
 """
 
 
-QUERIES["session_windows"] = Q(q_session_windows, _SESSION_WINDOWS_SQL)
+QUERIES["session_windows"] = Q(
+    q_session_windows,
+    _SESSION_WINDOWS_SQL,
+    variants={
+        "lag_cumsum": q_sessionize_events,
+        "native": q_session_window_native,
+    },
+)

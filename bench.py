@@ -70,15 +70,25 @@ def main() -> None:
     # (a per-plan one-time cost that dominates at these tiny local
     # SFs) and not scheduler jitter (fixture-bound plans vary ±50%
     # between passes under load).
+    def best_of(fn, runs: int = 3) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = best_of(qs[name].fn)
+    # the total counts only top-level entries (the driver-comparable
+    # set); dotted sub-keys time each union-tagged variant separately
+    # so merged entries stay comparable across rounds
     total = round(sum(timings.values()), 3)
+    for name in names:
+        if qs[name].variants:
+            for vname, vfn in qs[name].variants.items():
+                timings[f"{name}.{vname}"] = best_of(vfn, runs=2)
 
     print(
         json.dumps(

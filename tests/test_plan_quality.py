@@ -88,10 +88,16 @@ def test_ann_plans_bucketed_not_all_pairs(spark):
     from accounting_etl_spark.queries.similarity import q_ann_topk, q_ann_ivf
 
     for fn in (q_ann_topk, q_ann_ivf):
-        plan = _plan(fn(spark, SF_SMOKE))
+        df = fn(spark, SF_SMOKE)
+        plan = _plan(df)
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
         assert "BatchEvalPython" not in plan, fn.__name__
+        # codegen-bloat guard: the centroid/hyperplane dot products must
+        # ride ONE shared transform per side, not one aggregate subtree
+        # per cell/plane (n_cells=16 would show ~35 aggregates unfolded)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("aggregate(") <= 8, fn.__name__
 
 
 def test_range_join_two_exchanges_no_distinct(spark):

@@ -39,3 +39,60 @@ def ordered_id_pairs(
     return pair_structs(
         xs, lambda x, y: F.struct(x.alias(a), y.alias(b))
     )
+
+
+def explode_bucket_pairs(
+    df,
+    xs_col: str,
+    build: Callable[[Column, Column], Column],
+    max_bucket: int,
+    out: str = "p",
+):
+    """All ordered pairs of each row's SORTED array ``xs_col``, with
+    bounded per-row memory, as exploded ``out`` structs.
+
+    A hot bucket (boilerplate corpora degenerate exactly here) would
+    materialize O(n²) pair structs in ONE row under the naive
+    ``pair_structs`` expansion — executor OOM with no skew escape
+    (ADVICE r2). Instead the array is cut into ``max_bucket``-sized
+    contiguous chunks and the (chunk_i <= chunk_j) index pairs explode
+    into separate rows FIRST; each row then expands at most
+    ``max_bucket``² pairs array-locally (within-chunk ordered pairs on
+    the diagonal, full cross product off it — contiguous slices of a
+    sorted array make every cross pair already ordered). Join-free:
+    the pipeline keeps one scan, no extra exchange, and per-row memory
+    is O(max_bucket²) regardless of bucket size.
+    """
+    n = F.size(F.col(xs_col))
+    nc = F.ceil(n / F.lit(max_bucket)).cast("int")
+    idx = F.sequence(F.lit(0), nc - F.lit(1))
+    cpairs = F.flatten(
+        F.transform(
+            idx,
+            lambda ci: F.transform(
+                F.sequence(ci, nc - F.lit(1)),
+                lambda cj: F.struct(ci.alias("ci"), cj.alias("cj")),
+            ),
+        )
+    )
+    step1 = df.select(
+        F.col(xs_col).alias("__xs"), F.explode(cpairs).alias("__cp")
+    )
+    a = F.slice(
+        F.col("__xs"),
+        F.col("__cp.ci") * max_bucket + 1,
+        F.lit(max_bucket),
+    )
+    b = F.slice(
+        F.col("__xs"),
+        F.col("__cp.cj") * max_bucket + 1,
+        F.lit(max_bucket),
+    )
+    pairs = F.when(
+        F.col("__cp.ci") == F.col("__cp.cj"), pair_structs(a, build)
+    ).otherwise(
+        F.flatten(
+            F.transform(a, lambda x: F.transform(b, lambda y: build(x, y)))
+        )
+    )
+    return step1.select(F.explode(pairs).alias(out))

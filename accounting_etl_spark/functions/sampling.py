@@ -17,8 +17,17 @@ from pyspark.sql import functions as F
 
 
 def rate_cutoff_hex(rate: float) -> str:
-    """8-hex-digit cutoff: P(md5_prefix < cutoff) == rate."""
-    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+    """Cutoff string: P(md5_prefix < cutoff) == rate.
+
+    ``rate >= 1.0`` returns ``"g"`` — one past ``'f'`` in ASCII, so
+    every 8-hex-digit prefix (including ``"ffffffff"``) compares below
+    it and a full stratum really keeps ALL rows (capping at
+    ``16**8 - 1`` would silently drop rows hashing to exactly
+    ``ffffffff``).
+    """
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(rate * 16**8), 0), "08x")
 
 
 def sample_hash(stratum: Column, uid: Column) -> Column:

@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.pairs import ordered_id_pairs, pair_structs
+from ..functions.pairs import explode_bucket_pairs
+from ..functions.spread import spread
 from ..functions.text import tokens_ws, word_shingles
 
 
@@ -55,8 +56,16 @@ def minhash_candidates(
     k_shingle: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int = 256,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via banded MinHash."""
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash.
+
+    ``max_bucket`` bounds per-row pair expansion: oversized buckets
+    (boilerplate/near-identical corpora degenerate exactly here) are
+    cut into chunk-pair rows first, so no row ever materializes more
+    than max_bucket² pair structs (functions/pairs.py
+    explode_bucket_pairs — the executor-OOM skew escape).
+    """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
@@ -66,10 +75,10 @@ def minhash_candidates(
     # in codegen for large shingle sets). Each shingle string is hashed
     # ONCE to a 64-bit key; the hash family re-hashes that bigint with
     # the member index — no per-member string concat.
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    )  # small-file scans arrive single-partition; shingling is CPU-bound
-    sh = spread.select(
+    # small-file scans arrive single-partition and shingling is
+    # CPU-bound; spread() no-ops when the scan is already wide
+    wide = spread(df, id_col)
+    sh = wide.select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(tokens_ws(F.col(text_col)), k_shingle)).alias(
             "__sh"
@@ -110,7 +119,12 @@ def minhash_candidates(
         .filter(F.size("ids") >= 2)
     )
     return (
-        postings.select(F.explode(ordered_id_pairs("ids")).alias("p"))
+        explode_bucket_pairs(
+            postings,
+            "ids",
+            lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            max_bucket,
+        )
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
@@ -159,21 +173,23 @@ def simhash_candidates(
     text_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) with distance <= max_hamming.
 
     Pigeonhole banding: with 4 × 16-bit chunks, any pair within
     Hamming distance 3 shares at least one exact chunk, so the
     candidate join is an equi-join on (chunk_idx, chunk_value).
+    ``max_bucket`` bounds per-row pair expansion via chunk-pair rows
+    (same pairs, no single-row O(n²) blowup — see
+    minhash_candidates / functions/pairs.py).
     """
     width = 64 // chunks
     mask = (1 << width) - 1
-    # small-file scans arrive single-partition; the signature fold is
-    # CPU-bound (no-op repartition once the corpus is many splits)
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    )
-    sig = spread.select(
+    # small-file scans arrive single-partition and the signature fold
+    # is CPU-bound; spread() no-ops when the scan is already wide
+    wide = spread(df, id_col)
+    sig = wide.select(
         F.col(id_col).alias("__id"),
         simhash64(tokens_ws(F.col(text_col))).alias("__sim"),
     )
@@ -205,18 +221,19 @@ def simhash_candidates(
         )
         .filter(F.size("xs") >= 2)
     )
-    pair_arr = pair_structs(
-        "xs",
-        lambda x, y: F.struct(
-            x["__id"].alias("id_a"),
-            y["__id"].alias("id_b"),
-            F.bit_count(x["__sim"].bitwiseXOR(y["__sim"]))
-            .cast("int")
-            .alias("hamming"),
-        ),
-    )
     return (
-        postings.select(F.explode(pair_arr).alias("p"))
+        explode_bucket_pairs(
+            postings,
+            "xs",
+            lambda x, y: F.struct(
+                x["__id"].alias("id_a"),
+                y["__id"].alias("id_b"),
+                F.bit_count(x["__sim"].bitwiseXOR(y["__sim"]))
+                .cast("int")
+                .alias("hamming"),
+            ),
+            max_bucket,
+        )
         .filter(F.col("p.hamming") <= max_hamming)
         .groupBy(
             F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")

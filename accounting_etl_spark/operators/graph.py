@@ -34,12 +34,18 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Component label per node of the undirected graph in ``edges``.
 
     Returns (node, label) where label = min node id in the component.
     Nodes are exactly those appearing in an edge; callers union in
     isolated nodes themselves if they need them labeled.
+
+    If ``max_iter`` rounds pass without reaching fixpoint the labels
+    are NOT component ids — downstream dedup would silently keep
+    multiple survivors per true cluster. ``strict=True`` (default)
+    raises; ``strict=False`` warns and returns the truncated labels.
     """
     # one lazy executor-side materialization of the edge list: the
     # upstream pair generator (shingling, banding, ...) must run once,
@@ -56,6 +62,7 @@ def connected_components(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
+    changed = -1  # max_iter == 0: no round ran, nothing propagated
     for _ in range(max_iter):
         nbr = (
             adj.join(labels, adj["u"] == labels["node"])
@@ -73,4 +80,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — labels are NOT component "
+            "ids; raise max_iter (rounds are bounded by component diameter)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels

@@ -22,6 +22,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _one_row_per_key(
+    updates: DataFrame, key: str, set_cols: list[str]
+) -> DataFrame:
+    """Collapse duplicate keys inside one batch deterministically.
+
+    A batch carrying the same key twice would fan out the matched dim
+    row per duplicate — merge_upsert emits conflicting refreshed rows
+    and scd2_upsert corrupts its one-open-row-per-key invariant
+    (multiple simultaneous is_current versions). Winner = max over the
+    value struct: replay-stable regardless of input order or
+    partitioning (there is no reliable "last" in a distributed batch).
+    """
+    s = F.struct(*[F.col(c) for c in set_cols])
+    return (
+        updates.select(key, s.alias("__s"))
+        .groupBy(key)
+        .agg(F.max("__s").alias("__s"))
+        .select(key, *[F.col(f"__s.{c}").alias(c) for c in set_cols])
+    )
+
+
 def merge_upsert(
     dim: DataFrame,
     updates: DataFrame,
@@ -33,6 +54,7 @@ def merge_upsert(
     batch_ts: str,
 ) -> DataFrame:
     """Upsert ``updates`` into ``dim`` (SQLite upsert semantics)."""
+    updates = _one_row_per_key(updates, key, set_cols)
     out_cols = [key, *set_cols, created_col, updated_col]
     kept = dim.join(updates.select(key), key, "left_anti").select(*out_cols)
     refreshed = (
@@ -75,6 +97,7 @@ def scd2_upsert(
     the dim co-locates them all), and the same explicit ``batch_ts``
     idempotency contract.
     """
+    updates = _one_row_per_key(updates, key, set_cols)
     out_cols = [key, *set_cols, valid_from, valid_to, current_col]
     hist = dim.filter(~F.col(current_col)).select(*out_cols)
     cur = dim.filter(F.col(current_col))

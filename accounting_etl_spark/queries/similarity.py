@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.spread import spread
 from ..sources.tables import load_table
 from . import Q
 
@@ -34,9 +35,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # single-file scans arrive as one partition; spread the decimal
     # arithmetic across cores (no-op once the corpus is many splits)
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     el = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select("vec_id", "i", F.col("x").cast("decimal(18,9)").alias("xd"))
@@ -129,9 +128,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import ann_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id")
     return ann_topk(emb, queries, k=_TOP_K)
 
@@ -167,10 +164,11 @@ def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     of operators/similarity.py first). Same decimal-dot determinism
     contract as q_cosine_topk.
     """
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _EMB_DD_LIMIT)
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < _EMB_DD_LIMIT
+        ),
+        "vec_id",
     )
     el = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
@@ -234,9 +232,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe + exact rerank — operators/similarity.py)."""
     from ..operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id")
     return ivf_topk(emb, queries, k=_TOP_K)
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.spread import spread
 from ..functions.text import chunk_starts, normalize_text, word_shingles
 from ..sources.tables import load_table
 from . import Q
@@ -43,11 +44,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     so window minima are bit-identical across engines with no integer
     hash conversion.
     """
-    # small-file scans arrive single-partition; the gram hashing is
-    # CPU-bound (no-op repartition once the corpus is many splits)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # small-file scans arrive single-partition and the gram hashing is
+    # CPU-bound; spread() no-ops when the scan is already wide
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     w = Window.partitionBy("content_hash")
     toks = F.split(F.trim(F.col("text")), " ")
     grams = word_shingles(toks, 3)
@@ -153,11 +152,9 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicon would broadcast-join the exploded tokens instead. Integer
     weight sum / integer token count → one exact double division.
     """
-    # small-file scans arrive single-partition; the per-doc battery is
-    # CPU-bound (no-op repartition once the corpus is many splits)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # small-file scans arrive single-partition and the per-doc battery
+    # is CPU-bound; spread() no-ops when the scan is already wide
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)
     tok_lens = F.transform(toks, lambda t: F.length(t))
     sum_len = F.aggregate(tok_lens, F.lit(0), lambda acc, x: acc + x)
@@ -320,11 +317,9 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline; the MinHash-LSH scale path is operators/dedup.py.
     """
     # small-file scans arrive as ONE partition — spread the CPU-heavy
-    # shingling across cores before exploding (at 100 TB the scan is
-    # already many partitions and this repartition is a no-op to keep)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # shingling across cores before exploding (no-op once the scan is
+    # already many partitions)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.trim(F.col("text")), " ")
     sh = docs.select("doc_id", F.explode(word_shingles(toks)).alias("sh"))
     # One groupBy on the shingle replaces the per-doc distinct, the
@@ -416,9 +411,7 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf*N/df as one integer product and one double division, so both
     engines produce bit-identical scores.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
     )

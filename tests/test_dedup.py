@@ -97,6 +97,30 @@ def test_simhash_candidates_on_near_identical(spark):
         assert bin(sigs[a] ^ sigs[b]).count("1") == h
 
 
+def test_hot_bucket_overflow_path_same_pairs(spark):
+    """The max_bucket skew escape (ADVICE r2: a hot LSH bucket used to
+    expand O(n²) pair structs in ONE row) must produce exactly the
+    same candidate set as the array-local path."""
+    from accounting_etl_spark.operators.dedup import (
+        minhash_candidates,
+        simhash_candidates,
+    )
+    from accounting_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for fn, cols in (
+        (minhash_candidates, ("id_a", "id_b")),
+        (simhash_candidates, ("id_a", "id_b", "hamming")),
+    ):
+        local = fn(docs, id_col="doc_id", text_col="text", max_bucket=10**9)
+        # max_bucket=1 forces EVERY bucket through the join path
+        joined = fn(docs, id_col="doc_id", text_col="text", max_bucket=1)
+        a = {tuple(r[c] for c in cols) for r in local.collect()}
+        b = {tuple(r[c] for c in cols) for r in joined.collect()}
+        assert a == b, fn.__name__
+        assert a, f"{fn.__name__}: fixture produced no candidate pairs"
+
+
 def test_multimodal_features_deterministic_and_typed(spark):
     from accounting_etl_spark.operators.multimodal import (
         attach_payload,

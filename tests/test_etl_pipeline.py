@@ -111,3 +111,75 @@ def test_scd2_upsert_idempotent_and_churn_free(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_upserts_collapse_duplicate_keys_in_batch(spark):
+    """A batch carrying the same key twice must not fan out the dim
+    row (ADVICE r2: scd2 emitted multiple simultaneous open versions).
+    Winner is deterministic (max over the value struct)."""
+    from accounting_etl_spark.operators.upsert import (
+        merge_upsert,
+        scd2_upsert,
+    )
+
+    dim = spark.createDataFrame(
+        [("acme", "old", "2024-01-01", None, True)],
+        "k string, v string, valid_from string, valid_to string, "
+        "is_current boolean",
+    )
+    dup = spark.createDataFrame(
+        [("acme", "b"), ("acme", "a"), ("n", "x"), ("n", "y")],
+        "k string, v string",
+    )
+    out = scd2_upsert(
+        dim, dup, key="k", set_cols=["v"], batch_ts="2024-02-01"
+    )
+    cur = {r.k: r.v for r in out.filter("is_current").collect()}
+    assert cur == {"acme": "b", "n": "y"}  # max-wins, one open row/key
+    assert out.filter("is_current").count() == 2
+    assert out.filter("k = 'acme' and not is_current").count() == 1
+
+    dim1 = spark.createDataFrame(
+        [("acme", "old", "2024-01-01", "2024-01-01")],
+        "k string, v string, created_at string, updated_at string",
+    )
+    m = merge_upsert(
+        dim1, dup, key="k", set_cols=["v"], batch_ts="2024-02-01"
+    )
+    assert {(r.k, r.v) for r in m.collect()} == {("acme", "b"), ("n", "y")}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Truncated label propagation must not masquerade as clusters
+    (ADVICE r2): strict mode raises, strict=False warns."""
+    import warnings
+
+    import pytest
+
+    from accounting_etl_spark.operators.graph import connected_components
+
+    # a 6-node path needs ~5 rounds to propagate the min label
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = connected_components(edges, max_iter=1, strict=False)
+        assert labels.count() == 7
+        assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_rate_cutoff_full_stratum_keeps_max_hash(spark):
+    """rate >= 1.0 must keep rows hashing to exactly 'ffffffff'
+    (ADVICE r2: the 16**8-1 cap dropped them from a full stratum)."""
+    from accounting_etl_spark.functions.sampling import rate_cutoff_hex
+
+    assert "ffffffff" < rate_cutoff_hex(1.0)
+    assert "ffffffff" >= rate_cutoff_hex(1.0 - 2**-32)
+    assert rate_cutoff_hex(0.0) == "00000000"
+    row = spark.sql(
+        f"SELECT 'ffffffff' < '{rate_cutoff_hex(1.0)}' AS keep"
+    ).collect()[0]
+    assert row.keep is True

@@ -509,4 +509,113 @@ JOIN (SELECT label, count(*) AS cnt FROM lab GROUP BY label) s USING (label)
 """
 
 
-QUERIES["dedup_clusters"] = Q(q_dedup_clusters, _CLUSTERS_SQL)
+_CURATION_MIN_QUALITY = 0.45
+
+
+def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation plan (plans/curation.py): quality
+    gate → exact dedup → near-dup components, one keep/drop verdict
+    with an auditable reason per document."""
+    from ..plans.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return curate_corpus(docs, pairs, min_quality=_CURATION_MIN_QUALITY)
+
+
+def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labels + the composed curation verdict in one
+    union-tagged entry (driver cap: the correctness gate records at
+    most 50 registry entries). variant 'clusters' carries
+    (cluster_id, cluster_size, keep=is_survivor); variant 'curation'
+    carries (quality_score, keep, drop_reason) for EVERY document —
+    the flagship LLM-pipeline composition, oracle-checked end to end.
+    """
+    clusters = q_dedup_clusters(spark, sf_dir).select(
+        F.lit("clusters").alias("variant"),
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.col("is_survivor").alias("keep"),
+        F.lit(None).cast("double").alias("quality_score"),
+        F.lit(None).cast("string").alias("drop_reason"),
+    )
+    cur = q_curation_verdicts(spark, sf_dir).select(
+        F.lit("curation").alias("variant"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("cluster_id"),
+        F.lit(None).cast("bigint").alias("cluster_size"),
+        "keep",
+        F.col("quality_score").cast("double").alias("quality_score"),
+        "drop_reason",
+    )
+    return clusters.unionByName(cur)
+
+
+# quality score must be bit-identical to plans/curation.py: the same
+# double ops in the same order (least(n/400,1)*0.5 + uniq*0.5); both
+# engines compute IEEE binary64 with identical association.
+_CURATION_SQL = f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id,
+         least(CAST(n_chars AS DOUBLE) / 400, 1.0) * 0.5
+         + CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+           / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) * 0.5
+           AS quality_score,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+), keepid AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keep_id
+  FROM scored WHERE quality_score >= {_CURATION_MIN_QUALITY}
+), surv AS (
+  SELECT doc_id FROM keepid WHERE doc_id = keep_id
+), und AS (
+  SELECT doc_a AS u, doc_b AS v FROM ({_JACCARD_SQL})
+  WHERE doc_a IN (SELECT doc_id FROM surv)
+    AND doc_b IN (SELECT doc_id FROM surv)
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM ({_JACCARD_SQL})
+  WHERE doc_a IN (SELECT doc_id FROM surv)
+    AND doc_b IN (SELECT doc_id FROM surv)
+), reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u
+), lab AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS label FROM reach GROUP BY u
+), verdict AS (
+  SELECT s.doc_id, s.quality_score,
+         CASE WHEN s.quality_score < {_CURATION_MIN_QUALITY}
+                THEN 'low_quality'
+              WHEN s.doc_id != k.keep_id THEN 'exact_dup'
+              WHEN l.label IS NOT NULL AND s.doc_id != l.label
+                THEN 'near_dup'
+         END AS drop_reason
+  FROM scored s
+  LEFT JOIN keepid k ON s.doc_id = k.doc_id
+  LEFT JOIN lab l ON s.doc_id = l.node
+)
+SELECT doc_id, quality_score, drop_reason,
+       drop_reason IS NULL AS keep
+FROM verdict
+"""
+
+_CLUSTERS_MERGED_SQL = f"""
+SELECT 'clusters' AS variant, doc_id, cluster_id, cluster_size,
+       is_survivor AS keep,
+       CAST(NULL AS DOUBLE) AS quality_score,
+       CAST(NULL AS VARCHAR) AS drop_reason
+FROM ({_CLUSTERS_SQL})
+UNION ALL
+SELECT 'curation' AS variant, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(NULL AS BIGINT) AS cluster_id,
+       CAST(NULL AS BIGINT) AS cluster_size,
+       keep, quality_score, drop_reason
+FROM ({_CURATION_SQL})
+"""
+
+QUERIES["dedup_clusters"] = Q(
+    q_dedup_clusters_merged,
+    _CLUSTERS_MERGED_SQL,
+    variants={"clusters": q_dedup_clusters, "curation": q_curation_verdicts},
+)

@@ -1,6 +1,12 @@
 """Scale a testdata SF directory N× by key-offset replication.
 
-Usage: python tools/make_scale.py SRC_DIR DST_DIR N
+Usage: python tools/make_scale.py SRC_DIR DST_DIR N [--perturb]
+
+``--perturb`` tags every 3rd word of replica i>0 document texts with
+``_r{i}`` (and recomputes n_chars): replicas stop being near-dups of
+each other, so the near-dup/dedup queries scale over a mostly-UNIQUE
+corpus (the realistic shape) instead of N-sized duplicate groups
+whose pair output grows quadratically by construction.
 
 Each replica i adds ``i * STRIDE`` to every join/id key, so
 referential integrity (orders↔customer, lineitem↔orders/part/supplier,
@@ -41,6 +47,7 @@ COPY_ONCE = ["region", "nation"]
 
 def main() -> None:
     src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    perturb = "--perturb" in sys.argv[4:]
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_ONCE:
@@ -58,15 +65,32 @@ def main() -> None:
         ]
         selects = []
         for i in range(n):
-            proj = ", ".join(
-                f"CAST({c} + {i * STRIDE} AS {typ}) AS {c}"
-                if c in keys
+            def col_expr(c: str, typ: str) -> str:
+                if c in keys:
+                    return f"CAST({c} + {i * STRIDE} AS {typ}) AS {c}"
                 # the source stores events.ts as nanosecond int64
                 # (Spark reads it as bigint and converts itself);
                 # DuckDB would silently rewrite it as a us TIMESTAMP
-                else (f"epoch_ns({c}) AS {c}" if t == "events" and c == "ts" else c)
-                for c, typ in cols
-            )
+                if t == "events" and c == "ts":
+                    return f"epoch_ns({c}) AS {c}"
+                if perturb and t == "documents" and i > 0:
+                    if c == "text":
+                        return (
+                            "array_to_string(list_transform("
+                            "string_split(text, ' '), (w, j) -> "
+                            f"CASE WHEN j % 3 = 0 THEN w || '_r{i}' "
+                            "ELSE w END), ' ') AS text"
+                        )
+                    if c == "n_chars":
+                        return (
+                            "CAST(length(array_to_string(list_transform("
+                            "string_split(text, ' '), (w, j) -> "
+                            f"CASE WHEN j % 3 = 0 THEN w || '_r{i}' "
+                            "ELSE w END), ' ')) AS BIGINT) AS n_chars"
+                        )
+                return c
+
+            proj = ", ".join(col_expr(c, typ) for c, typ in cols)
             selects.append(f"SELECT {proj} FROM '{src}/{t}.parquet'")
         union = " UNION ALL ".join(selects)
         con.sql(

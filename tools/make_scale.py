@@ -71,7 +71,11 @@ def main() -> None:
                 # the source stores events.ts as nanosecond int64
                 # (Spark reads it as bigint and converts itself);
                 # DuckDB would silently rewrite it as a us TIMESTAMP
-                if t == "events" and c == "ts":
+                if (
+                    t == "events"
+                    and c == "ts"
+                    and typ.upper().startswith("TIMESTAMP")
+                ):
                     return f"epoch_ns({c}) AS {c}"
                 if perturb and t == "documents" and i > 0:
                     if c == "text":

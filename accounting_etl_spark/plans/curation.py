@@ -3,19 +3,22 @@
 One plan chains the data-quality stages this engine provides into a
 per-document keep/drop verdict with an auditable reason:
 
-1. quality gate — the deterministic quality score (queries/text.py
+1. benchmark decontamination (optional) — documents sharing a word
+   n-gram with the eval set are dropped (operators/decontam.py);
+2. quality gate — the deterministic quality score (queries/text.py
    semantics) must clear ``min_quality``;
-2. exact dedup — one survivor (min doc_id) per normalized content
+3. exact dedup — one survivor (min doc_id) per normalized content
    hash among quality survivors;
-3. near-dup dedup — connected components over exact-Jaccard pair
+4. near-dup dedup — connected components over exact-Jaccard pair
    edges (operators/graph.py); one survivor (cluster min) per
    component.
 
-Drop reasons are assigned in that order (a low-quality exact dup
-reports ``low_quality``). Every stage is the operator already used by
-the registry queries, so the composition inherits their scale
-posture: map-side hashing, posting-list pair generation, label
-propagation — no all-pairs stage, no driver data.
+Drop reasons are assigned in that order (a contaminated low-quality
+doc reports ``contaminated``; a low-quality exact dup reports
+``low_quality``). Every stage is the operator already used by the
+registry queries, so the composition inherits their scale posture:
+broadcast gram set, map-side hashing, posting-list pair generation,
+label propagation — no all-pairs stage, no driver data.
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text
+from ..operators.decontam import decontaminate
 from ..operators.graph import connected_components
 
 
@@ -32,12 +36,17 @@ def curate_corpus(
     near_dup_pairs: DataFrame,
     *,
     min_quality: float = 0.45,
+    eval_grams: DataFrame | None = None,
+    contam_ngram: int = 4,
 ) -> DataFrame:
     """Per-document curation verdict.
 
     ``docs`` needs (doc_id, text, n_chars); ``near_dup_pairs`` is an
     edge list (doc_a, doc_b) from any candidate generator (exact
     Jaccard, MinHash-LSH, SimHash — caller's recall/precision trade).
+    ``eval_grams`` (optional) is a benchmark gram-hash set from
+    :func:`..operators.decontam.eval_ngrams`; when given, documents
+    overlapping it drop first with reason ``contaminated``.
     Returns (doc_id, quality_score, keep, drop_reason).
     """
     ws = F.split(F.trim(F.col("text")), " ")
@@ -51,7 +60,18 @@ def curate_corpus(
         quality.alias("quality_score"),
         F.md5(normalize_text(F.col("text"))).alias("__hash"),
     )
-    passing = scored.filter(F.col("quality_score") >= min_quality)
+    if eval_grams is not None:
+        contam = decontaminate(docs, eval_grams, n=contam_ngram).select(
+            "doc_id", "is_contaminated"
+        )
+        scored = scored.join(contam, "doc_id", "left").withColumn(
+            "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
+        )
+    else:
+        scored = scored.withColumn("is_contaminated", F.lit(False))
+    passing = scored.filter(
+        (F.col("quality_score") >= min_quality) & ~F.col("is_contaminated")
+    )
     w = Window.partitionBy("__hash")
     exact = passing.withColumn("__keep_id", F.min("doc_id").over(w))
     exact_survivors = exact.filter(F.col("doc_id") == F.col("__keep_id"))
@@ -77,7 +97,8 @@ def curate_corpus(
         .select(
             "doc_id",
             "quality_score",
-            F.when(F.col("quality_score") < min_quality, "low_quality")
+            F.when(F.col("is_contaminated"), "contaminated")
+            .when(F.col("quality_score") < min_quality, "low_quality")
             .when(F.col("doc_id") != F.col("__keep_id"), "exact_dup")
             .when(
                 F.col("__cluster").isNotNull()

@@ -510,17 +510,36 @@ JOIN (SELECT label, count(*) AS cnt FROM lab GROUP BY label) s USING (label)
 
 
 _CURATION_MIN_QUALITY = 0.45
+# benchmark set = every 97th document; 4-grams give a non-degenerate
+# contamination rate on the synthetic corpus (8/500 docs at sf0.01,
+# ~15% at sf0.1 — 7-grams match nothing, 3-grams flag a third)
+_CURATION_EVAL_MOD = 97
+_CURATION_NGRAM = 4
 
 
 def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed corpus-curation plan (plans/curation.py): quality
-    gate → exact dedup → near-dup components, one keep/drop verdict
-    with an auditable reason per document."""
+    """The composed corpus-curation plan (plans/curation.py):
+    benchmark decontamination → quality gate → exact dedup → near-dup
+    components, one keep/drop verdict with an auditable reason per
+    document. The eval set is the ``doc_id % 97`` subset standing in
+    for an external benchmark corpus; its gram set is broadcast
+    (operators/decontam.py)."""
+    from ..operators.decontam import eval_ngrams
     from ..plans.curation import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return curate_corpus(docs, pairs, min_quality=_CURATION_MIN_QUALITY)
+    ev = eval_ngrams(
+        docs.filter(F.col("doc_id") % _CURATION_EVAL_MOD == 0),
+        n=_CURATION_NGRAM,
+    )
+    return curate_corpus(
+        docs,
+        pairs,
+        min_quality=_CURATION_MIN_QUALITY,
+        eval_grams=ev,
+        contam_ngram=_CURATION_NGRAM,
+    )
 
 
 def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,9 +583,24 @@ WITH RECURSIVE scored AS (
            AS quality_score,
          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
   FROM documents
+), doc_grams AS (
+  SELECT DISTINCT doc_id, substring(md5(gram), 1, 16) AS gh FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(ws) - {_CURATION_NGRAM - 2}),
+             i -> array_to_string(ws[i:i + {_CURATION_NGRAM - 1}], ' ')
+           )) AS gram
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws
+          FROM documents)
+  )
+), contam AS (
+  SELECT DISTINCT g.doc_id FROM doc_grams g
+  JOIN (SELECT DISTINCT gh FROM doc_grams
+        WHERE doc_id % {_CURATION_EVAL_MOD} = 0) ev USING (gh)
 ), keepid AS (
   SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keep_id
   FROM scored WHERE quality_score >= {_CURATION_MIN_QUALITY}
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
 ), surv AS (
   SELECT doc_id FROM keepid WHERE doc_id = keep_id
 ), und AS (
@@ -585,7 +619,9 @@ WITH RECURSIVE scored AS (
   SELECT u AS node, LEAST(u, MIN(v)) AS label FROM reach GROUP BY u
 ), verdict AS (
   SELECT s.doc_id, s.quality_score,
-         CASE WHEN s.quality_score < {_CURATION_MIN_QUALITY}
+         CASE WHEN s.doc_id IN (SELECT doc_id FROM contam)
+                THEN 'contaminated'
+              WHEN s.quality_score < {_CURATION_MIN_QUALITY}
                 THEN 'low_quality'
               WHEN s.doc_id != k.keep_id THEN 'exact_dup'
               WHEN l.label IS NOT NULL AND s.doc_id != l.label

@@ -50,3 +50,73 @@ def test_curation_deterministic(spark):
     _, _, v1 = _setup(spark)
     _, _, v2 = _setup(spark)
     assert v1.sort_index().equals(v2.sort_index())
+
+
+def test_decontaminate_flags_gram_overlap(spark):
+    """A doc sharing a 4-gram with the eval set is contaminated; a doc
+    with no shared gram (or fewer than 4 tokens) is not."""
+    from accounting_etl_spark.operators.decontam import (
+        decontaminate,
+        eval_ngrams,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox run off"),  # shared 4-gram
+            (2, "quick brown fox and other words entirely"),  # only 3
+            (3, "fox quick the brown"),  # right words, wrong order
+            (4, "quick brown fox"),  # < 4 tokens: no grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = decontaminate(docs, eval_ngrams(ev, n=4), n=4)
+    got = {r.doc_id: (r.n_contam_grams, r.is_contaminated)
+           for r in out.collect()}
+    assert got == {1: (1, True), 2: (0, False), 3: (0, False),
+                   4: (0, False)}
+
+
+def test_curation_contaminated_outranks_other_reasons(spark):
+    """A contaminated doc reports 'contaminated' even when it is also
+    low-quality or an exact dup, and contaminated docs never win a
+    dedup survivorship slot."""
+    from accounting_etl_spark.operators.decontam import eval_ngrams
+    from accounting_etl_spark.plans.curation import curate_corpus
+
+    long_tail = " ".join(f"w{i}" for i in range(80))
+    dup = "alpha beta gamma delta " + long_tail
+    docs = spark.createDataFrame(
+        [
+            # identical contaminated texts: doc 1 would be the exact-dup
+            # survivor and doc 2 the exact_dup — both must report
+            # 'contaminated' instead (stage order), and neither may
+            # occupy a survivorship slot
+            (1, dup, len(dup)),
+            (2, dup, len(dup)),
+            (3, "alpha alpha alpha alpha alpha", 29),  # clean, low quality
+            (4, "unique clean words only here " + long_tail,
+             30 + len(long_tail)),
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    v = {
+        r.doc_id: r
+        for r in curate_corpus(
+            docs, pairs, min_quality=0.45,
+            eval_grams=eval_ngrams(ev, n=4), contam_ngram=4,
+        ).collect()
+    }
+    assert v[1].drop_reason == "contaminated"
+    assert v[2].drop_reason == "contaminated"
+    # doc 3 shares no 4-gram with the eval set (only 'alpha' repeats),
+    # so it falls through to the quality gate
+    assert v[3].drop_reason == "low_quality"
+    assert v[4].keep and v[4].drop_reason is None

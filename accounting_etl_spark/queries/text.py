@@ -151,6 +151,15 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast lexicon join (zero shuffle, map-only); a large
     lexicon would broadcast-join the exploded tokens instead. Integer
     weight sum / integer token count → one exact double division.
+
+    Repetition signals (Gopher-style quality filters, Rae et al.):
+    ``top_2gram_frac`` = chars covered by the most frequent word
+    2-gram / n_chars (ties break to the lexicographically greatest
+    gram — struct max, identical ordering in both engines);
+    ``dup_5gram_frac`` = fraction of 5-grams that are repeats. The
+    gram arrays and the count-struct max are bound as projected
+    columns first (the dedup_exact 17s→2s lesson) so codegen
+    evaluates each once per row.
     """
     # small-file scans arrive single-partition and the per-doc battery
     # is CPU-bound; spread() no-ops when the scan is already wide
@@ -163,6 +172,25 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops = F.size(F.filter(ws, lambda t: t.isin("the", "a")))
     en_ratio = stops.cast("double") / n_ws
     ws_uniq = F.size(F.array_distinct(ws)).cast("double") / n_ws
+    docs = docs.select(
+        "*",
+        word_shingles(ws, 2).alias("__g2"),
+        word_shingles(ws, 5).alias("__g5"),
+    ).select(
+        "*",
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("__g2")),
+                lambda g: F.struct(
+                    F.size(
+                        F.filter(F.col("__g2"), lambda x: x == g)
+                    ).alias("cnt"),
+                    g.alias("gram"),
+                ),
+            )
+        ).alias("__top2"),
+    )
+    n2, n5 = F.size("__g2"), F.size("__g5")
     return docs.select(
         "doc_id",
         "lang",
@@ -203,6 +231,22 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(_sent_sum(ws) < 0, F.lit("neg"))
         .otherwise(F.lit("neutral"))
         .alias("sent_label"),
+        F.when(n2 > 0, F.col("__top2")["gram"]).alias("top_2gram"),
+        F.when(
+            (n2 > 0) & (F.col("n_chars") > 0),
+            (
+                F.col("__top2")["cnt"] * F.length(F.col("__top2")["gram"])
+            ).cast("double")
+            / F.col("n_chars"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac"),
+        F.when(
+            n5 > 0,
+            (n5 - F.size(F.array_distinct("__g5"))).cast("double") / n5,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_5gram_frac"),
     )
 
 
@@ -263,15 +307,24 @@ WITH t AS (
   SELECT doc_id, lang, n_chars,
          regexp_extract_all(text, '[A-Za-z0-9]+') AS toks,
          string_split(trim(text), ' ') AS ws,
+         list_transform(range(1, len(string_split(trim(text), ' '))),
+           i -> array_to_string(string_split(trim(text), ' ')[i:i+1], ' ')
+         ) AS g2,
+         list_transform(range(1, len(string_split(trim(text), ' ')) - 3),
+           i -> array_to_string(string_split(trim(text), ' ')[i:i+4], ' ')
+         ) AS g5,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
               || '@example.com or 555-'
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
   FROM documents
 ), s AS (
-  SELECT doc_id, lang, n_chars, toks, pii,
+  SELECT doc_id, lang, n_chars, toks, pii, g2, g5,
          len(ws) AS n_ws,
          len(list_filter(ws, x -> x IN ('the', 'a'))) AS stops,
          len(list_distinct(ws)) AS ws_uniq,
+         list_max(list_transform(list_distinct(g2),
+           g -> {{'cnt': len(list_filter(g2, x -> x = g)), 'gram': g}}
+         )) AS top2,
          CAST(list_sum(list_transform(ws, x -> {_SENT_CASE})) AS BIGINT) AS sent_sum,
          CAST(len(list_filter(ws, x -> ({_SENT_CASE}) != 0)) AS BIGINT) AS n_sent_tokens
   FROM t
@@ -297,7 +350,15 @@ SELECT doc_id, lang, n_chars,
   n_sent_tokens,
   CAST(sent_sum AS DOUBLE) / n_ws AS sentiment,
   CASE WHEN sent_sum > 0 THEN 'pos' WHEN sent_sum < 0 THEN 'neg'
-       ELSE 'neutral' END AS sent_label
+       ELSE 'neutral' END AS sent_label,
+  CASE WHEN len(g2) > 0 THEN struct_extract(top2, 'gram') END AS top_2gram,
+  CASE WHEN len(g2) > 0 AND n_chars > 0
+       THEN CAST(struct_extract(top2, 'cnt')
+                 * length(struct_extract(top2, 'gram')) AS DOUBLE) / n_chars
+       ELSE 0.0 END AS top_2gram_frac,
+  CASE WHEN len(g5) > 0
+       THEN CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5)
+       ELSE 0.0 END AS dup_5gram_frac
 FROM s
 """
 

@@ -1,0 +1,122 @@
+"""Sequence packing — the pretraining "concat and chunk" stage.
+
+Training pipelines concatenate the token streams of all documents in
+a fixed order and slice the result into fixed-length training
+sequences; each document therefore lands at a deterministic offset of
+a deterministic sequence. Computing that assignment for every
+document needs one global running sum of token counts — the classic
+distributed prefix-sum (scan) problem.
+
+``prefix_sum`` is the scale-first form: Spark's bare
+``Window.orderBy`` collapses everything into ONE task (fine in DuckDB
+oracle SQL, fatal at 100 TB), so instead it
+
+1. range-repartitions by the order column (partition p holds an
+   ordered slice; all keys in p precede all keys in p+1),
+2. captures ``spark_partition_id()`` while the layout is live,
+3. cumsums *within* each partition id (window keyed by pid — each
+   group is one partition's rows, bounded by partition size),
+4. computes each partition's total, prefix-sums the N-row totals in a
+   single tiny task, and broadcast-joins the resulting offsets back.
+
+Everything stays JVM-side; the only data-sized shuffles are the range
+repartition and the pid-window sort. The N-row offsets table is the
+degenerate small side (one row per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_sum(
+    df: DataFrame,
+    *,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` in ``order_col`` order,
+    computed with bounded per-task state (no single-partition window).
+
+    ``order_col`` must be a total order (unique keys) for the result
+    to be well-defined.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, order_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_local = ranged.withColumn(
+        "__local_cum", F.sum(value_col).over(local)
+    )
+    totals = ranged.groupBy("__pid").agg(
+        F.sum(value_col).alias("__total")
+    )
+    # N rows (one per partition): the single-task window here is the
+    # point of the algorithm, not a scale bug
+    off_w = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "__pid",
+        (F.sum("__total").over(off_w) - F.col("__total")).alias("__offset"),
+    )
+    return (
+        with_local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
+        .drop("__pid", "__local_cum")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    seq_len: int,
+    order_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document its training-sequence coordinates.
+
+    Documents are concatenated in ``order_col`` order and the token
+    stream is cut every ``seq_len`` tokens. Adds:
+
+    - ``cum_tokens`` — inclusive running token total;
+    - ``seq_id`` — sequence holding the document's FIRST token;
+    - ``seq_offset`` — 0-based token offset within that sequence;
+    - ``end_seq_id`` — sequence holding the document's LAST token;
+    - ``spans_boundary`` — document crosses a sequence cut.
+
+    All integer arithmetic (``div``, not double ``floor`` — exact past
+    2^53 tokens) — bit-identical to the oracle's window SQL.
+    """
+    out = prefix_sum(
+        df,
+        order_col=order_col,
+        value_col=size_col,
+        out_col="cum_tokens",
+        num_partitions=num_partitions,
+    )
+    # exclusive prefix = first-token position (0-based)
+    out = out.withColumn(
+        "__start", F.col("cum_tokens") - F.col(size_col)
+    )
+    return (
+        out.withColumn("seq_id", F.expr(f"__start div {seq_len}"))
+        .withColumn("seq_offset", F.expr(f"__start % {seq_len}"))
+        .withColumn(
+            "end_seq_id",
+            F.when(
+                F.col(size_col) > 0,
+                F.expr(f"(cum_tokens - 1) div {seq_len}"),
+            ).otherwise(F.expr(f"__start div {seq_len}")),
+        )
+        .withColumn("spans_boundary", F.col("seq_id") != F.col("end_seq_id"))
+        .drop("__start")
+    )

@@ -281,13 +281,54 @@ def q_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SEQ_LEN = 512
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing audit: documents concatenated in doc_id
+    order and cut into 512-token training sequences via the
+    distributed prefix-sum (operators/packing.py — no single-task
+    global window). Reports per sequence: docs starting there (n),
+    their token total (v1), how many cross the cut (v2), fill ratio
+    vs seq_len (v3). The rollup is oracle-checked against DuckDB's
+    window cumsum, so the two-phase scan's exact cumulative totals
+    are what the hash pins."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    packed = pack_sequences(sized, seq_len=_PACK_SEQ_LEN)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tok"),
+            F.count(F.when(F.col("spans_boundary"), 1)).alias("n_span"),
+        )
+        .select(
+            F.lit("pack").alias("variant"),
+            F.col("seq_id").cast("string").alias("grp"),
+            F.col("n_docs").cast("bigint").alias("n"),
+            F.col("tok").cast("double").alias("v1"),
+            F.col("n_span").cast("double").alias("v2"),
+            (F.col("tok").cast("double") / _PACK_SEQ_LEN).alias("v3"),
+        )
+    )
+
+
 def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles + fixed-width histogram + stratified-sample
-    audit in one union-tagged entry (driver cap: the correctness gate
-    records at most 50 registry entries). variant 'pct': grp = order
-    priority, v1/v2 = exact median/p90. variant 'hist': grp = bucket
-    id, v1/v2 = lo/hi, v3 = bucket start. variant 'sample': see
-    q_sample_stats."""
+    audit + sequence-packing audit in one union-tagged entry (driver
+    cap: the correctness gate records at most 50 registry entries).
+    variant 'pct': grp = order priority, v1/v2 = exact median/p90.
+    variant 'hist': grp = bucket id, v1/v2 = lo/hi, v3 = bucket
+    start. variant 'sample': see q_sample_stats. variant 'pack': see
+    q_pack_stats."""
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -304,7 +345,11 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi").cast("double").alias("v2"),
         F.col("bucket_start").cast("double").alias("v3"),
     )
-    return pct.unionByName(hist).unionByName(q_sample_stats(spark, sf_dir))
+    return (
+        pct.unionByName(hist)
+        .unionByName(q_sample_stats(spark, sf_dir))
+        .unionByName(q_pack_stats(spark, sf_dir))
+    )
 
 
 def _dist_stats_sql() -> str:
@@ -348,6 +393,29 @@ FROM (
     )
   ) GROUP BY stratum
 )
+UNION ALL
+SELECT 'pack' AS variant, CAST(seq_id AS VARCHAR) AS grp,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_tokens) AS DOUBLE) AS v1,
+       CAST(count(CASE WHEN spans THEN 1 END) AS DOUBLE) AS v2,
+       CAST(sum(n_tokens) AS DOUBLE) / {_PACK_SEQ_LEN} AS v3
+FROM (
+  SELECT n_tokens,
+         (cum - n_tokens) // {_PACK_SEQ_LEN} AS seq_id,
+         ((cum - n_tokens) // {_PACK_SEQ_LEN})
+           != (CASE WHEN n_tokens > 0 THEN (cum - 1)
+                    ELSE (cum - n_tokens) END // {_PACK_SEQ_LEN}) AS spans
+  FROM (
+    SELECT n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+  )
+) GROUP BY seq_id
 """
 
 
@@ -396,6 +464,10 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-QUERIES["dist_stats"] = Q(q_dist_stats, _DIST_STATS_SQL)
+QUERIES["dist_stats"] = Q(
+    q_dist_stats,
+    _DIST_STATS_SQL,
+    variants={"pack": q_pack_stats},
+)
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)
 QUERIES["salted_agg"] = Q(q_salted_agg, _SALTED_SQL)

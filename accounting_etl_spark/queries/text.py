@@ -526,15 +526,19 @@ FROM ranked WHERE rank <= {_TFIDF_TOP}
 QUERIES["tfidf_terms"] = Q(q_tfidf_terms, _TFIDF_SQL)
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_clusters(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup CLUSTERS from the exact-Jaccard pair edges: connected
     components via min-label propagation (operators/graph.py), sized,
     with the minimum doc_id as the deterministic survivor. This is
     the step a production dedup runs after candidate pairs — drop
-    everything where is_survivor is false."""
+    everything where is_survivor is false. ``pairs`` lets the merged
+    entry share one materialized pair list across variants."""
     from ..operators.graph import connected_components
 
-    pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -578,7 +582,9 @@ _CURATION_EVAL_MOD = 97
 _CURATION_NGRAM = 4
 
 
-def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_curation_verdicts(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """The composed corpus-curation plan (plans/curation.py):
     benchmark decontamination → quality gate → exact dedup → near-dup
     components, one keep/drop verdict with an auditable reason per
@@ -589,7 +595,8 @@ def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.curation import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     ev = eval_ngrams(
         docs.filter(F.col("doc_id") % _CURATION_EVAL_MOD == 0),
         n=_CURATION_NGRAM,
@@ -610,8 +617,17 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id, cluster_size, keep=is_survivor); variant 'curation'
     carries (quality_score, keep, drop_reason) for EVERY document —
     the flagship LLM-pipeline composition, oracle-checked end to end.
+
+    Both variants consume the same Jaccard pair list; the lazy
+    ``localCheckpoint`` materializes the pair-generation plan once
+    (executor-side) instead of once per variant.
     """
-    clusters = q_dedup_clusters(spark, sf_dir).select(
+    pairs = (
+        q_near_dup_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    clusters = q_dedup_clusters(spark, sf_dir, pairs).select(
         F.lit("clusters").alias("variant"),
         "doc_id",
         "cluster_id",
@@ -620,7 +636,7 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("quality_score"),
         F.lit(None).cast("string").alias("drop_reason"),
     )
-    cur = q_curation_verdicts(spark, sf_dir).select(
+    cur = q_curation_verdicts(spark, sf_dir, pairs).select(
         F.lit("curation").alias("variant"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.lit(None).cast("bigint").alias("cluster_id"),

@@ -109,14 +109,28 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
             continue
+        # per-variant row counts localize a future mismatch inside a
+        # union-tagged entry (merged entries otherwise flag as a whole)
+        def vcounts(pdf: pd.DataFrame) -> str:
+            if "variant" not in pdf.columns:
+                return ""
+            vc = pdf["variant"].value_counts().sort_index()
+            return " {" + ", ".join(f"{k}:{v}" for k, v in vc.items()) + "}"
+
         problems = compare(spark_pdf, duck_pdf)
         if problems:
-            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            print(f"FAIL  {name}{vcounts(spark_pdf)} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
+            dv = vcounts(duck_pdf)
+            if dv and dv != vcounts(spark_pdf):
+                print(f"      oracle variants{dv}")
             failed.append(name)
         else:
-            print(f"PASS  {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
+            print(
+                f"PASS  {name}: {len(spark_pdf)} rows"
+                f"{vcounts(spark_pdf)} [{time.time()-t0:.1f}s]"
+            )
 
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     return 1 if failed else 0

@@ -129,3 +129,28 @@ def test_range_join_two_exchanges_no_distinct(spark):
     # smoke scale AQE broadcasts instead: zero), and never a third
     # exchange for a trailing distinct (pairs are unique by construction)
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_decontam_broadcasts_eval_grams(spark):
+    """The benchmark gram set joins the corpus side via broadcast —
+    the corpus gram explode must never hash-shuffle for the join
+    (only the per-doc hit aggregation shuffles)."""
+    from pyspark.sql import functions as F
+
+    from accounting_etl_spark.operators.decontam import (
+        decontaminate,
+        eval_ngrams,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ev = eval_ngrams(docs.filter(F.col("doc_id") % 97 == 0), n=4)
+    plan = _plan(decontaminate(docs, ev, n=4))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the gram-key join is broadcast (the doc_id join back may be any
+    # strategy — it is doc-count-sized, not gram-sized)
+    gram_joins = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "[gh#" in ln
+    ]
+    assert gram_joins, "no gram-key join found in plan"
+    assert all("BroadcastHashJoin" in ln for ln in gram_joins), gram_joins

@@ -411,12 +411,15 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    # counts is |docs|-sized — broadcast both enrichment joins
+    # counts is |docs|-sized — its cardinality grows with the corpus,
+    # so NO forced broadcast hint (a hint never falls back and would
+    # OOM at 100 TB); AQE converts these to broadcast at runtime
+    # whenever the aggregated side is genuinely small
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        pairs.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
         .withColumn("un", (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint"))
         .withColumn("jaccard", F.col("inter").cast("double") / F.col("un"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
@@ -481,8 +484,11 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row source count cross-joined lazily (mirrors the oracle's
     # CROSS JOIN n) — no eager .count() action while building the plan
     n_src = docs.agg(F.countDistinct("source").alias("__n_sources"))
+    # df_ is vocabulary-sized (grows with the corpus) — no forced
+    # broadcast; AQE picks broadcast at runtime when it is small.
+    # n_src is a single row: that broadcast hint is safe at any scale.
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(n_src))
         .withColumn(
             "score",
@@ -619,13 +625,15 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the flagship LLM-pipeline composition, oracle-checked end to end.
 
     Both variants consume the same Jaccard pair list; the lazy
-    ``localCheckpoint`` materializes the pair-generation plan once
-    (executor-side) instead of once per variant.
+    checkpoint materializes the pair-generation plan once instead of
+    once per variant (local blocks by default, reliable dir via
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` on a cluster — see
+    functions/checkpointing.py).
     """
-    pairs = (
-        q_near_dup_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+    from ..functions.checkpointing import stable_checkpoint
+
+    pairs = stable_checkpoint(
+        q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     )
     clusters = q_dedup_clusters(spark, sf_dir, pairs).select(
         F.lit("clusters").alias("variant"),

@@ -30,20 +30,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    default. Read nanos as long (runtime-settable legacy conf), keep the
-    exact ``ts_ns`` bigint, and derive a µs-truncated TimestampType
-    ``ts`` (truncation, not rounding — the DuckDB oracle mirrors this
-    with ``epoch_ns(ts) // 1000``)."""
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize the events table's ``ts`` to a canonical layout
+    regardless of how the fixture encodes it.
+
+    The driver fixtures have shipped ``ts`` two ways: INT64 nanoseconds
+    (read as ``bigint`` under ``nanosAsLong``) and ``timestamp[us]``
+    (read as TIMESTAMP/TIMESTAMP_NTZ; the session zone is pinned UTC in
+    :mod:`accounting_etl_spark.session`, so the NTZ→timestamp cast is
+    micros-exact). Output contract, identical for both encodings:
+
+    - ``ts_ns``: bigint epoch nanoseconds (exact for the ns encoding,
+      micros*1000 for the µs encoding),
+    - ``ts``: µs-truncated ``TimestampType`` (truncation, not rounding —
+      the DuckDB oracle mirrors this with ``epoch_ns(ts) // 1000``).
+
+    Column order matches the historical loader: ``ts_ns`` takes the
+    source ``ts`` slot and ``ts`` is appended last.
+    """
     from pyspark.sql import functions as F
 
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
+        ts_ns = F.col("ts")
+    elif dtype.startswith("timestamp"):
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    else:
+        raise TypeError(
+            f"events.ts must be bigint (epoch ns) or timestamp, got {dtype}"
+        )
+    cols = [
+        ts_ns.alias("ts_ns") if c == "ts" else F.col(c) for c in df.columns
+    ]
+    return df.select(*cols).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+    )
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch events loader. ``nanosAsLong`` is set so an INT64-nanos
+    fixture reads as bigint (Spark 4 rejects TIMESTAMP(NANOS) without
+    it); a ``timestamp[us]`` fixture is unaffected by the conf. Either
+    way :func:`normalize_events` produces the canonical layout."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
-    )
+    return normalize_events(raw)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

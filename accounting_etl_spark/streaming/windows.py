@@ -18,27 +18,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_READ_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source, T1 shape).
 
-    ts arrives as raw nanos (same nanosAsLong handling as the batch
-    loader) and is truncated to a µs TimestampType ``ts`` column.
+    A file stream needs an explicit schema; rather than hard-coding one
+    encoding of ``ts`` (the driver fixtures have shipped both INT64
+    nanos and ``timestamp[us]``), peek at the batch read's schema —
+    schema inference only, no data scan — and normalize through the
+    same :func:`~accounting_etl_spark.sources.tables.normalize_events`
+    helper as the batch loader so the two cannot drift.
     """
+    from accounting_etl_spark.sources.tables import normalize_events
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_READ_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
-    )
+    return normalize_events(raw)
 
 
 def tumbling_counts(

@@ -154,3 +154,26 @@ def test_decontam_broadcasts_eval_grams(spark):
     ]
     assert gram_joins, "no gram-key join found in plan"
     assert all("BroadcastHashJoin" in ln for ln in gram_joins), gram_joins
+
+
+def test_no_forced_broadcast_of_corpus_sized_sides(spark):
+    """Forced broadcast hints on sides whose cardinality grows with the
+    corpus (|docs|-sized counts, vocab-sized df) are 100 TB OOMs — a
+    hint never falls back the way an AQE-chosen broadcast does
+    (VERDICT r3 'What's wrong' #4). AQE may still runtime-convert
+    small sides; the *hint* must be absent. The only allowed hint in
+    the text path is tf-idf's one-row source-count cross join."""
+    from accounting_etl_spark.queries.text import (
+        q_near_dup_jaccard,
+        q_tfidf_terms,
+    )
+
+    jac = q_near_dup_jaccard(spark, SF_SMOKE)
+    opt = jac._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, opt
+
+    tfidf = q_tfidf_terms(spark, SF_SMOKE)
+    opt = tfidf._jdf.queryExecution().optimizedPlan().toString()
+    hints = [ln for ln in opt.splitlines() if "strategy=broadcast" in ln]
+    # exactly the single-row countDistinct cross join, nothing else
+    assert len(hints) == 1 and "Cross" in hints[0], hints

@@ -26,14 +26,24 @@ degenerate small side (one row per partition).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from typing import Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+OrderCols = Union[str, Column, Sequence[Union[str, Column]]]
+
+
+def _as_order_list(order_col: OrderCols) -> list:
+    if isinstance(order_col, (str, Column)):
+        return [order_col]
+    return list(order_col)
 
 
 def prefix_sum(
     df: DataFrame,
     *,
-    order_col: str,
+    order_col: OrderCols,
     value_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
@@ -41,14 +51,19 @@ def prefix_sum(
     """Inclusive running sum of ``value_col`` in ``order_col`` order,
     computed with bounded per-task state (no single-partition window).
 
-    ``order_col`` must be a total order (unique keys) for the result
-    to be well-defined.
+    ``order_col`` may be one column name or a sequence of names /
+    Column sort expressions (e.g. ``[F.col("q").desc(), "doc_id"]``);
+    together they must form a total order (unique keys) for the result
+    to be well-defined. Range partitioning and the per-partition
+    window use the identical sort, so partition p's rows all precede
+    partition p+1's in that order regardless of direction.
     """
+    order = _as_order_list(order_col)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, order_col).withColumn(
+    ranged = df.repartitionByRange(n, *order).withColumn(
         "__pid", F.spark_partition_id()
     )
-    local = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+    local = Window.partitionBy("__pid").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     with_local = ranged.withColumn(

@@ -321,14 +321,68 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUDGET_FRAC = (1, 2)
+
+
+def q_budget_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection audit: keep the highest-quality half of
+    the corpus BY TOKENS (operators/budget.py — the distributed
+    prefix-sum again, ordered by quality DESC; no single-task global
+    window), then roll up per source: docs kept (n), tokens kept
+    (v1), docs total (v2), kept fraction (v3). The per-source keep
+    counts pin the exact cumulative totals and the integer-math
+    budget boundary against DuckDB's window cumsum.
+
+    Quality is the curation score (plans/curation.py) — the same
+    double ops in the same order, bit-identical across engines."""
+    from ..operators.budget import select_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), " ")
+    uniq = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    quality = (
+        F.least(F.col("n_chars").cast("double") / 400, F.lit(1.0)) * 0.5
+        + uniq * 0.5
+    )
+    sized = docs.select(
+        "doc_id",
+        "source",
+        quality.alias("q"),
+        F.size(ws).cast("bigint").alias("n_tokens"),
+    )
+    sel = select_token_budget(
+        sized,
+        order_col=[F.col("q").desc(), F.col("doc_id")],
+        size_col="n_tokens",
+        budget_frac=_BUDGET_FRAC,
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens"))).alias("tok_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            F.lit("budget").alias("variant"),
+            F.col("source").alias("grp"),
+            F.col("n_kept").cast("bigint").alias("n"),
+            F.col("tok_kept").cast("double").alias("v1"),
+            F.col("n_total").cast("double").alias("v2"),
+            (F.col("n_kept").cast("double") / F.col("n_total")).alias("v3"),
+        )
+    )
+
+
 def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles + fixed-width histogram + stratified-sample
-    audit + sequence-packing audit in one union-tagged entry (driver
-    cap: the correctness gate records at most 50 registry entries).
+    audit + sequence-packing audit + token-budget audit in one
+    union-tagged entry (driver cap: the correctness gate records at
+    most 50 registry entries).
     variant 'pct': grp = order priority, v1/v2 = exact median/p90.
     variant 'hist': grp = bucket id, v1/v2 = lo/hi, v3 = bucket
     start. variant 'sample': see q_sample_stats. variant 'pack': see
-    q_pack_stats."""
+    q_pack_stats. variant 'budget': see q_budget_stats."""
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -349,6 +403,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.unionByName(hist)
         .unionByName(q_sample_stats(spark, sf_dir))
         .unionByName(q_pack_stats(spark, sf_dir))
+        .unionByName(q_budget_stats(spark, sf_dir))
     )
 
 
@@ -416,6 +471,28 @@ FROM (
     )
   )
 ) GROUP BY seq_id
+UNION ALL
+SELECT 'budget' AS variant, source AS grp,
+       CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN keep THEN n_tokens END) AS DOUBLE) AS v1,
+       CAST(count(*) AS DOUBLE) AS v2,
+       CAST(count(CASE WHEN keep THEN 1 END) AS DOUBLE) / count(*) AS v3
+FROM (
+  SELECT source, n_tokens,
+         (SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           * {_BUDGET_FRAC[1]}
+           <= (SUM(n_tokens) OVER ()) * {_BUDGET_FRAC[0]} AS keep
+  FROM (
+    SELECT doc_id, source,
+           least(CAST(n_chars AS DOUBLE) / 400, 1.0) * 0.5
+           + CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+             / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) * 0.5 AS q,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+  )
+)
+GROUP BY source
 """
 
 
@@ -467,7 +544,7 @@ FROM lineitem GROUP BY l_returnflag
 QUERIES["dist_stats"] = Q(
     q_dist_stats,
     _DIST_STATS_SQL,
-    variants={"pack": q_pack_stats},
+    variants={"pack": q_pack_stats, "budget": q_budget_stats},
 )
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)
 QUERIES["salted_agg"] = Q(q_salted_agg, _SALTED_SQL)

@@ -48,6 +48,73 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The LSH band-key table ``(id_col, band, key)`` — ``bands`` rows
+    per document; docs sharing any (band, key) are near-dup candidates.
+
+    This is the *index* form: persist it for a corpus once and
+    incremental batches join against it (operators/incremental.py)
+    instead of re-shingling the corpus, or feed it straight to the
+    posting-list pair stage (:func:`minhash_candidates`).
+
+    Signatures via explode + one grouped aggregation of ``num_hashes``
+    mins — ONE shuffle on the id, instead of num_hashes array passes
+    per row (the array-native minhash_signature form is ~10x slower in
+    codegen for large shingle sets). Each shingle string is hashed
+    ONCE to a 64-bit key; the hash family re-hashes that bigint with
+    the member index — no per-member string concat. The band key is
+    one 64-bit hash of the band's r signature slots (a bigint shuffle
+    key, not a concatenated string); xxhash64 collisions only ever ADD
+    candidates, which downstream exact verification filters.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    # small-file scans arrive single-partition and shingling is
+    # CPU-bound; spread() no-ops when the scan is already wide
+    wide = spread(df, id_col)
+    sh = wide.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(tokens_ws(F.col(text_col)), k_shingle)).alias(
+            "__sh"
+        ),
+    ).select("__id", F.xxhash64("__sh").alias("__kh"))
+    sig = sh.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.col("__kh"), F.lit(h))).alias(f"__h{h}")
+            for h in range(num_hashes)
+        ]
+    )
+    return (
+        sig.select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"__h{b * r + i}") for i in range(r)]
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("__id", "bk.band", "bk.key")
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     *,
@@ -66,50 +133,14 @@ def minhash_candidates(
     than max_bucket² pair structs (functions/pairs.py
     explode_bucket_pairs — the executor-OOM skew escape).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
-    # signatures via explode + one grouped aggregation of num_hashes
-    # mins — ONE shuffle on the id, instead of num_hashes array passes
-    # per row (the array-native minhash_signature form is ~10x slower
-    # in codegen for large shingle sets). Each shingle string is hashed
-    # ONCE to a 64-bit key; the hash family re-hashes that bigint with
-    # the member index — no per-member string concat.
-    # small-file scans arrive single-partition and shingling is
-    # CPU-bound; spread() no-ops when the scan is already wide
-    wide = spread(df, id_col)
-    sh = wide.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(tokens_ws(F.col(text_col)), k_shingle)).alias(
-            "__sh"
-        ),
-    ).select("__id", F.xxhash64("__sh").alias("__kh"))
-    sig = sh.groupBy("__id").agg(
-        *[
-            F.min(F.xxhash64(F.col("__kh"), F.lit(h))).alias(f"__h{h}")
-            for h in range(num_hashes)
-        ]
-    )
-    # band key = one 64-bit hash of the band's r signature slots (not a
-    # concatenated string) — a bigint shuffle key; xxhash64 collisions
-    # only ever ADD candidate pairs, which the downstream exact verify
-    # filters, so the candidate contract is unaffected.
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"__h{b * r + i}") for i in range(r)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("__id", "bk.band", "bk.key")
+    banded = minhash_bands(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k_shingle=k_shingle,
+        num_hashes=num_hashes,
+        bands=bands,
+    ).withColumnRenamed(id_col, "__id")
     # posting lists per (band, key) → local pair generation → one
     # distinct on the pair: 2 shuffles, no self-join of two exploded
     # sides (the same plan shape as the exact-Jaccard pair stage).

@@ -93,6 +93,56 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_MOD = 10
+_CORPUS_CUT = 8  # doc_id % 10 < 8 → corpus; >= 8 → incoming batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'incr' variant: incremental exact dedup of a new batch against a
+    stored corpus hash index (operators/incremental.py). The
+    ``doc_id % 10`` split stands in for corpus vs incoming batch; the
+    batch joins the ``(content_hash, keep_id)`` index — shuffle on the
+    hash only, the corpus text is never rescanned. Corpus survivor
+    wins over a smaller batch id (the corpus copy is already
+    published); batch-only content dedups batch-locally."""
+    from ..operators.incremental import dedup_against_index, exact_hash_index
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    corpus = docs.filter(F.col("doc_id") % _CORPUS_MOD < _CORPUS_CUT)
+    batch = docs.filter(F.col("doc_id") % _CORPUS_MOD >= _CORPUS_CUT)
+    verdict = dedup_against_index(batch, exact_hash_index(corpus))
+    return verdict.select(
+        F.lit("incr").alias("variant"),
+        "doc_id",
+        "source",
+        "content_hash",
+        F.substring("content_hash", 1, 16).alias("fingerprint"),
+        F.lit(None).cast("string").alias("winnow_fp"),
+        "keep_id",
+        F.lit(None).cast("bigint").alias("n_copies"),
+        "is_dup",
+    )
+
+
+def q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup + incremental-batch dedup in one union-tagged entry
+    (driver cap). variant 'full': q_dedup_exact over every document.
+    variant 'incr': q_dedup_incremental — batch docs only, winnow_fp/
+    n_copies NULL."""
+    full = q_dedup_exact(spark, sf_dir).select(
+        F.lit("full").alias("variant"),
+        "doc_id",
+        "source",
+        "content_hash",
+        "fingerprint",
+        "winnow_fp",
+        "keep_id",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        "is_dup",
+    )
+    return full.unionByName(q_dedup_incremental(spark, sf_dir))
+
+
 _DEDUP_EXACT_SQL = """
 WITH h AS (
   SELECT doc_id, source,
@@ -126,6 +176,35 @@ SELECT doc_id, source, content_hash,
        count(*) OVER (PARTITION BY content_hash) AS n_copies,
        doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
 FROM m
+"""
+
+_DEDUP_INCR_SQL = f"""
+WITH hh AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+), ci AS (
+  SELECT content_hash, min(doc_id) AS corpus_keep
+  FROM hh WHERE doc_id % {_CORPUS_MOD} < {_CORPUS_CUT}
+  GROUP BY content_hash
+), b AS (
+  SELECT * FROM hh WHERE doc_id % {_CORPUS_MOD} >= {_CORPUS_CUT}
+)
+SELECT 'incr' AS variant, b.doc_id, b.source, b.content_hash,
+       substring(b.content_hash, 1, 16) AS fingerprint,
+       CAST(NULL AS VARCHAR) AS winnow_fp,
+       COALESCE(ci.corpus_keep,
+                min(b.doc_id) OVER (PARTITION BY b.content_hash)) AS keep_id,
+       CAST(NULL AS BIGINT) AS n_copies,
+       b.doc_id != COALESCE(ci.corpus_keep,
+                min(b.doc_id) OVER (PARTITION BY b.content_hash)) AS is_dup
+FROM b LEFT JOIN ci USING (content_hash)
+"""
+
+_DEDUP_EXACT_MERGED_SQL = f"""
+SELECT 'full' AS variant, * FROM ({_DEDUP_EXACT_SQL})
+UNION ALL
+SELECT * FROM ({_DEDUP_INCR_SQL})
 """
 
 
@@ -364,8 +443,23 @@ FROM s
 
 _JACCARD_THRESHOLD = 0.2
 _MAX_SHINGLE_DF = 100  # stop-shingle cutoff — the 100 TB skew guard
+# broadcast the |docs|-sized shingle-count side only when the corpus is
+# measurably below this (2M docs x ~16B ≈ 32MB broadcast); above it the
+# enrichment joins shuffle and postings are checkpointed instead
+_BROADCAST_DOC_LIMIT = 2_000_000
 
 
+def _jaccard_pairs(postings: DataFrame) -> DataFrame:
+    """Pair intersection counts from a shingle posting-list table."""
+    from ..functions.pairs import ordered_id_pairs
+
+    return (
+        postings.select(
+            F.explode(ordered_id_pairs("ids", "doc_a", "doc_b")).alias("p")
+        )
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
 
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,32 +488,36 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") <= _MAX_SHINGLE_DF)
     )
-    from ..functions.pairs import ordered_id_pairs
+    # counts is |docs|-sized — its cardinality grows with the corpus,
+    # so the broadcast hint is GATED on a measured bound (a forced
+    # hint never falls back and would OOM at 100 TB; but below the
+    # bound, broadcasting keeps the much larger pairs side unshuffled
+    # through both enrichment joins — 28s → 9s at sf1.0). The gate is
+    # a parquet count-star (metadata-cheap). Above the bound: no
+    # hints, and the postings subtree is checkpointed so the three
+    # consumers (pairs, na, nb) share ONE shingle pass instead of
+    # rebuilding it per branch (exchange reuse does not survive the
+    # AQE re-planning of the two shuffle joins).
+    small = docs.count() <= _BROADCAST_DOC_LIMIT
+    if not small:
+        from ..functions.checkpointing import stable_checkpoint
 
-    pairs = (
-        postings.select(
-            F.explode(ordered_id_pairs("ids", "doc_a", "doc_b")).alias("p")
-        )
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        postings = stable_checkpoint(postings)
+    pairs = _jaccard_pairs(postings)
     # counts derived from the SAME postings subtree (not from sh) so
-    # Spark reuses the aggregation exchange instead of re-scanning and
-    # re-shingling the corpus for a second branch
+    # the aggregation exchange (or the checkpointed blocks) is shared
+    # instead of re-scanning and re-shingling the corpus per branch
     counts = (
         postings.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    # counts is |docs|-sized — its cardinality grows with the corpus,
-    # so NO forced broadcast hint (a hint never falls back and would
-    # OOM at 100 TB); AQE converts these to broadcast at runtime
-    # whenever the aggregated side is genuinely small
+    hint = F.broadcast if small else (lambda d: d)
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
+        pairs.join(hint(na), "doc_a")
+        .join(hint(nb), "doc_b")
         .withColumn("un", (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint"))
         .withColumn("jaccard", F.col("inter").cast("double") / F.col("un"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
@@ -458,7 +556,11 @@ WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= {_JACCARD_THRESHOLD
 
 
 QUERIES: dict[str, Q] = {
-    "dedup_exact": Q(q_dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_exact": Q(
+        q_dedup_exact_merged,
+        _DEDUP_EXACT_MERGED_SQL,
+        variants={"incr": q_dedup_incremental},
+    ),
     "text_metrics": Q(q_text_metrics, _TEXT_METRICS_SQL),
     "near_dup_jaccard": Q(q_near_dup_jaccard, _JACCARD_SQL),
 }

@@ -156,23 +156,31 @@ def test_decontam_broadcasts_eval_grams(spark):
     assert all("BroadcastHashJoin" in ln for ln in gram_joins), gram_joins
 
 
-def test_no_forced_broadcast_of_corpus_sized_sides(spark):
+def test_corpus_sized_broadcasts_gated_on_measured_cardinality(spark, monkeypatch):
     """Forced broadcast hints on sides whose cardinality grows with the
-    corpus (|docs|-sized counts, vocab-sized df) are 100 TB OOMs — a
-    hint never falls back the way an AQE-chosen broadcast does
-    (VERDICT r3 'What's wrong' #4). AQE may still runtime-convert
-    small sides; the *hint* must be absent. The only allowed hint in
-    the text path is tf-idf's one-row source-count cross join."""
-    from accounting_etl_spark.queries.text import (
-        q_near_dup_jaccard,
-        q_tfidf_terms,
-    )
+    corpus are 100 TB OOMs — a hint never falls back the way an
+    AQE-chosen broadcast does (VERDICT r3 'What's wrong' #4). The
+    Jaccard enrichment joins therefore gate the hint on a MEASURED doc
+    count: hinted below _BROADCAST_DOC_LIMIT (keeps the much larger
+    pairs side unshuffled), degrading to shuffle joins + checkpointed
+    postings above it. tf-idf's vocab-sized df side carries no hint at
+    all; its only hint is the one-row source-count cross join."""
+    from accounting_etl_spark.queries import text as qt
 
-    jac = q_near_dup_jaccard(spark, SF_SMOKE)
+    # below the limit: both enrichment joins hinted
+    jac = qt.q_near_dup_jaccard(spark, SF_SMOKE)
+    opt = jac._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=broadcast") == 2, opt
+
+    # above the limit: no hints anywhere; postings checkpointed
+    # (lineage truncated to a scanned RDD)
+    monkeypatch.setattr(qt, "_BROADCAST_DOC_LIMIT", 0)
+    jac = qt.q_near_dup_jaccard(spark, SF_SMOKE)
     opt = jac._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in opt, opt
+    assert "LogicalRDD" in opt, opt
 
-    tfidf = q_tfidf_terms(spark, SF_SMOKE)
+    tfidf = qt.q_tfidf_terms(spark, SF_SMOKE)
     opt = tfidf._jdf.queryExecution().optimizedPlan().toString()
     hints = [ln for ln in opt.splitlines() if "strategy=broadcast" in ln]
     # exactly the single-row countDistinct cross join, nothing else

@@ -586,11 +586,22 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row source count cross-joined lazily (mirrors the oracle's
     # CROSS JOIN n) — no eager .count() action while building the plan
     n_src = docs.agg(F.countDistinct("source").alias("__n_sources"))
-    # df_ is vocabulary-sized (grows with the corpus) — no forced
-    # broadcast; AQE picks broadcast at runtime when it is small.
-    # n_src is a single row: that broadcast hint is safe at any scale.
+    # df_ is vocabulary-sized (grows with the corpus) — the broadcast
+    # hint is gated on the same measured doc-count bound as the
+    # Jaccard enrichment joins: below it, broadcasting df_ keeps the
+    # larger tf side unshuffled through the join; above it, no hint
+    # (AQE may still convert) and tf is checkpointed so the corpus is
+    # tokenized once, not once per branch (tf feeds both the join and
+    # the df_ aggregate). n_src is a single row: always safe to hint.
+    small = docs.count() <= _BROADCAST_DOC_LIMIT
+    if not small:
+        from ..functions.checkpointing import stable_checkpoint
+
+        tf = stable_checkpoint(tf)
+        df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    hint = F.broadcast if small else (lambda d: d)
     scored = (
-        tf.join(df_, "token")
+        tf.join(hint(df_), "token")
         .crossJoin(F.broadcast(n_src))
         .withColumn(
             "score",

@@ -116,3 +116,51 @@ def test_exact_join_and_window_share_one_exchange(spark):
     # (corpus side has its own for the index groupBy) — so at most 3
     # hashpartitioning exchanges total, not 4
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_stream_dedup_against_index(spark, tmp_path):
+    """Streaming admission filter: corpus content is rejected, novel
+    content passes exactly once even when repeated in the stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from accounting_etl_spark.operators.incremental import exact_hash_index
+    from accounting_etl_spark.streaming.dedup import (
+        stream_dedup_against_index,
+    )
+    from accounting_etl_spark.streaming.windows import run_to_memory
+
+    corpus = _docs(spark, [(1, "alpha beta"), (2, "gamma")])
+    index = exact_hash_index(corpus).select("content_hash")
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [
+        (10, "alpha beta"),   # in corpus -> rejected
+        (11, "delta"),        # novel -> admitted
+        (12, "delta"),        # stream repeat -> dropped
+        (13, "  GAMMA "),     # corpus after normalization -> rejected
+        (14, "epsilon"),      # novel -> admitted
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, str(src / "batch0.parquet"))
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        str(src)
+    )
+    out = stream_dedup_against_index(stream, index)
+    name = "stream_dedup_sink"
+    q = run_to_memory(out, name)
+    try:
+        got = {r.doc_id for r in spark.sql(f"SELECT doc_id FROM {name}").collect()}
+    finally:
+        q.stop()
+    # one admit per novel content: 11 or 12 (arrival order within a
+    # micro-batch is not pinned), plus 14; never 10 or 13
+    assert 14 in got and got & {11, 12} and len(got) == 2
+    assert not (got & {10, 13})

@@ -171,6 +171,9 @@ def test_corpus_sized_broadcasts_gated_on_measured_cardinality(spark, monkeypatc
     jac = qt.q_near_dup_jaccard(spark, SF_SMOKE)
     opt = jac._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("strategy=broadcast") == 2, opt
+    tfidf = qt.q_tfidf_terms(spark, SF_SMOKE)
+    opt = tfidf._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=broadcast") == 2, opt  # df_ + n_src
 
     # above the limit: no hints anywhere; postings checkpointed
     # (lineage truncated to a scanned RDD)
@@ -183,5 +186,7 @@ def test_corpus_sized_broadcasts_gated_on_measured_cardinality(spark, monkeypatc
     tfidf = qt.q_tfidf_terms(spark, SF_SMOKE)
     opt = tfidf._jdf.queryExecution().optimizedPlan().toString()
     hints = [ln for ln in opt.splitlines() if "strategy=broadcast" in ln]
-    # exactly the single-row countDistinct cross join, nothing else
+    # only the single-row countDistinct cross join survives above the
+    # limit; tf is checkpointed (tokenize once)
     assert len(hints) == 1 and "Cross" in hints[0], hints
+    assert "LogicalRDD" in opt, opt

@@ -163,6 +163,45 @@ def ann_topk(
     )
 
 
+def _kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    sample_cap: int = 100_000,
+) -> list[list[float]]:
+    """Centroid matrix trained with MLlib KMeans on a bounded
+    deterministic hash-sample of the corpus.
+
+    The sample keeps ~``sample_cap`` rows regardless of corpus size
+    (hash-modulus filter — no ``sample()`` RNG, reruns see the same
+    rows), so the KMeans job's input is bounded at 100 TB. ``fit``
+    runs k-means|| with a fixed seed; only the ≤ n_cells centers ever
+    reach the driver.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    id_str = F.col(id_col).cast("string")
+    n = corpus.count()
+    denom = max(1, n // sample_cap)
+    train = corpus
+    if denom > 1:
+        train = corpus.filter(
+            F.pmod(F.xxhash64(id_str), F.lit(denom)) == 0
+        )
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(
+        k=n_cells, seed=7, maxIter=5, featuresCol="features"
+    ).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_ids: DataFrame,
@@ -172,22 +211,40 @@ def ivf_topk(
     k: int = 3,
     n_cells: int = 16,
     n_probe: int = 2,
+    centroids: str = "sample",
 ) -> DataFrame:
     """IVF-style ANN: coarse quantization into ``n_cells`` Voronoi
-    cells around deterministic sample centroids, multi-probe on the
-    query side, exact cosine rerank within probed cells.
+    cells around centroids, multi-probe on the query side, exact
+    cosine rerank within probed cells.
 
-    Centroids are a deterministic distributed sample: each row hashes
+    ``centroids="sample"`` (default, deterministic): each row hashes
     to one of ``n_cells`` seed cells (``pmod(xxhash64(id), n_cells)``)
     and a map-side-combining ``min_by`` picks one representative per
     cell, so the driver collects exactly ≤ n_cells (id, vector) rows —
     never a full column (the shuffle carries at most n_cells rows per
-    input partition thanks to partial aggregation). The centroids are
-    inlined as literal arrays, so assignment is a map-only expression
-    and the only shuffle is the (cell) equi-join. Compared to the
-    hyperplane LSH above: IVF adapts to the data distribution (cells
-    follow density) at the cost of the tiny centroid sample.
+    input partition thanks to partial aggregation).
+    ``centroids="kmeans"``: MLlib-trained centers on a bounded
+    hash-sample (:func:`_kmeans_centroids`) — cells follow data
+    density more faithfully (better recall at equal n_probe) at the
+    cost of one training job; float-sum order in ``fit`` is not
+    bit-pinned, so use it where recall matters more than replay
+    determinism.
+
+    Either way the centroids are inlined as literal arrays, so
+    assignment is a map-only expression and the only shuffle is the
+    (cell) equi-join. Compared to the hyperplane LSH above: IVF
+    adapts to the data distribution at the cost of the centroid pass.
     """
+    if centroids not in ("sample", "kmeans"):
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+    if centroids == "kmeans":
+        mat = _kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+        )
+        return _ivf_with_centroids(
+            corpus, query_ids, mat,
+            id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe,
+        )
     id_str = F.col(id_col).cast("string")
     reps = (
         corpus.select(
@@ -208,12 +265,35 @@ def ivf_topk(
         .orderBy("id")
         .collect()
     )
+    return _ivf_with_centroids(
+        corpus,
+        query_ids,
+        [[float(x) for x in r["c"]] for r in cents],
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_probe=n_probe,
+    )
+
+
+def _ivf_with_centroids(
+    corpus: DataFrame,
+    query_ids: DataFrame,
+    centroid_matrix: list[list[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF body: assignment, multi-probe, exact cosine rerank,
+    given an already-computed centroid matrix."""
     # ONE nested literal centroid matrix shared by a single transform:
     # emitting a separate F.aggregate subtree per cell (and using it on
     # both the assign and probe sides) bloats whole-stage codegen by
     # n_cells× — the same pattern already folded in _sign_bits and the
     # simhash bit-count (operators/dedup.py).
-    cents_lit = lit_matrix([[float(x) for x in r["c"]] for r in cents])
+    cents_lit = lit_matrix(centroid_matrix)
 
     vec = F.col(vec_col).cast("array<double>")
 

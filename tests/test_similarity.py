@@ -96,3 +96,35 @@ def test_int8_quantization_reconstruction_bound(spark):
     ).collect()[0]
     assert agg.bad == 0
     assert agg.amax == 127 and agg.amin == 127  # max element always saturates
+
+
+def test_ivf_kmeans_centroids_recall(spark):
+    """MLlib-trained centroids: same IVF body, cells follow data
+    density — recall must clear at least the sample-centroid floor."""
+    from pyspark.sql import functions as F
+
+    from accounting_etl_spark.operators.similarity import ivf_topk
+    from accounting_etl_spark.queries.similarity import q_cosine_topk
+    from accounting_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select("vec_id")
+    out = ivf_topk(emb, queries, k=3, centroids="kmeans")
+    approx = _pairs(out)
+    assert approx, "kmeans-IVF returned nothing"
+    exact = _pairs(q_cosine_topk(spark, SF_SMOKE))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"kmeans-IVF recall {recall:.2f}"
+
+
+def test_ivf_rejects_unknown_centroid_mode(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from accounting_etl_spark.operators.similarity import ivf_topk
+    from accounting_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select("vec_id")
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_topk(emb, q, centroids="nope")

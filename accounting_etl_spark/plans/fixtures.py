@@ -231,3 +231,80 @@ def coa_cte() -> str:
 def vendor_cte() -> str:
     cols = ", ".join(VENDOR_COLUMNS)
     return f"vendor_dim({cols}) AS (VALUES\n    {values_clause(VENDOR_ROWS)}\n)"
+
+
+# ---- real PDF byte fixtures (rendered by sources/pdf_codec) ---------
+
+def _right(text: str, x1: float, size: float = 10.0) -> float:
+    """x0 that right-aligns Courier ``text`` at ``x1`` — amounts in the
+    statement layout right-align under their column header."""
+    return x1 - 0.6 * size * len(text)
+
+
+def statement_pdf_pages() -> dict[str, list[list[tuple]]]:
+    """Two statement PDFs as draw-command pages (text, x, y_top, size):
+    the Wells-Fargo shape (reference pdf_parser.py:72-84) with real
+    geometry — right-aligned amounts under the Credits/Charges pair, an
+    Account-Summary decoy on split lines, a payment row, a disclosures
+    page that fails the P1 predicate, and a second file with different
+    column x-positions. Render with ``pdf_codec.write_pdf``."""
+    s = 10.0
+    a_p1 = [
+        # Account-Summary decoy: pair on DIFFERENT lines
+        ("Credits", 50, 100, s), ("Charges", 50, 120, s),
+        ("Transaction Details", 50, 180, s),
+        # column headers, same line; Courier x1: 460+42=502, 530+42=572
+        ("Credits", 460, 210, s), ("Charges", 530, 210, s),
+        ("Trans", 40, 225, s), ("Post", 80, 225, s),
+        ("Reference", 120, 225, s), ("Number", 180, 225, s),
+        ("01/03", 40, 240, s), ("01/03", 80, 240, s),
+        ("2466ABCD", 120, 240, s), ("AMAZON MKTPL", 200, 240, s),
+        ("39.12", _right("39.12", 572.0), 240, s),
+        ("01/05", 40, 255, s), ("01/06", 80, 255, s),
+        ("8832REF", 120, 255, s), ("REFUND ITEM", 200, 255, s),
+        ("15.00", _right("15.00", 502.0), 255, s),
+        ("01/07", 40, 270, s), ("01/07", 80, 270, s),
+        ("9999REF", 120, 270, s), ("PAYMENT THANK YOU", 200, 270, s),
+        ("125.00", _right("125.00", 572.0), 270, s),
+        ("01/15", 40, 285, s), ("01/16", 80, 285, s),
+        ("3344REF", 120, 285, s), ("BIGVENDOR PURCHASE", 200, 285, s),
+        ("1,234.56", _right("1,234.56", 572.0), 285, s),
+    ]
+    a_p2 = [("Disclosures and terms", 50, 100, 12.0)]
+    b_p1 = [
+        ("Transaction Details", 50, 120, s),
+        # different geometry: x1 = 358+42=400, 458+42=500
+        ("Credits", 358, 150, s), ("Charges", 458, 150, s),
+        ("Trans", 40, 170, s), ("Post", 80, 170, s),
+        ("Reference", 120, 170, s),
+        ("02/01", 40, 190, s), ("02/02", 80, 190, s),
+        ("1111REF", 120, 190, s), ("VENDOR2 SERVICES", 200, 190, s),
+        ("55.00", _right("55.00", 500.0), 190, s),
+        ("02/02", 40, 205, s), ("02/03", 80, 205, s),
+        ("2222REF", 120, 205, s), ("VENDOR3 PARTS", 200, 205, s),
+        ("44.10", _right("44.10", 400.0), 205, s),
+    ]
+    return {"stmt_a.pdf": [a_p1, a_p2], "stmt_b.pdf": [b_p1]}
+
+
+# (date, description, amount) truth for the PDF fixtures above
+STATEMENT_PDF_EXPECTED = {
+    ("stmt_a.pdf", "01/03", "AMAZON MKTPL"): 39.12,
+    ("stmt_a.pdf", "01/06", "REFUND ITEM"): -15.00,
+    ("stmt_a.pdf", "01/16", "BIGVENDOR PURCHASE"): 1234.56,
+    ("stmt_b.pdf", "02/02", "VENDOR2 SERVICES"): 55.00,
+    ("stmt_b.pdf", "02/03", "VENDOR3 PARTS"): -44.10,
+}
+
+
+def write_statement_pdfs(dirpath, *, compress: bool = True) -> None:
+    """Render the fixture statements as real .pdf files under
+    ``dirpath`` (any os.PathLike)."""
+    import pathlib
+
+    from ..sources.pdf_codec import write_pdf
+
+    d = pathlib.Path(dirpath)
+    d.mkdir(parents=True, exist_ok=True)
+    for name, pages in statement_pdf_pages().items():
+        (d / name).write_bytes(write_pdf(pages, compress=compress))

@@ -11,10 +11,10 @@ extraction — Catalyst can't push filters into Python, so the
 reference's manual short-circuit is preserved by construction
 (SURVEY §4).
 
-pdfplumber is not installed in this container: the extractor is
-injectable, and the default raises a clear ImportError while the
-plumbing (schema, batching, explode) stays real and tested with a
-fake extractor.
+The extractor is injectable; the default uses pdfplumber when
+installed and otherwise falls back to the built-in pure-stdlib PDF
+engine (:mod:`accounting_etl_spark.sources.pdf_codec`), so real PDF
+byte streams parse end-to-end in either environment.
 """
 
 from __future__ import annotations
@@ -49,16 +49,10 @@ def scan_binary_files(
 
 
 def _pdfplumber_extractor(payload: bytes) -> list[tuple]:
-    try:
-        import io
+    import io
 
-        import pdfplumber
-    except ImportError as e:  # container has no pdfplumber
-        raise ImportError(
-            "pdfplumber is not installed; pass a custom extractor to "
-            "words_from_pdfs (the rest of the pipeline is"
-            " extractor-agnostic)"
-        ) from e
+    import pdfplumber
+
     out: list[tuple] = []
     with pdfplumber.open(io.BytesIO(payload)) as pdf:
         for pageno, page in enumerate(pdf.pages, start=1):
@@ -74,11 +68,36 @@ def _pdfplumber_extractor(payload: bytes) -> list[tuple]:
     return out
 
 
+def _minipdf_extractor(payload: bytes) -> list[tuple]:
+    """Pure-stdlib extraction (sources/pdf_codec.py) with the same P1
+    page predicate as the pdfplumber path."""
+    from . import pdf_codec
+
+    words = pdf_codec.extract_words(payload)
+    page_text: dict[int, list[str]] = {}
+    for page, text, *_ in words:
+        page_text.setdefault(page, []).append(text)
+    keep = {
+        p for p, ts in page_text.items()
+        if "Transaction Details" in " ".join(ts)
+    }
+    return [w for w in words if w[0] in keep]
+
+
+def default_extractor(payload: bytes) -> list[tuple]:
+    """pdfplumber when installed, else the built-in mini PDF engine —
+    real PDF bytes parse either way; no environment gating."""
+    try:
+        return _pdfplumber_extractor(payload)
+    except ImportError:
+        return _minipdf_extractor(payload)
+
+
 def words_from_pdfs(
     binary_df: DataFrame, *, extractor: PdfExtractor | None = None
 ) -> DataFrame:
     """U1: (path, content) → words rows, Arrow-batched per partition."""
-    fn = extractor or _pdfplumber_extractor
+    fn = extractor or default_extractor
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

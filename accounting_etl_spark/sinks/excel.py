@@ -14,10 +14,11 @@ the library allows:
 - ``column_widths``: A5 — per-column max display width capped at 50
   (excel_builder.py:167-178), computed distributed-side so the
   driver never scans values;
-- ``write_workbook``: openpyxl formatting (currency format, header
-  fill, freeze panes, hidden dropdown sheet). openpyxl is NOT in
-  this container → gated behind import, raising a clear error; rows
-  are capped before collect (SURVEY §7 watch list).
+- ``write_workbook``: formatted workbook (currency format, header
+  fill, freeze panes, hidden dropdown sheet + list validations) via
+  openpyxl when installed, else via the pure-stdlib OOXML writer in
+  :mod:`accounting_etl_spark.sinks.xlsx_mini` — a real .xlsx either
+  way; rows are capped before collect (SURVEY §7 watch list).
 """
 
 from __future__ import annotations
@@ -95,21 +96,97 @@ def write_workbook(
     *,
     max_rows: int = 100_000,
 ) -> str:
-    """K1: collect (capped) and write the formatted workbook."""
-    try:
-        import openpyxl
-        from openpyxl.styles import Alignment, Border, Font, PatternFill, Side
-        from openpyxl.utils import get_column_letter
-        from openpyxl.worksheet.datavalidation import DataValidation
-    except ImportError as e:
-        raise ImportError(
-            "openpyxl is not installed in this environment; the Excel "
-            "sink is presentation-only — use rows.write.parquet(...) "
-            "or .toPandas().to_csv(...) for the data"
-        ) from e
+    """K1: collect (capped) and write the formatted workbook.
 
+    The distributed work (projection, widths, dropdown options) happens
+    before collect; the presentation tail writes with openpyxl when
+    installed, else with the built-in pure-stdlib writer
+    (:mod:`accounting_etl_spark.sinks.xlsx_mini`) — a real .xlsx is
+    produced either way.
+    """
     widths = column_widths(rows)
     pdf = rows.limit(max_rows).toPandas()
+    opts = dropdown_options(codes).toPandas() if codes is not None else None
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        return _write_workbook_mini(pdf, widths, opts, out_path)
+    return _write_workbook_openpyxl(pdf, widths, opts, out_path)
+
+
+_DROPDOWN_TARGETS = {
+    "gl": "G/L Account", "location": "Location",
+    "program": "Program", "funder": "Funder", "dept": "Dept",
+}
+
+
+def _py(v):
+    """numpy scalar -> plain python for the XML writer."""
+    return v.item() if hasattr(v, "item") else v
+
+
+def _write_workbook_mini(pdf, widths, opts, out_path: str) -> str:
+    from .xlsx_mini import Sheet, Validation, column_letter, write_xlsx
+
+    cols = list(pdf.columns)
+    data = [cols] + [
+        [_py(v) for v in rec] for rec in pdf.itertuples(index=False)
+    ]
+    main = Sheet(
+        name="Transactions",
+        rows=data,
+        col_widths={
+            i: widths.get(c, 12) for i, c in enumerate(cols, start=1)
+        },
+        currency_cols=frozenset(
+            {cols.index("Amount") + 1} if "Amount" in cols else ()
+        ),
+        center_cols=frozenset(
+            {cols.index("Date") + 1} if "Date" in cols else ()
+        ),
+        freeze_header=True,
+    )
+    sheets = [main]
+    if opts is not None and len(opts):
+        dd_rows: list[list] = []
+        col_map: dict[str, tuple[int, int]] = {}
+        groups = [(t, g) for t, g in opts.groupby("code_type")]
+        for j, (ctype, group) in enumerate(groups, start=1):
+            col_map[ctype] = (j, len(group))
+            for i, opt in enumerate(group["option"]):
+                while len(dd_rows) < i + 2:
+                    dd_rows.append([None] * len(groups))
+                dd_rows[i + 1][j - 1] = opt
+            if not dd_rows:
+                dd_rows.append([None] * len(groups))
+            dd_rows[0][j - 1] = ctype
+        dd = Sheet(
+            name="Dropdown_Lists", rows=dd_rows,
+            header_style=False, hidden=True,
+        )
+        for ctype, (j, count) in col_map.items():
+            target = _DROPDOWN_TARGETS.get(ctype)
+            if target is None or target not in cols:
+                continue
+            letter = column_letter(j)
+            out_letter = column_letter(cols.index(target) + 1)
+            main.validations.append(Validation(
+                sqref=f"{out_letter}2:{out_letter}{len(data)}",
+                formula=(
+                    f"Dropdown_Lists!${letter}$2:${letter}${count + 1}"
+                ),
+                prompt=f"Please select a {target} from the dropdown",
+                error=f"Invalid {target}",
+            ))
+        sheets.append(dd)
+    return write_xlsx(out_path, sheets)
+
+
+def _write_workbook_openpyxl(pdf, widths, opts, out_path: str) -> str:
+    import openpyxl
+    from openpyxl.styles import Alignment, Border, Font, PatternFill, Side
+    from openpyxl.utils import get_column_letter
+    from openpyxl.worksheet.datavalidation import DataValidation
 
     wb = openpyxl.Workbook()
     ws = wb.active
@@ -135,9 +212,8 @@ def write_workbook(
         ws.column_dimensions[get_column_letter(i)].width = widths.get(col, 12)
     ws.freeze_panes = "A2"
 
-    if codes is not None:
+    if opts is not None and len(opts):
         dd = wb.create_sheet("Dropdown_Lists")
-        opts = dropdown_options(codes).toPandas()
         col_map = {}
         for j, (ctype, group) in enumerate(opts.groupby("code_type"), start=1):
             dd.cell(row=1, column=j, value=ctype)
@@ -145,9 +221,8 @@ def write_workbook(
                 dd.cell(row=i, column=j, value=opt)
             col_map[ctype] = (j, len(group))
         dd.sheet_state = "hidden"
-        target = {"gl": "G/L Account", "location": "Location",
-                  "program": "Program", "funder": "Funder", "dept": "Dept"}
         for ctype, (j, count) in col_map.items():
+            target = _DROPDOWN_TARGETS
             if ctype not in target or target[ctype] not in pdf.columns:
                 continue
             letter = get_column_letter(j)

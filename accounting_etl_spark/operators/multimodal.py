@@ -7,12 +7,15 @@ image/audio/video ride as ``binary`` columns; decode / feature
 extraction runs in Arrow-batched ``mapInPandas`` so payload bytes
 never leave the executor.
 
-The actual codecs are NOT in this container, so ``real_decode=True``
-raises ``NotImplementedError`` at the decode site; the default path
-produces a deterministic fake feature set (derived from the payload
-md5) with the REAL Spark plumbing: output schema, batch iteration,
-and partition behavior are exactly what a libjpeg/ffmpeg-backed
-version would use.
+``real_decode=True`` decodes REAL payloads: PIL/ffmpeg when
+installed, else the pure-stdlib codecs in
+:mod:`accounting_etl_spark.operators.media_codec` (24-bit BMP, binary
+PPM, PCM WAV, the BMPS frame-sequence test container). Payloads whose
+magic matches no available codec raise ``NotImplementedError`` at the
+decode site. The default (``real_decode=False``) keeps the
+deterministic fake feature set (derived from the payload md5) for
+oracle-stable tests; plumbing — output schema, batch iteration,
+partition behavior — is identical on both paths.
 """
 
 from __future__ import annotations
@@ -54,14 +57,65 @@ def extract_media_features(
     from the payload checksum so tests are stable.
     """
 
+    def _real_features(doc_id: int, payload: bytes) -> dict:
+        from . import media_codec as mc
+
+        digest = hashlib.md5(payload).hexdigest()
+        base = {
+            "doc_id": doc_id, "n_bytes": len(payload), "checksum": digest,
+            "width": None, "height": None, "n_frames": None,
+            "sample_rate": None,
+        }
+        vid = mc.decode_bmps(payload)
+        if vid is not None:
+            frames, _fps = vid
+            h, w, _ = frames[0].shape
+            return {**base, "modality": "video", "width": w, "height": h,
+                    "n_frames": len(frames)}
+        img = mc.decode_image(payload)
+        if img is None:
+            try:  # PIL handles jpeg/png/... when installed
+                import io
+
+                from PIL import Image
+
+                with Image.open(io.BytesIO(payload)) as im:
+                    img_w, img_h = im.size
+                return {**base, "modality": "image", "width": img_w,
+                        "height": img_h, "n_frames": 1}
+            except ImportError:
+                pass
+            except Exception:
+                img = None
+        if img is not None:
+            h, w, _ = img.shape
+            return {**base, "modality": "image", "width": w, "height": h,
+                    "n_frames": 1}
+        aud = mc.decode_wav(payload)
+        if aud is not None:
+            samples, rate = aud
+            return {**base, "modality": "audio", "sample_rate": rate,
+                    "n_frames": len(samples)}
+        raise NotImplementedError(
+            f"NotImplementedError: no available media codec matches "
+            f"payload magic {payload[:4]!r}; built-in codecs cover "
+            f"BMP/PPM/WAV/BMPS, others need PIL/ffmpeg"
+        )
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_decode:
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg) are not available in this "
-                    "container; run with real_decode=False for the "
-                    "deterministic fake decode"
+                yield pd.DataFrame(
+                    [
+                        _real_features(int(doc_id), bytes(content))
+                        for doc_id, content in zip(
+                            pdf["doc_id"], pdf["content"]
+                        )
+                    ],
+                    columns=["doc_id", "modality", "n_bytes", "checksum",
+                             "width", "height", "n_frames", "sample_rate"],
                 )
+                continue
             out = []
             for doc_id, modality, content in zip(
                 pdf["doc_id"], pdf["modality"], pdf["content"]
@@ -108,16 +162,40 @@ def sample_frames(
     bytes stay executor-side as ``binary``, timestamps are exact
     integer milliseconds. The fake decoder derives a deterministic
     frame count from the checksum and slices payload bytes as fake
-    frames; ``real_decode=True`` raises until codecs exist.
+    frames; ``real_decode=True`` decodes BMPS frame-sequence payloads
+    with the built-in codec (other containers need ffmpeg).
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import media_codec as mc
+
         for pdf in batches:
             if real_decode:
-                raise NotImplementedError(
-                    "video codecs (ffmpeg) are not available in this "
-                    "container; run with real_decode=False"
+                out = []
+                for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                    vid = mc.decode_bmps(bytes(content))
+                    if vid is None:
+                        raise NotImplementedError(
+                            "NotImplementedError: real frame sampling "
+                            "covers the BMPS container; other video "
+                            "formats need ffmpeg"
+                        )
+                    frames, fps = vid
+                    for taken, idx in enumerate(
+                        range(0, len(frames), every_n)
+                    ):
+                        if taken >= max_frames:
+                            break
+                        out.append({
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "ts_ms": idx * 1000 // fps,
+                            "frame": mc.encode_bmp(frames[idx]),
+                        })
+                yield pd.DataFrame(
+                    out, columns=["doc_id", "frame_idx", "ts_ms", "frame"]
                 )
+                continue
             out = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 payload = bytes(content)
@@ -155,19 +233,36 @@ def resize_images(
 ) -> DataFrame:
     """Image payloads → fixed-size payloads (binary→binary map).
 
-    The PIL-backed version would decode, resize, re-encode; the fake
-    keeps the plumbing honest — output bytes are a deterministic
+    ``real_decode=True`` decodes BMP/PPM with the built-in codecs,
+    resamples nearest-neighbor in numpy, and re-encodes BMP (PIL would
+    add jpeg/png). The fake path keeps output bytes a deterministic
     function of (payload, width, height) with the declared target
     dimensions in typed columns.
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import media_codec as mc
+
         for pdf in batches:
             if real_decode:
-                raise NotImplementedError(
-                    "image codecs (PIL) are not available in this "
-                    "container; run with real_decode=False"
+                out = []
+                for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                    img = mc.decode_image(bytes(content))
+                    if img is None:
+                        raise NotImplementedError(
+                            "NotImplementedError: real resize covers "
+                            "BMP/PPM payloads; jpeg/png need PIL"
+                        )
+                    small = mc.resize_nearest(img, width, height)
+                    out.append({
+                        "doc_id": int(doc_id), "width": width,
+                        "height": height,
+                        "content": mc.encode_bmp(small),
+                    })
+                yield pd.DataFrame(
+                    out, columns=["doc_id", "width", "height", "content"]
                 )
+                continue
             out = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 payload = bytes(content)

@@ -308,3 +308,68 @@ def write_statement_pdfs(dirpath, *, compress: bool = True) -> None:
     d.mkdir(parents=True, exist_ok=True)
     for name, pages in statement_pdf_pages().items():
         (d / name).write_bytes(write_pdf(pages, compress=compress))
+
+
+def coa_pdf_pages() -> list[list[tuple]]:
+    """The COA_ROWS cell grid as rendered PDF pages: two-column code
+    tables at x=50/x=150, 15pt row pitch, 50pt inter-table gaps (the
+    words→grid operator splits tables at >=18pt). Cell content and
+    expected extract_codes output match the literal COA_ROWS fixture;
+    empty cells are simply unrendered words."""
+    s = 10.0
+
+    def table(y0, rows):
+        cmds = []
+        for i, (c0, c1) in enumerate(rows):
+            y = y0 + 15 * i
+            if c0:
+                cmds.append((c0, 50, y, s))
+            if c1:
+                cmds.append((c1, 150, y, s))
+        return cmds
+
+    p1 = table(100, [
+        ("FUNDER CODE", "FUNDER NAME"),
+        ("1001", "General Fund"),
+        ("1002", "Capital Fund"),
+        ("1001", "General Fund Revised"),
+        ("12", "Too Short"),
+        (None, "Empty Code"),
+        ("1003", None),
+    ]) + table(295, [
+        ("EXP/GL CODE", "DESCRIPTION"),
+        ("50010", "Salaries"),
+        ("50020", "Benefits"),
+        ("5003", "Wrong Width"),
+    ])
+    p2 = table(100, [
+        ("LOC CODE", "SITE"),
+        ("01", "Main Office"),
+        ("02", "Annex"),
+        ("003", "Wrong Width"),
+    ]) + table(210, [
+        ("PROG CODE", "PROGRAM"),
+        ("7", "Outreach"),
+        ("712", "Education"),
+        ("71A", "Not Numeric"),
+    ])
+    p3 = table(100, [
+        ("DEPT CODE", "DEPARTMENT"),
+        ("300", "Finance"),
+        ("CODE 301", "Has Code Word"),
+        ("302", "Operations"),
+    ]) + table(210, [
+        ("MISC", "STUFF"),
+        ("999", "Ignored"),
+    ])
+    return [p1, p2, p3]
+
+
+def write_coa_pdf(dirpath, *, name: str = "coa.pdf") -> None:
+    import pathlib
+
+    from ..sources.pdf_codec import write_pdf
+
+    d = pathlib.Path(dirpath)
+    d.mkdir(parents=True, exist_ok=True)
+    (d / name).write_bytes(write_pdf(coa_pdf_pages()))

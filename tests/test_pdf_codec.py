@@ -134,3 +134,64 @@ def test_statement_pipeline_on_real_pdf_bytes(spark, tmp_path):
         for r in out
     }
     assert got == FX.STATEMENT_PDF_EXPECTED
+
+
+def test_coa_codes_from_real_pdf_bytes(spark, tmp_path):
+    """S4 end-to-end on real bytes: COA PDF → words → distributed
+    cell-grid reconstruction (operators/table_grid.py) → the COA
+    classification/gating pipeline — same expected codes as the
+    literal cell fixture (test_statement.py::test_coa_expected_codes)."""
+    from accounting_etl_spark.operators.table_grid import words_to_cells
+    from accounting_etl_spark.plans import fixtures as FX
+    from accounting_etl_spark.plans.coa import extract_codes
+    from accounting_etl_spark.sources.binary_files import (
+        scan_binary_files,
+        words_from_pdfs,
+    )
+
+    FX.write_coa_pdf(tmp_path / "coa")
+    binaries = scan_binary_files(spark, str(tmp_path / "coa"))
+    # COA pages have no 'Transaction Details' marker: use the raw
+    # extractor (P1 is a statement-pipeline predicate)
+    words = words_from_pdfs(binaries, extractor=pdf_codec.extract_words)
+    cells = words_to_cells(words)
+    got = {
+        (r.code_type, r.code): r.name for r in extract_codes(cells).collect()
+    }
+    assert got == {
+        ("funder", "1001"): "General Fund Revised",
+        ("funder", "1002"): "Capital Fund",
+        ("gl", "50010"): "Salaries",
+        ("gl", "50020"): "Benefits",
+        ("location", "01"): "Main Office",
+        ("location", "02"): "Annex",
+        ("program", "7"): "Outreach",
+        ("program", "712"): "Education",
+        ("dept", "300"): "Finance",
+        ("dept", "302"): "Operations",
+    }
+
+
+def test_words_to_cells_grid_shape(spark):
+    """Grid mechanics in isolation: multi-word cells merge, missing
+    cells are null slots, tables split on the vertical gap."""
+    from accounting_etl_spark.operators.table_grid import words_to_cells
+    from accounting_etl_spark.plans import fixtures as FX
+    from accounting_etl_spark.sources.binary_files import words_from_pdfs
+
+    pdf_bytes = pdf_codec.write_pdf(FX.coa_pdf_pages()[:1])
+    words = [
+        ("p.pdf", pg, t, x0, x1, top, bot)
+        for (pg, t, x0, x1, top, bot) in pdf_codec.extract_words(pdf_bytes)
+    ]
+    df = spark.createDataFrame(words, FX.WORDS_DDL)
+    cells = words_to_cells(df).collect()
+    by_key = {
+        (r.page, r.table_idx, r.row_idx): r.cells for r in cells
+    }
+    assert by_key[(1, 0, 0)] == ["FUNDER CODE", "FUNDER NAME"]
+    assert by_key[(1, 0, 3)] == ["1001", "General Fund Revised"]
+    assert by_key[(1, 0, 5)] == [None, "Empty Code"]
+    assert by_key[(1, 0, 6)] == ["1003", None]
+    assert by_key[(1, 1, 0)] == ["EXP/GL CODE", "DESCRIPTION"]
+    assert max(r.table_idx for r in cells) == 1

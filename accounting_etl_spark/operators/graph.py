@@ -12,9 +12,11 @@ Scale notes:
 - each round is one equi-join + one groupBy (shuffles on node id) —
   no all-pairs anything; rounds are bounded by the component
   diameter, and near-dup clusters are short-diameter in practice;
-- ``localCheckpoint`` truncates lineage per round (executor-side
-  materialization, NOT a driver collect) — without it the plan
-  doubles every iteration, the classic iterative-algorithm failure;
+- ``stable_checkpoint`` truncates lineage per round (executor-side
+  materialization locally, reliable-dir ``checkpoint`` when
+  ``SPARK_GRAFT_CHECKPOINT_DIR`` is set on a cluster) — without it
+  the plan doubles every iteration, the classic iterative-algorithm
+  failure;
 - the convergence probe is a scalar ``count`` per round (the one
   driver-visible value, same contract as any aggregate). For graphs
   with pathological diameters, the large-star/small-star variant
@@ -26,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.checkpointing import stable_checkpoint
 
 
 def connected_components(
@@ -50,9 +54,9 @@ def connected_components(
     # one lazy executor-side materialization of the edge list: the
     # upstream pair generator (shingling, banding, ...) must run once,
     # not once per derived reference / iteration
-    edges = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=False)
+    edges = stable_checkpoint(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
     nodes = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
@@ -68,9 +72,9 @@ def connected_components(
             adj.join(labels, adj["u"] == labels["node"])
             .select(F.col("v").alias("node"), "label")
         )
-        new_labels = (
+        new_labels = stable_checkpoint(
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=False)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -387,3 +387,56 @@ def test_range_self_join_matches_brute_force(spark, seed):
     # sorted-list compare: each true pair must appear EXACTLY once
     # (the operator has no trailing distinct — duplicates would show)
     assert got == sorted(expected), f"seed={seed} window={window}"
+
+
+# ---- PDF codec round-trip properties (no Spark) ---------------------
+
+_pdf_word = st.text(
+    alphabet=st.characters(
+        min_codepoint=33, max_codepoint=126  # printable, no space
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    words=st.lists(
+        st.tuples(
+            _pdf_word,
+            st.floats(20, 500),   # x
+            st.floats(20, 700),   # y from top
+            st.floats(6, 24),     # size
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    compress=st.booleans(),
+)
+def test_pdf_codec_round_trip_properties(words, compress):
+    """write_pdf → extract_words recovers every word with Courier-
+    metric positions regardless of text content (escaping incl. parens
+    and backslashes), draw order, or stream compression."""
+    from accounting_etl_spark.sources import pdf_codec
+
+    # keep draws on distinct baselines so fragment merging is not in
+    # play (merge semantics are pinned by the TJ unit test); hypothesis
+    # jitter would otherwise place two draws at near-identical (x, y)
+    laid = [
+        (t, x, 30.0 + 50.0 * i, s)
+        for i, (t, x, _y, s) in enumerate(words[:12])
+    ]
+    payload = pdf_codec.write_pdf([laid], compress=compress)
+    got = pdf_codec.extract_words(payload)
+    assert len(got) == len(laid)
+    got_sorted = sorted(got, key=lambda w: w[4])  # by top == draw order
+    for (text, x, y, size), (page, gtext, gx0, gx1, gtop, gbot) in zip(
+        laid, got_sorted
+    ):
+        assert page == 1
+        assert gtext == text
+        assert abs(gx0 - x) < 0.02  # writer rounds coords to 2dp
+        assert abs((gx1 - gx0) - 0.6 * size * len(text)) < 0.05
+        assert abs(gtop - (y - 0.629 * size)) < 0.05
+        assert gbot > gtop

@@ -10,7 +10,8 @@ never leave the executor.
 ``real_decode=True`` decodes REAL payloads: PIL/ffmpeg when
 installed, else the pure-stdlib codecs in
 :mod:`accounting_etl_spark.operators.media_codec` (24-bit BMP, binary
-PPM, PCM WAV, the BMPS frame-sequence test container). Payloads whose
+PPM, PNG, GIF, PCM WAV, the BMPS frame-sequence test container).
+Payloads whose
 magic matches no available codec raise ``NotImplementedError`` at the
 decode site. The default (``real_decode=False``) keeps the
 deterministic fake feature set (derived from the payload md5) for
@@ -74,7 +75,7 @@ def extract_media_features(
                     "n_frames": len(frames)}
         img = mc.decode_image(payload)
         if img is None:
-            try:  # PIL handles jpeg/png/... when installed
+            try:  # PIL handles jpeg/webp/... when installed
                 import io
 
                 from PIL import Image
@@ -99,7 +100,7 @@ def extract_media_features(
         raise NotImplementedError(
             f"NotImplementedError: no available media codec matches "
             f"payload magic {payload[:4]!r}; built-in codecs cover "
-            f"BMP/PPM/WAV/BMPS, others need PIL/ffmpeg"
+            f"BMP/PPM/PNG/GIF/WAV/BMPS, others need PIL/ffmpeg"
         )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -233,9 +234,9 @@ def resize_images(
 ) -> DataFrame:
     """Image payloads → fixed-size payloads (binary→binary map).
 
-    ``real_decode=True`` decodes BMP/PPM with the built-in codecs,
+    ``real_decode=True`` decodes BMP/PPM/PNG/GIF with the built-in codecs,
     resamples nearest-neighbor in numpy, and re-encodes BMP (PIL would
-    add jpeg/png). The fake path keeps output bytes a deterministic
+    add jpeg/webp). The fake path keeps output bytes a deterministic
     function of (payload, width, height) with the declared target
     dimensions in typed columns.
     """
@@ -251,7 +252,7 @@ def resize_images(
                     if img is None:
                         raise NotImplementedError(
                             "NotImplementedError: real resize covers "
-                            "BMP/PPM payloads; jpeg/png need PIL"
+                            "BMP/PPM/PNG/GIF payloads; jpeg needs PIL"
                         )
                     small = mc.resize_nearest(img, width, height)
                     out.append({

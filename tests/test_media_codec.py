@@ -139,3 +139,162 @@ def test_real_decode_unknown_magic_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError"):
         extract_media_features(df, real_decode=True).collect()
+
+
+# ---------------- PNG ------------------------------------------------
+
+
+def _png_filter_forward(img, filters):
+    """Independent forward filtering (PNG spec §9 math re-derived in
+    the test) so decode is checked against a second implementation,
+    not just our own encoder."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(int)
+    raw = bytearray()
+    for y, ft in enumerate(filters):
+        prev = flat[y - 1] if y else np.zeros(stride, int)
+        line = flat[y]
+        out = np.empty(stride, int)
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (line[x] - pred) % 256
+        raw += bytes([ft]) + bytes(out.astype(np.uint8))
+    return bytes(raw)
+
+
+def _png_from_raw(w, h, ctype, raw, plte=b""):
+    import struct as st
+    import zlib
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    body = mc._png_chunk(b"IHDR", ihdr)
+    if plte:
+        body += mc._png_chunk(b"PLTE", plte)
+    # split IDAT in two chunks to exercise concatenation
+    z = zlib.compress(raw)
+    body += mc._png_chunk(b"IDAT", z[:7]) + mc._png_chunk(b"IDAT", z[7:])
+    return mc._PNG_SIG + body + mc._png_chunk(b"IEND", b"")
+
+
+def test_png_round_trip():
+    img = _img(7, 5, seed=3)
+    assert np.array_equal(mc.decode_png(mc.encode_png(img)), img)
+    assert mc.decode_png(b"\x89PNG....") is None
+    # sniffer dispatch reaches PNG
+    assert np.array_equal(mc.decode_image(mc.encode_png(img)), img)
+
+
+def test_png_all_filter_types():
+    img = _img(5, 4, seed=4)
+    raw = _png_filter_forward(img, [0, 1, 2, 3, 4])
+    assert np.array_equal(mc.decode_png(_png_from_raw(4, 5, 2, raw)), img)
+
+
+def test_png_gray_palette_rgba():
+    # grayscale (ctype 0): luma replicated to 3 channels
+    gray = _img(3, 4, seed=5)[:, :, 0]
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+    out = mc.decode_png(_png_from_raw(4, 3, 0, raw))
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+    # palette (ctype 3)
+    plte = bytes(range(30))  # 10 RGB entries
+    idx = np.array([[0, 9, 3, 7], [5, 1, 8, 2], [4, 6, 0, 9]], np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    out = mc.decode_png(_png_from_raw(4, 3, 3, raw, plte=plte))
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    assert np.array_equal(out, pal[idx])
+    # RGBA (ctype 6): alpha dropped
+    rgba = np.dstack([_img(3, 4, seed=6), np.full((3, 4), 128, np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    out = mc.decode_png(_png_from_raw(4, 3, 6, raw))
+    assert np.array_equal(out, rgba[:, :, :3])
+
+
+def test_png_interlace_raises():
+    import struct as st
+    import zlib
+
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    payload = (
+        mc._PNG_SIG
+        + mc._png_chunk(b"IHDR", ihdr)
+        + mc._png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + mc._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlace"):
+        mc.decode_png(payload)
+
+
+# ---------------- GIF ------------------------------------------------
+
+
+def _encode_gif(idx, pal_bits=7):
+    """Minimal test-side GIF89a encoder using the classic
+    'uncompressed LZW' trick: emit a clear code before every pixel so
+    the code size never grows."""
+    import struct as st
+
+    h, w = idx.shape
+    n_colors = 2 << pal_bits
+    min_code = 8
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    bits = bytearray()
+    bitbuf = bitlen = 0
+
+    def emit(code):
+        nonlocal bitbuf, bitlen
+        bitbuf |= code << bitlen
+        bitlen += code_size
+        while bitlen >= 8:
+            bits.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitlen -= 8
+
+    emit(clear)
+    for px in idx.reshape(-1):
+        emit(int(px))
+        emit(clear)
+    emit(end)
+    if bitlen:
+        bits.append(bitbuf & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", w, h, 0x80 | pal_bits, 0, 0)
+    # gray palette: entry i = (i, i, i)
+    out += bytes(v for i in range(n_colors) for v in (i % 256,) * 3)
+    # graphic control extension (exercises the extension-skip path)
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, 0) + bytes([min_code])
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_first_frame():
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    gif = _encode_gif(idx)
+    out = mc.decode_gif(gif)
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    assert np.array_equal(out, pal[idx])
+    assert mc.decode_gif(b"notagif") is None
+    # sniffer dispatch reaches GIF
+    assert np.array_equal(mc.decode_image(gif), pal[idx])

@@ -411,6 +411,43 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM rarity audit (operators/lm_filter.py — the
+    CCNet/KenLM perplexity-filter signal as two count tables + two
+    equi-joins). Model trained on the even-doc_id half, the odd half
+    scored against it. Per source: docs scored (n), bigrams scored
+    (v1), unseen-in-reference bigrams (v2), rare fraction (v3). The
+    rollup pins the all-integer join/count plumbing; the float
+    cross-entropy itself is unit-checked against NumPy (double sums
+    are float-order-dependent, same policy as trained centroids)."""
+    from ..operators.lm_filter import score_perplexity, train_bigram_lm
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scored = score_perplexity(
+        lm, docs.filter(F.col("doc_id") % 2 == 1)
+    )
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("bg"),
+            F.sum("n_unseen").alias("unseen"),
+            F.sum("n_rare").alias("rare"),
+        )
+        .select(
+            F.lit("lm").alias("variant"),
+            F.col("source").alias("grp"),
+            F.col("n_docs").cast("bigint").alias("n"),
+            F.col("bg").cast("double").alias("v1"),
+            F.col("unseen").cast("double").alias("v2"),
+            (F.col("rare").cast("double") / F.col("bg").cast("double"))
+            .alias("v3"),
+        )
+    )
+
+
 def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles + fixed-width histogram + stratified-sample
     audit + sequence-packing audit + token-budget audit +
@@ -420,7 +457,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant 'hist': grp = bucket id, v1/v2 = lo/hi, v3 = bucket
     start. variant 'sample': see q_sample_stats. variant 'pack': see
     q_pack_stats. variant 'budget': see q_budget_stats. variant
-    'span': see q_span_stats."""
+    'span': see q_span_stats. variant 'lm': see q_lm_stats."""
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -443,6 +480,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_pack_stats(spark, sf_dir))
         .unionByName(q_budget_stats(spark, sf_dir))
         .unionByName(q_span_stats(spark, sf_dir))
+        .unionByName(q_lm_stats(spark, sf_dir))
     )
 
 
@@ -534,6 +572,8 @@ FROM (
 GROUP BY source
 UNION ALL
 SELECT * FROM ({{span_sql}})
+UNION ALL
+SELECT * FROM ({{lm_sql}})
 """
 
 
@@ -578,7 +618,55 @@ GROUP BY source
 """
 
 
-_DIST_STATS_SQL = _dist_stats_sql().replace("{span_sql}", _SPAN_SQL)
+# bigram LM rarity: model = counts over the even-doc_id half; the odd
+# half left-joins it — identical add-one plumbing, all-integer rollup
+_LM_SQL = """
+WITH tk AS (
+  SELECT doc_id, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+           i -> {'w1': t[i], 'w2': t[i + 1]})) AS g
+  FROM tk
+), ref_uni AS (
+  SELECT w1, count(*) AS u_cnt FROM (
+    SELECT unnest(t) AS w1 FROM tk WHERE doc_id % 2 = 0
+  ) GROUP BY w1
+), ref_bi AS (
+  SELECT struct_extract(g, 'w1') AS w1, struct_extract(g, 'w2') AS w2,
+         count(*) AS b_cnt
+  FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_id, struct_extract(g, 'w1') AS w1,
+         struct_extract(g, 'w2') AS w2
+  FROM bg WHERE doc_id % 2 = 1
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         count(CASE WHEN coalesce(b_cnt, 0) = 0 THEN 1 END) AS n_unseen,
+         count(CASE WHEN coalesce(b_cnt, 0) <= 1 THEN 1 END) AS n_rare
+  FROM pairs
+  LEFT JOIN ref_bi USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT 'lm' AS variant, source AS grp,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(coalesce(n_bigrams, 0)) AS DOUBLE) AS v1,
+  CAST(sum(coalesce(n_unseen, 0)) AS DOUBLE) AS v2,
+  CAST(sum(coalesce(n_rare, 0)) AS DOUBLE)
+    / CAST(sum(coalesce(n_bigrams, 0)) AS DOUBLE) AS v3
+FROM (SELECT doc_id, source FROM tk WHERE doc_id % 2 = 1) d
+LEFT JOIN per_doc USING (doc_id)
+GROUP BY source
+"""
+
+
+_DIST_STATS_SQL = (
+    _dist_stats_sql()
+    .replace("{span_sql}", _SPAN_SQL)
+    .replace("{lm_sql}", _LM_SQL)
+)
 
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,6 +718,7 @@ QUERIES["dist_stats"] = Q(
         "pack": q_pack_stats,
         "budget": q_budget_stats,
         "span": q_span_stats,
+        "lm": q_lm_stats,
     },
 )
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)

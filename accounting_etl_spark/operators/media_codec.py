@@ -15,6 +15,8 @@ fully stubbed:
   filter 0). Adam7 interlace raises ``NotImplementedError``.
 - **GIF** (87a/89a): stdlib-only LZW decode of the first frame,
   global/local color tables, interlaced row order.
+- **JPEG** (baseline, via :mod:`.jpeg_codec`): numpy DCT encoder and
+  Huffman decoder — see that module; progressive raises.
 - **WAV** (RIFF PCM) via the stdlib ``wave`` module: samples +
   sample-rate + channel metadata.
 - **Nearest-neighbor resize** in numpy — the PIL-free resize kernel.
@@ -322,8 +324,16 @@ def decode_gif(payload: bytes) -> np.ndarray | None:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Sniff-and-decode any supported still-image format."""
-    for dec in (decode_bmp, decode_ppm, decode_png, decode_gif):
+    """Sniff-and-decode any supported still-image format.
+
+    Raises ``NotImplementedError`` for a recognized format whose
+    variant is unsupported (progressive JPEG, interlaced PNG, 16-bit
+    depth) — callers with PIL installed may catch it and fall back.
+    """
+    from .jpeg_codec import decode_jpeg
+
+    for dec in (decode_bmp, decode_ppm, decode_png, decode_gif,
+                decode_jpeg):
         img = dec(payload)
         if img is not None:
             return img

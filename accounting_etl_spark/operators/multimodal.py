@@ -10,7 +10,7 @@ never leave the executor.
 ``real_decode=True`` decodes REAL payloads: PIL/ffmpeg when
 installed, else the pure-stdlib codecs in
 :mod:`accounting_etl_spark.operators.media_codec` (24-bit BMP, binary
-PPM, PNG, GIF, PCM WAV, the BMPS frame-sequence test container).
+PPM, PNG, GIF, baseline JPEG, PCM WAV, the BMPS test container).
 Payloads whose
 magic matches no available codec raise ``NotImplementedError`` at the
 decode site. The default (``real_decode=False``) keeps the
@@ -73,9 +73,12 @@ def extract_media_features(
             h, w, _ = frames[0].shape
             return {**base, "modality": "video", "width": w, "height": h,
                     "n_frames": len(frames)}
-        img = mc.decode_image(payload)
+        try:
+            img = mc.decode_image(payload)
+        except NotImplementedError:
+            img = None  # recognized but unsupported variant: try PIL
         if img is None:
-            try:  # PIL handles jpeg/webp/... when installed
+            try:  # PIL handles webp/progressive-jpeg/... when installed
                 import io
 
                 from PIL import Image
@@ -100,7 +103,7 @@ def extract_media_features(
         raise NotImplementedError(
             f"NotImplementedError: no available media codec matches "
             f"payload magic {payload[:4]!r}; built-in codecs cover "
-            f"BMP/PPM/PNG/GIF/WAV/BMPS, others need PIL/ffmpeg"
+            f"BMP/PPM/PNG/GIF/JPEG/WAV/BMPS, others need PIL/ffmpeg"
         )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,7 +237,8 @@ def resize_images(
 ) -> DataFrame:
     """Image payloads → fixed-size payloads (binary→binary map).
 
-    ``real_decode=True`` decodes BMP/PPM/PNG/GIF with the built-in codecs,
+    ``real_decode=True`` decodes BMP/PPM/PNG/GIF/JPEG with the built-in
+    codecs,
     resamples nearest-neighbor in numpy, and re-encodes BMP (PIL would
     add jpeg/webp). The fake path keeps output bytes a deterministic
     function of (payload, width, height) with the declared target
@@ -252,7 +256,7 @@ def resize_images(
                     if img is None:
                         raise NotImplementedError(
                             "NotImplementedError: real resize covers "
-                            "BMP/PPM/PNG/GIF payloads; jpeg needs PIL"
+                            "BMP/PPM/PNG/GIF/JPEG payloads; webp needs PIL"
                         )
                     small = mc.resize_nearest(img, width, height)
                     out.append({

@@ -1,14 +1,15 @@
-"""Built-in media codecs (operators/media_codec.py) and the
-real-decode multimodal paths: BMP/PPM/WAV/BMPS round-trips in plain
-numpy, then the Spark operators decoding REAL payload bytes (closes
-the "multimodal decode is fully stubbed" partial grade — only
-jpeg/png/mp4 stay behind PIL/ffmpeg)."""
+"""Built-in media codecs (operators/media_codec.py, jpeg_codec.py)
+and the real-decode multimodal paths: BMP/PPM/PNG/GIF/JPEG/WAV/BMPS
+round-trips in plain numpy, then the Spark operators decoding REAL
+payload bytes; only webp and real video containers still need
+PIL/ffmpeg."""
 
 from __future__ import annotations
 
 import numpy as np
 import pytest
 
+from accounting_etl_spark.operators import jpeg_codec as jpeg
 from accounting_etl_spark.operators import media_codec as mc
 
 
@@ -80,6 +81,9 @@ def media_df(spark):
             np.zeros(1600, np.int16), 16000))),
         (4, "video", bytearray(mc.encode_bmps(
             [_img(6, 8, seed=i) for i in range(90)], fps=30))),
+        (5, "image", bytearray(
+            jpeg.encode_jpeg(_img(12, 20, seed=9), quality=95))),
+        (6, "image", bytearray(mc.encode_png(_img(10, 14, seed=4)))),
     ]
     return spark.createDataFrame(
         rows, "doc_id bigint, modality string, content binary"
@@ -101,6 +105,9 @@ def test_real_decode_features(spark, media_df):
     assert pdf.loc[3, "n_frames"] == 1600
     assert pdf.loc[4, "modality"] == "video"
     assert pdf.loc[4, "n_frames"] == 90 and pdf.loc[4, "width"] == 8
+    # jpeg and png rows decode through the built-in codecs
+    assert pdf.loc[5, "width"] == 20 and pdf.loc[5, "height"] == 12
+    assert pdf.loc[6, "width"] == 14 and pdf.loc[6, "height"] == 10
 
 
 def test_real_resize_and_frame_sampling(spark, media_df):
@@ -113,10 +120,11 @@ def test_real_resize_and_frame_sampling(spark, media_df):
         resize_images(media_df, width=8, height=8, real_decode=True)
         .toPandas().set_index("doc_id")
     )
-    # both image rows resized; payload is a decodable 8x8 BMP
-    assert sorted(out.index) == [1, 2]
-    small = mc.decode_bmp(bytes(out.loc[1, "content"]))
-    assert small.shape == (8, 8, 3)
+    # all image rows (bmp/ppm/jpeg/png) resized; payload is an 8x8 BMP
+    assert sorted(out.index) == [1, 2, 5, 6]
+    for i in (1, 5, 6):
+        small = mc.decode_bmp(bytes(out.loc[i, "content"]))
+        assert small.shape == (8, 8, 3)
 
     frames = (
         sample_frames(media_df, every_n=30, max_frames=4, real_decode=True)
@@ -134,11 +142,89 @@ def test_real_decode_unknown_magic_raises(spark):
     )
 
     df = spark.createDataFrame(
-        [(9, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg"))],
+        [(9, "image", bytearray(b"\x00WEIRD unknown container"))],
         "doc_id bigint, modality string, content binary",
     )
     with pytest.raises(Exception, match="NotImplementedError"):
         extract_media_features(df, real_decode=True).collect()
+
+
+# ---------------- JPEG (operators/jpeg_codec.py) ----------------------
+
+
+def test_jpeg_round_trip_smooth_gradient():
+    from accounting_etl_spark.operators import jpeg_codec as jc
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 // (w - 1),
+            yy * 255 // (h - 1),
+            (xx + yy) * 255 // (w + h - 2),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    # lossy, but smooth content at q95 stays within a few levels
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+    assert jc.decode_jpeg(b"notajpeg") is None
+
+
+def test_jpeg_solid_color_is_exact():
+    from accounting_etl_spark.operators import jpeg_codec as jc
+
+    solid = np.full((16, 16, 3), 137, np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg(solid, quality=90))
+    assert np.abs(out.astype(int) - 137).max() == 0
+
+
+def test_jpeg_noise_odd_dims_and_stuffing():
+    from accounting_etl_spark.operators import jpeg_codec as jc
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    jp = jc.encode_jpeg(img, quality=95)
+    # noise maximizes entropy: the stuffed-0xFF path must be hit
+    assert any(
+        jp[i] == 0xFF and jp[i + 1] == 0x00 for i in range(2, len(jp) - 2)
+    )
+    out = jc.decode_jpeg(jp)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 8  # quantization noise, bounded
+
+    # sniffer dispatch reaches JPEG
+    assert np.array_equal(mc.decode_image(jp), out)
+
+
+def test_jpeg_quality_tradeoff():
+    from accounting_etl_spark.operators import jpeg_codec as jc
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    hi = jc.encode_jpeg(img, quality=95)
+    lo = jc.encode_jpeg(img, quality=30)
+    assert len(lo) < len(hi)  # stronger quantization compresses more
+    err_hi = np.abs(
+        jc.decode_jpeg(hi).astype(int) - img.astype(int)
+    ).mean()
+    err_lo = np.abs(
+        jc.decode_jpeg(lo).astype(int) - img.astype(int)
+    ).mean()
+    assert err_hi < err_lo
+
+
+def test_jpeg_progressive_raises():
+    from accounting_etl_spark.operators import jpeg_codec as jc
+
+    img = np.full((8, 8, 3), 99, np.uint8)
+    jp = bytearray(jc.encode_jpeg(img))
+    sof = jp.find(b"\xff\xc0")
+    jp[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jc.decode_jpeg(bytes(jp))
 
 
 # ---------------- PNG ------------------------------------------------

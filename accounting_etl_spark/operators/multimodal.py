@@ -288,3 +288,92 @@ def resize_images(
 
     imgs = df.filter(F.col("modality") == "image").select("doc_id", "content")
     return imgs.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, duration_ms bigint, "
+    "rms double, peak double, zero_cross_rate double, "
+    "spectral_centroid_hz double, dominant_freq_hz double"
+)
+
+
+def extract_audio_features(
+    df: DataFrame, *, real_decode: bool = False
+) -> DataFrame:
+    """Audio payloads → signal-level features (the audio analog of
+    image feature extraction): RMS/peak level, zero-crossing rate,
+    FFT spectral centroid and dominant frequency — the standard cheap
+    descriptors an audio-curation pass filters on (silence, clipping,
+    tone-vs-speech) before any expensive model runs.
+
+    ``real_decode=True`` decodes PCM WAV with the stdlib codec and
+    computes the features in numpy over the Arrow batch (mono mixdown
+    first); payload bytes never leave the executor, one map-side
+    pass. The fake path derives deterministic pseudo-features from the
+    payload md5 (schema/plumbing identical), same contract as
+    :func:`extract_media_features`.
+    """
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import media_codec as mc
+
+        cols = ["doc_id", "sample_rate", "n_samples", "duration_ms",
+                "rms", "peak", "zero_cross_rate", "spectral_centroid_hz",
+                "dominant_freq_hz"]
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(content)
+                if not real_decode:
+                    seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
+                    rate = 8000 + (seed % 6) * 8000
+                    n = 1 + seed % 480_000
+                    out.append({
+                        "doc_id": int(doc_id), "sample_rate": rate,
+                        "n_samples": n,
+                        "duration_ms": n * 1000 // rate,
+                        "rms": (seed % 10_000) / 10_000.0,
+                        "peak": (seed % 32_768) / 32_768.0,
+                        "zero_cross_rate": (seed % 1000) / 1000.0,
+                        "spectral_centroid_hz": float(seed % (rate // 2)),
+                        "dominant_freq_hz": float(seed % (rate // 2)),
+                    })
+                    continue
+                aud = mc.decode_wav(payload)
+                if aud is None:
+                    raise NotImplementedError(
+                        "NotImplementedError: real audio features cover "
+                        "PCM WAV; other containers need ffmpeg"
+                    )
+                samples, rate = aud
+                mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+                n = len(mono)
+                rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                peak = float(np.max(np.abs(mono))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.abs(np.diff(np.signbit(mono)))))
+                    if n > 1 else 0.0
+                )
+                if n > 1:
+                    mag = np.abs(np.fft.rfft(mono))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                    total = float(mag.sum())
+                    centroid = (
+                        float((freqs * mag).sum() / total) if total else 0.0
+                    )
+                    dominant = float(freqs[int(np.argmax(mag[1:]) + 1)])
+                else:
+                    centroid = dominant = 0.0
+                out.append({
+                    "doc_id": int(doc_id), "sample_rate": int(rate),
+                    "n_samples": n, "duration_ms": n * 1000 // int(rate),
+                    "rms": rms, "peak": peak, "zero_cross_rate": zcr,
+                    "spectral_centroid_hz": centroid,
+                    "dominant_freq_hz": dominant,
+                })
+            yield pd.DataFrame(out, columns=cols)
+
+    auds = df.filter(F.col("modality") == "audio").select("doc_id", "content")
+    return auds.mapInPandas(_features, schema=AUDIO_FEATURE_SCHEMA)

@@ -384,3 +384,60 @@ def test_gif_decode_first_frame():
     assert mc.decode_gif(b"notagif") is None
     # sniffer dispatch reaches GIF
     assert np.array_equal(mc.decode_image(gif), pal[idx])
+
+
+# ---------------- audio features -------------------------------------
+
+
+def test_real_audio_features_sine_wave(spark):
+    from accounting_etl_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rate = 16000
+    t = np.arange(rate)  # 1 second
+    # 440 Hz tone at half amplitude + a quiet 2 kHz overtone
+    sig = (
+        0.5 * np.sin(2 * np.pi * 440 * t / rate)
+        + 0.05 * np.sin(2 * np.pi * 2000 * t / rate)
+    )
+    wav = mc.encode_wav((sig * 32767).astype(np.int16), rate)
+    silence = mc.encode_wav(np.zeros(8000, np.int16), 8000)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "audio", bytearray(silence)),
+         (3, "image", bytearray(b"ignored"))],
+        "doc_id bigint, modality string, content binary",
+    )
+    out = (
+        extract_audio_features(df, real_decode=True)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert sorted(out.index) == [1, 2]  # image row filtered out
+    tone = out.loc[1]
+    assert tone["sample_rate"] == rate
+    assert tone["duration_ms"] == 1000
+    # 0.5 amplitude sine: rms ~ 0.3536, peak ~ 0.55 combined
+    assert abs(tone["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(tone["dominant_freq_hz"] - 440.0) < 1.0
+    # centroid pulled slightly above 440 by the 2 kHz overtone
+    assert 440.0 < tone["spectral_centroid_hz"] < 1000.0
+    # 440 Hz tone crosses zero ~880 times/sec
+    assert abs(tone["zero_cross_rate"] * rate - 880) < 10
+    sil = out.loc[2]
+    assert sil["rms"] == 0.0 and sil["peak"] == 0.0
+    assert sil["duration_ms"] == 1000
+
+
+def test_fake_audio_features_deterministic(spark):
+    from accounting_etl_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(b"payload-bytes"))],
+        "doc_id bigint, modality string, content binary",
+    )
+    a = extract_audio_features(df).collect()[0]
+    b = extract_audio_features(df).collect()[0]
+    assert a == b  # md5-derived, replay-stable
+    assert a["sample_rate"] in range(8000, 56000, 8000)

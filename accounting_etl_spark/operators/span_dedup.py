@@ -14,9 +14,10 @@ it appear in ≥2 distinct docs" — a bounded aggregation, not a pair
 expansion:
 
 1. map-side: k-gram hashes with their token positions (posexplode);
-2. one shuffle on the gram hash: ``count(DISTINCT doc_id) >= 2``
-   (two-phase partial agg; a hot boilerplate gram costs a counter,
-   never a posting-list blowup — nothing here is quadratic);
+2. one shuffle on the gram hash: duplicated iff ≥2 distinct docs,
+   computed as ``min(doc_id) != max(doc_id)`` (two-phase partial agg
+   with no distinct-set state; a hot boilerplate gram costs two
+   counters, never a posting-list blowup — nothing is quadratic);
 3. equi-join the duplicated-gram set back to the positions (shuffle
    on the same key, so AQE can reuse the exchange);
 4. per-doc interval union: spans at positions p cover [p, p+k-1];
@@ -44,12 +45,14 @@ from ..functions.text import word_shingles
 
 
 def _gram_hashes(toks: Column, k: int) -> Column:
-    """Fixed-width gram keys: md5 hex prefix of each k-token shingle
-    (16 hex chars — collision-negligible for dedup signals and far
-    cheaper to shuffle than the spans themselves)."""
-    return F.transform(
-        word_shingles(toks, k), lambda g: F.substring(F.md5(g), 1, 16)
-    )
+    """Fixed-width gram keys: xxhash64 of each k-token shingle — an
+    8-byte long is far cheaper to compute and shuffle than the span
+    text, and the position subtree below is evaluated twice (once for
+    the dup-set aggregation, once for the join back), so hash cost is
+    on the critical path. Collisions (~n²/2⁶⁴) only ever mark one
+    extra gram duplicated; the DuckDB oracle groups on the raw gram
+    text and the rollup still matches."""
+    return F.transform(word_shingles(toks, k), lambda g: F.xxhash64(g))
 
 
 def span_dup_metrics(
@@ -81,10 +84,13 @@ def span_dup_metrics(
     pos = base.select(
         "doc_id", F.posexplode("__gh").alias("pos0", "gh")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    # "≥2 distinct docs" ≡ min(doc_id) != max(doc_id): min/max partial
+    # aggregates map-side combine (skew-safe on hot boilerplate grams)
+    # and carry no distinct-set state
     dup_grams = (
         pos.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
+        .filter(F.col("dup"))
         .select("gh")
     )
     hits = pos.join(dup_grams, "gh").select("doc_id", "pos")

@@ -579,7 +579,9 @@ SELECT * FROM ({{lm_sql}})
 
 # k-gram spans: position i covers tokens [i, i+k-1]; the window
 # running-max end is the same interval-union recurrence as
-# operators/span_dedup.py — all-integer, hash-identical
+# operators/span_dedup.py — all-integer, hash-identical. The oracle
+# groups on the RAW gram text (Spark shuffles xxhash64 keys — an
+# internal choice the rollup is insensitive to).
 _SPAN_SQL = f"""
 WITH t AS (
   SELECT doc_id, source, string_split(trim(text), ' ') AS t FROM documents
@@ -587,8 +589,7 @@ WITH t AS (
   SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
          list_transform(range(1, len(t) - {_SPAN_K - 2}),
            i -> {{'pos': i,
-                  'gh': substring(md5(array_to_string(
-                          t[i:i+{_SPAN_K - 1}], ' ')), 1, 16)}}) AS gs
+                  'gh': array_to_string(t[i:i+{_SPAN_K - 1}], ' ')}}) AS gs
   FROM t
 ), p AS (
   SELECT doc_id, struct_extract(u, 'pos') AS pos,

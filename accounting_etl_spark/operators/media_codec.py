@@ -20,10 +20,16 @@ fully stubbed:
 - **WAV** (RIFF PCM) via the stdlib ``wave`` module: samples +
   sample-rate + channel metadata.
 - **Nearest-neighbor resize** in numpy — the PIL-free resize kernel.
+- **AVI** (RIFF): Motion-JPEG (``MJPG``) and uncompressed-DIB video
+  streams — full hdrl/strl/movi/idx1 writer and a chunk-walking
+  reader; frames decode through :mod:`.jpeg_codec`. Other codecs
+  (h264 etc.) raise ``NotImplementedError`` — ffmpeg territory.
+- **Animated GIF**: multi-frame decode with GCE transparency and
+  disposal compositing → frame sequence + fps.
 - **BMPS**: a trivial length-prefixed concatenation of BMP frames
-  used as the *test* video container (real containers need ffmpeg;
-  frame sampling semantics — every-Nth, capped, exact-ms timestamps —
-  are identical for both).
+  kept as the minimal *test* video container (frame sampling
+  semantics — every-Nth, capped, exact-ms timestamps — are identical
+  across containers).
 
 Sniffers return None on unknown magic so callers can fall through to
 PIL/ffmpeg or raise.
@@ -385,6 +391,260 @@ def encode_wav(
         f.setframerate(sample_rate)
         f.writeframes(samples.astype("<i2").tobytes())
     return buf.getvalue()
+
+
+# ---------------- AVI (RIFF, MJPG / DIB video stream) ----------------
+#
+# A real video container, stdlib-only: Motion-JPEG in AVI pairs the
+# RIFF chunk grammar (identical to WAV's) with frames our
+# jpeg_codec already decodes, and uncompressed-DIB AVIs are raw
+# bottom-up BGR rows.  Mirrors the reference's binary-attachment
+# landing shape (/root/reference/src/accounting_etl/email_fetcher.py
+# lands opaque bytes; decode happens downstream) — here decode is a
+# map-side Arrow UDF over the binary column.
+
+
+def _riff_chunks(buf: bytes, off: int, end: int):
+    """Yield (fourcc, payload_start, payload_size); chunks are
+    word-aligned per the RIFF spec."""
+    while off + 8 <= end:
+        fourcc = buf[off : off + 4]
+        (size,) = struct.unpack_from("<I", buf, off + 4)
+        yield fourcc, off + 8, size
+        off += 8 + size + (size & 1)
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 30, quality: int = 85
+) -> bytes:
+    """uint8[H,W,3] RGB frames → RIFF AVI with one MJPG vids stream
+    (avih + strl headers, ``00dc`` movi chunks, idx1 index)."""
+    from .jpeg_codec import encode_jpeg
+
+    h, w, _ = frames[0].shape
+    jpgs = [encode_jpeg(fr, quality=quality) for fr in frames]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_buf = max(len(j) for j in jpgs)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_buf * fps, 0, 0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max_buf, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H", b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, len(frames), max_buf, -1, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                   + chunk(b"strf", strf)),
+    )
+    movi_body = bytearray()
+    idx = bytearray()
+    for j in jpgs:
+        # idx1 offsets point at the chunk fourcc, relative to 'movi'
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body),
+                                     len(j))
+        movi_body += chunk(b"00dc", j)
+    movi = lst(b"movi", bytes(movi_body))
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], int] | None:
+    """RIFF AVI → (RGB frames, fps); None if not AVI. Supports MJPG
+    and uncompressed-DIB streams; other codecs raise
+    ``NotImplementedError`` (PIL/ffmpeg territory)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    fps = 30
+    compression = b"MJPG"
+    bmp_dims: tuple[int, int, int] | None = None
+    frames: list[np.ndarray] = []
+
+    def walk(off: int, stop: int) -> None:
+        nonlocal fps, compression, bmp_dims
+        for fourcc, start, size in _riff_chunks(payload, off, stop):
+            if fourcc == b"LIST":
+                kind = payload[start : start + 4]
+                if kind in (b"hdrl", b"strl", b"movi", b"rec "):
+                    walk(start + 4, start + size)
+            elif fourcc == b"avih":
+                (us_per_frame,) = struct.unpack_from("<I", payload, start)
+                if us_per_frame:
+                    fps = max(1, round(1_000_000 / us_per_frame))
+            elif fourcc == b"strh":
+                ftype, handler = struct.unpack_from("<4s4s", payload, start)
+                if ftype == b"vids":
+                    scale, rate = struct.unpack_from(
+                        "<II", payload, start + 20
+                    )
+                    if scale and rate:
+                        fps = max(1, round(rate / scale))
+            elif fourcc == b"strf" and size >= 40:
+                _, bw, bh, _, bpp, comp = struct.unpack_from(
+                    "<IiiHH4s", payload, start
+                )
+                compression = comp
+                bmp_dims = (bw, bh, bpp)
+            elif fourcc[2:] in (b"dc", b"db") and fourcc[:2] == b"00":
+                frames.append(_avi_frame(
+                    payload[start : start + size], compression, bmp_dims
+                ))
+
+    walk(12, end)
+    if not frames:
+        raise NotImplementedError("AVI without a decodable 00dc/00db "
+                                  "video stream")
+    return frames, fps
+
+
+def _avi_frame(
+    data: bytes, compression: bytes,
+    bmp_dims: tuple[int, int, int] | None,
+) -> np.ndarray:
+    if compression in (b"MJPG", b"mjpg", b"jpeg"):
+        from .jpeg_codec import decode_jpeg
+
+        img = decode_jpeg(data)
+        if img is None:
+            raise ValueError("MJPG chunk is not a JPEG stream")
+        return img
+    if compression in (b"\x00\x00\x00\x00", b"DIB ") and bmp_dims:
+        w, h, bpp = bmp_dims
+        if bpp != 24:
+            raise NotImplementedError(f"DIB bpp {bpp} unsupported")
+        bottom_up = h > 0
+        h = abs(h)
+        row_len = (w * 3 + 3) & ~3
+        rows = np.frombuffer(data, np.uint8, count=row_len * h).reshape(
+            h, row_len
+        )[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR→RGB
+    raise NotImplementedError(
+        f"AVI codec {compression!r} needs ffmpeg/PIL"
+    )
+
+
+# ---------------- animated GIF → frame sequence -----------------------
+
+
+def decode_gif_frames(
+    payload: bytes,
+) -> tuple[list[np.ndarray], int] | None:
+    """All frames of a GIF, composited per the GIF89a disposal rules
+    (none/keep=1, restore-background=2) with GCE transparency →
+    (RGB frames, fps from the median frame delay); None if not GIF."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, flags, bg_idx, _ = struct.unpack_from("<HHBBB", payload, 6)
+    off = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[off : off + 3 * n]
+        off += 3 * n
+    gpal = np.frombuffer(gct, np.uint8).reshape(-1, 3) if gct else None
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    if gpal is not None and bg_idx < len(gpal):
+        canvas[:] = gpal[bg_idx]
+    bg_fill = canvas[0, 0].copy() if sh and sw else np.zeros(3, np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent: int | None = None
+    disposal = 0
+    while off < len(payload):
+        b0 = payload[off]
+        if b0 == 0x21:  # extension
+            label = payload[off + 1]
+            off += 2
+            if label == 0xF9 and payload[off] >= 4:  # GCE
+                gflags, delay, tidx = struct.unpack_from(
+                    "<BHB", payload, off + 1
+                )
+                disposal = (gflags >> 2) & 0x07
+                transparent = tidx if gflags & 1 else None
+                delays.append(delay)
+            while payload[off]:
+                off += 1 + payload[off]
+            off += 1
+        elif b0 == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack_from(
+                "<HHHHB", payload, off + 1
+            )
+            off += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = payload[off : off + 3 * n]
+                off += 3 * n
+            min_code = payload[off]
+            off += 1
+            data = bytearray()
+            while payload[off]:
+                ln = payload[off]
+                data += payload[off + 1 : off + 1 + ln]
+                off += 1 + ln
+            off += 1  # past the 0x00 sub-block terminator
+            idx = np.frombuffer(
+                _gif_lzw(bytes(data), min_code), np.uint8, count=iw * ih
+            ).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced
+                deinter = np.empty_like(idx)
+                rows = [
+                    y
+                    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                    for y in range(start, ih, step)
+                ]
+                deinter[np.array(rows)] = idx
+                idx = deinter
+            pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
+            region = canvas[iy : iy + ih, ix : ix + iw]
+            rgb = pal[idx]
+            if transparent is not None:
+                mask = (idx != transparent)[:, :, None]
+                rgb = np.where(mask, rgb, region)
+            canvas[iy : iy + ih, ix : ix + iw] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background in the frame rect
+                canvas[iy : iy + ih, ix : ix + iw] = bg_fill
+            transparent = None
+        else:  # 0x3B trailer or junk
+            break
+    if not frames:
+        return None
+    delays = sorted(d for d in delays if d) or [10]
+    median_cs = delays[len(delays) // 2]  # delay unit = 1/100 s
+    return frames, max(1, round(100 / median_cs))
+
+
+def decode_video(payload: bytes) -> tuple[list[np.ndarray], int] | None:
+    """Sniff-and-decode any supported video container → (RGB frames,
+    fps): BMPS (test container), RIFF AVI (MJPG / DIB), animated GIF
+    (≥2 frames; single-frame GIFs stay images). None on unknown
+    magic; ``NotImplementedError`` for recognized-but-unsupported
+    codecs, so callers may fall back to ffmpeg/PIL."""
+    vid = decode_bmps(payload)
+    if vid is None:
+        vid = decode_avi(payload)
+    if vid is None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        gif = decode_gif_frames(payload)
+        if gif is not None and len(gif[0]) >= 2:
+            vid = gif
+    return vid
 
 
 # ---------------- BMPS test video container ---------------------------

@@ -10,7 +10,8 @@ never leave the executor.
 ``real_decode=True`` decodes REAL payloads: PIL/ffmpeg when
 installed, else the pure-stdlib codecs in
 :mod:`accounting_etl_spark.operators.media_codec` (24-bit BMP, binary
-PPM, PNG, GIF, baseline JPEG, PCM WAV, the BMPS test container).
+PPM, PNG, GIF, baseline JPEG, PCM WAV, AVI with MJPG/DIB
+streams, animated GIF, the BMPS test container).
 Payloads whose
 magic matches no available codec raise ``NotImplementedError`` at the
 decode site. The default (``real_decode=False``) keeps the
@@ -67,7 +68,7 @@ def extract_media_features(
             "width": None, "height": None, "n_frames": None,
             "sample_rate": None,
         }
-        vid = mc.decode_bmps(payload)
+        vid = mc.decode_video(payload)  # BMPS / AVI / animated GIF
         if vid is not None:
             frames, _fps = vid
             h, w, _ = frames[0].shape
@@ -103,7 +104,7 @@ def extract_media_features(
         raise NotImplementedError(
             f"NotImplementedError: no available media codec matches "
             f"payload magic {payload[:4]!r}; built-in codecs cover "
-            f"BMP/PPM/PNG/GIF/JPEG/WAV/BMPS, others need PIL/ffmpeg"
+            f"BMP/PPM/PNG/GIF/JPEG/WAV/AVI/BMPS, others need PIL/ffmpeg"
         )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,8 +167,9 @@ def sample_frames(
     bytes stay executor-side as ``binary``, timestamps are exact
     integer milliseconds. The fake decoder derives a deterministic
     frame count from the checksum and slices payload bytes as fake
-    frames; ``real_decode=True`` decodes BMPS frame-sequence payloads
-    with the built-in codec (other containers need ffmpeg).
+    frames; ``real_decode=True`` decodes BMPS / AVI (MJPG, DIB) /
+    animated-GIF payloads with the built-in codecs (other containers
+    need ffmpeg).
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -177,12 +179,12 @@ def sample_frames(
             if real_decode:
                 out = []
                 for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                    vid = mc.decode_bmps(bytes(content))
+                    vid = mc.decode_video(bytes(content))
                     if vid is None:
                         raise NotImplementedError(
                             "NotImplementedError: real frame sampling "
-                            "covers the BMPS container; other video "
-                            "formats need ffmpeg"
+                            "covers BMPS / AVI (MJPG, DIB) / animated "
+                            "GIF; other video formats need ffmpeg"
                         )
                     frames, fps = vid
                     for taken, idx in enumerate(

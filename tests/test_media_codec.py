@@ -441,3 +441,197 @@ def test_fake_audio_features_deterministic(spark):
     b = extract_audio_features(df).collect()[0]
     assert a == b  # md5-derived, replay-stable
     assert a["sample_rate"] in range(8000, 56000, 8000)
+
+
+# ---------------- AVI container ---------------------------------------
+
+
+def _gradient_frames(n, h=24, w=32):
+    """JPEG-friendly smooth frames with a per-frame brightness shift."""
+    y, x = np.mgrid[0:h, 0:w]
+    base = ((y * 255 // max(1, h - 1) + x * 255 // max(1, w - 1)) // 2)
+    return [
+        np.stack([(base + 20 * i) % 256] * 3, axis=-1).astype(np.uint8)
+        for i in range(n)
+    ]
+
+
+def test_avi_mjpeg_round_trip():
+    frames = _gradient_frames(6)
+    avi = mc.encode_avi_mjpeg(frames, fps=10, quality=90)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    out = mc.decode_avi(avi)
+    assert out is not None
+    dec, fps = out
+    assert fps == 10 and len(dec) == 6
+    for orig, got in zip(frames, dec):
+        assert got.shape == orig.shape
+        err = np.abs(got.astype(int) - orig.astype(int))
+        assert err.mean() < 8 and err.max() < 64
+    # sniffers: not-AVI returns None; decode_video dispatches to AVI
+    assert mc.decode_avi(b"RIFFxxxxWAVE") is None
+    assert mc.decode_avi(b"nope") is None
+    vid = mc.decode_video(avi)
+    assert vid is not None and len(vid[0]) == 6 and vid[1] == 10
+
+
+def test_avi_dib_stream_exact():
+    import struct as st
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    h, w = 5, 6
+    row_len = (w * 3 + 3) & ~3
+
+    def chunk(fourcc, body):
+        return fourcc + st.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    def dib(fr):
+        body = bytearray()
+        pad = b"\x00" * (row_len - w * 3)
+        for y in range(h - 1, -1, -1):  # bottom-up BGR rows
+            body += fr[y, :, ::-1].tobytes() + pad
+        return bytes(body)
+
+    avih = st.pack("<14I", 1_000_000 // 5, 0, 0, 0, 2, 0, 1, 0, w, h,
+                   0, 0, 0, 0)
+    strh = st.pack("<4s4sIHHIIIIIIiI4H", b"vids", b"DIB ", 0, 0, 0, 0,
+                   1, 5, 0, 2, 0, -1, 0, 0, 0, w, h)
+    strf = st.pack("<IiiHH4sIiiII", 40, w, h, 1, 24,
+                   b"\x00\x00\x00\x00", row_len * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + st.pack("<I", len(body)) + body
+
+    dec, fps = mc.decode_avi(avi)
+    assert fps == 5 and len(dec) == 2
+    for orig, got in zip(frames, dec):
+        assert np.array_equal(orig, got)
+
+
+def test_avi_unknown_codec_raises():
+    frames = _gradient_frames(1)
+    avi = bytearray(mc.encode_avi_mjpeg(frames, fps=30))
+    idx = avi.index(b"MJPG", avi.index(b"strf"))  # strf biCompression
+    avi[idx : idx + 4] = b"H264"
+    avi2 = bytes(avi).replace(b"MJPG", b"H264")  # strh handler too
+    with pytest.raises(NotImplementedError):
+        mc.decode_avi(avi2)
+
+
+# ---------------- animated GIF ----------------------------------------
+
+
+def _encode_gif_anim(frame_specs, sw, sh, delays_cs):
+    """Multi-frame GIF89a: frame_specs = [(idx_array, x, y, disposal,
+    transparent_or_None)], global gray palette, uncompressed-LZW
+    trick as in _encode_gif."""
+    import struct as st
+
+    min_code = 8
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+
+    def lzw(idx):
+        bits = bytearray()
+        bitbuf = bitlen = 0
+
+        def emit(code):
+            nonlocal bitbuf, bitlen
+            bitbuf |= code << bitlen
+            bitlen += code_size
+            while bitlen >= 8:
+                bits.append(bitbuf & 0xFF)
+                bitbuf >>= 8
+                bitlen -= 8
+
+        emit(clear)
+        for px in idx.reshape(-1):
+            emit(int(px))
+            emit(clear)
+        emit(end)
+        if bitlen:
+            bits.append(bitbuf & 0xFF)
+        return bits
+
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", sw, sh, 0x80 | 7, 0, 0)
+    out += bytes(v for i in range(256) for v in (i,) * 3)
+    for (idx, x, y, disposal, transp), delay in zip(frame_specs, delays_cs):
+        gflags = (disposal & 7) << 2 | (1 if transp is not None else 0)
+        out += b"\x21\xf9\x04" + st.pack(
+            "<BHB", gflags, delay, transp or 0
+        ) + b"\x00"
+        ih, iw = idx.shape
+        out += b"\x2c" + st.pack("<HHHHB", x, y, iw, ih, 0)
+        out += bytes([min_code])
+        bits = lzw(idx)
+        for i in range(0, len(bits), 255):
+            part = bits[i : i + 255]
+            out += bytes([len(part)]) + part
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing():
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    f0 = np.full((4, 6), 10, np.uint8)
+    # frame 1: partial rect at (2,1), transparent index 7 in a checker
+    f1 = np.full((2, 3), 200, np.uint8)
+    f1[0, 1] = 7
+    gif = _encode_gif_anim(
+        [(f0, 0, 0, 1, None), (f1, 2, 1, 1, 7)], 6, 4, [5, 20]
+    )
+    out = mc.decode_gif_frames(gif)
+    assert out is not None
+    frames, fps = out
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], pal[f0])
+    expect = pal[f0].copy()
+    comp = f1.copy()
+    expect[1:3, 2:5] = pal[comp]
+    expect[1, 3] = pal[10]  # transparent pixel keeps the old canvas
+    assert np.array_equal(frames[1], expect)
+    # fps = 100 // median(5, 20) cs
+    assert fps == 100 // 20 or fps == 100 // 5  # median of 2 = upper
+    # single-frame GIF stays an image for the video sniffer
+    single = _encode_gif(f0)
+    assert mc.decode_video(single) is None
+    assert mc.decode_video(gif) is not None
+
+
+def test_multimodal_avi_end_to_end(spark):
+    from accounting_etl_spark.operators.multimodal import (
+        extract_media_features,
+        sample_frames,
+    )
+
+    frames = _gradient_frames(7, h=6, w=8)
+    avi = mc.encode_avi_mjpeg(frames, fps=2, quality=90)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(avi))],
+        "doc_id bigint, modality string, content binary",
+    )
+    feats = extract_media_features(df, real_decode=True).toPandas()
+    assert feats.loc[0, "modality"] == "video"
+    assert feats.loc[0, "n_frames"] == 7
+    assert (feats.loc[0, "width"], feats.loc[0, "height"]) == (8, 6)
+
+    rows = sample_frames(
+        df, every_n=3, max_frames=2, real_decode=True
+    ).toPandas()
+    assert list(rows["frame_idx"]) == [0, 3]
+    assert list(rows["ts_ms"]) == [0, 1500]  # fps=2 → 3/2 s
+    got = mc.decode_bmp(bytes(rows["frame"][1]))
+    assert got.shape == (6, 8, 3)

@@ -631,6 +631,79 @@ def decode_gif_frames(
     return frames, max(1, round(100 / median_cs))
 
 
+# ---------------- MP4 / ISO BMFF metadata probe -----------------------
+#
+# Frame DECODE of h264/h265/av1 is squarely ffmpeg territory, but the
+# container metadata a pipeline needs for filtering/partitioning —
+# dimensions, frame count, duration, codec fourcc — is a pure box
+# walk (ISO/IEC 14496-12).  probe_mp4 gives the multimodal feature
+# extractor a real ``video`` metadata row for mp4/mov payloads even
+# though sample decode stays gated.
+
+
+def probe_mp4(payload: bytes) -> dict | None:
+    """ISO BMFF (mp4/mov/m4a) → {width, height, n_frames,
+    duration_ms, codec, brand}; None if not BMFF."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    meta: dict = {"brand": payload[8:12].decode("latin1"),
+                  "width": None, "height": None, "n_frames": None,
+                  "duration_ms": None, "codec": None}
+
+    def boxes(off: int, end: int):
+        while off + 8 <= end:
+            (size,) = struct.unpack_from(">I", payload, off)
+            kind = payload[off + 4 : off + 8]
+            body = off + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", payload, off + 8)
+                body = off + 16
+            elif size == 0:  # to end of file
+                size = end - off
+            if size < 8 or off + size > end:
+                break
+            yield kind, body, off + size
+            off += size
+
+    def walk(off: int, end: int, in_video_trak: bool) -> None:
+        for kind, body, stop in boxes(off, end):
+            if kind == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    tscale, dur = struct.unpack_from(
+                        ">IQ", payload, body + 20
+                    )
+                else:
+                    tscale, dur = struct.unpack_from(
+                        ">II", payload, body + 12
+                    )
+                if tscale:
+                    meta["duration_ms"] = dur * 1000 // tscale
+            elif kind == b"tkhd":
+                ver = payload[body]
+                # width/height: last 8 bytes, 16.16 fixed point
+                w16, h16 = struct.unpack_from(">II", payload, stop - 8)
+                if w16 and h16:
+                    meta["width"] = w16 >> 16
+                    meta["height"] = h16 >> 16
+            elif kind == b"hdlr":
+                in_video_trak = payload[body + 8 : body + 12] == b"vide"
+            elif kind == b"stsd" and in_video_trak:
+                # entry 0: size(4) + format fourcc(4)
+                meta["codec"] = payload[body + 12 : body + 16].decode(
+                    "latin1"
+                )
+            elif kind == b"stsz" and in_video_trak:
+                _, _, count = struct.unpack_from(">III", payload, body)
+                meta["n_frames"] = count
+            elif kind in (b"moov", b"trak", b"mdia", b"minf",
+                          b"stbl"):
+                walk(body, stop, in_video_trak)
+
+    walk(0, len(payload), False)
+    return meta
+
+
 def decode_video(payload: bytes) -> tuple[list[np.ndarray], int] | None:
     """Sniff-and-decode any supported video container → (RGB frames,
     fps): BMPS (test container), RIFF AVI (MJPG / DIB), animated GIF

@@ -74,6 +74,10 @@ def extract_media_features(
             h, w, _ = frames[0].shape
             return {**base, "modality": "video", "width": w, "height": h,
                     "n_frames": len(frames)}
+        mp4 = mc.probe_mp4(payload)  # metadata-only: decode needs ffmpeg
+        if mp4 is not None:
+            return {**base, "modality": "video", "width": mp4["width"],
+                    "height": mp4["height"], "n_frames": mp4["n_frames"]}
         try:
             img = mc.decode_image(payload)
         except NotImplementedError:

@@ -1,8 +1,8 @@
 """Built-in media codecs (operators/media_codec.py, jpeg_codec.py)
 and the real-decode multimodal paths: BMP/PPM/PNG/GIF/JPEG/WAV/BMPS
-round-trips in plain numpy, then the Spark operators decoding REAL
-payload bytes; only webp and real video containers still need
-PIL/ffmpeg."""
+round-trips in plain numpy, AVI (MJPG/DIB) and animated-GIF video
+decode, MP4 box-walk metadata; only webp and compressed-video
+DECODE (h264 etc.) still need PIL/ffmpeg."""
 
 from __future__ import annotations
 
@@ -635,3 +635,55 @@ def test_multimodal_avi_end_to_end(spark):
     assert list(rows["ts_ms"]) == [0, 1500]  # fps=2 → 3/2 s
     got = mc.decode_bmp(bytes(rows["frame"][1]))
     assert got.shape == (6, 8, 3)
+
+
+# ---------------- MP4 metadata probe ----------------------------------
+
+
+def _mini_mp4(w=640, h=360, n_frames=48, tscale=600, dur=1200,
+              codec=b"avc1"):
+    import struct as st
+
+    def box(kind, body):
+        return st.pack(">I", 8 + len(body)) + kind + body
+
+    ftyp = box(b"ftyp", b"isom" + st.pack(">I", 0x200) + b"isomavc1")
+    mvhd = box(b"mvhd", bytes(4) + st.pack(">III", 0, 0, tscale)
+               + st.pack(">I", dur) + bytes(80))
+    tkhd = box(b"tkhd", bytes(4) + bytes(72)
+               + st.pack(">II", w << 16, h << 16))
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(14))
+    stsd = box(b"stsd", bytes(8) + st.pack(">I", 86) + codec + bytes(78))
+    stsz = box(b"stsz", st.pack(">III", 0, 0, n_frames))
+    stbl = box(b"stbl", stsd + stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def test_probe_mp4():
+    mp4 = _mini_mp4()
+    meta = mc.probe_mp4(mp4)
+    assert meta == {
+        "brand": "isom", "width": 640, "height": 360, "n_frames": 48,
+        "duration_ms": 2000, "codec": "avc1",
+    }
+    assert mc.probe_mp4(b"notanmp4butlongenough") is None
+    # decode stays gated: not a decodable container
+    assert mc.decode_video(mp4) is None
+
+
+def test_multimodal_mp4_metadata_row(spark):
+    from accounting_etl_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(_mini_mp4(w=320, h=240, n_frames=75)))],
+        "doc_id bigint, modality string, content binary",
+    )
+    row = extract_media_features(df, real_decode=True).toPandas().iloc[0]
+    assert row["modality"] == "video"
+    assert (row["width"], row["height"], row["n_frames"]) == (320, 240, 75)

@@ -41,18 +41,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles
+from ..functions.checkpointing import stable_checkpoint
 
 
-def _gram_hashes(toks: Column, k: int) -> Column:
-    """Fixed-width gram keys: xxhash64 of each k-token shingle — an
-    8-byte long is far cheaper to compute and shuffle than the span
-    text, and the position subtree below is evaluated twice (once for
-    the dup-set aggregation, once for the join back), so hash cost is
-    on the critical path. Collisions (~n²/2⁶⁴) only ever mark one
+def _gram_hashes(th: Column, k: int) -> Column:
+    """Fixed-width gram keys from a MATERIALIZED token-hash array
+    ``th`` (``transform(tokens, xxhash64)``): gram i =
+    ``xxhash64(slice(th, i, k))`` — k long-hash mixes per gram
+    instead of building and hashing a ~6·k-char shingle string.
+    Measured at sf1.0 (691k grams): 9.0s string-shingle → 2.3s.
+
+    ``th`` must be its own projected column, not an inline
+    expression: referenced ≥3 times here, which stops
+    ``CollapseProject`` from inlining the token-hash transform into
+    every gram (that inlining is what makes the naive one-step
+    version O(n·k) string work per doc again).
+
+    Collisions (~n²/2⁶⁴, token-hash or gram-hash) only ever mark one
     extra gram duplicated; the DuckDB oracle groups on the raw gram
     text and the rollup still matches."""
-    return F.transform(word_shingles(toks, k), lambda g: F.xxhash64(g))
+    return F.when(
+        F.size(th) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(th) - (k - 1)),
+            lambda i: F.xxhash64(F.slice(th, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def span_dup_metrics(
@@ -74,10 +88,24 @@ def span_dup_metrics(
     - ``coverage_frac``: covered_tokens / n_tokens (0.0 when empty).
     """
     toks = F.split(F.trim(F.col(text_col)), " ")
-    base = docs.select(
+    hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-        _gram_hashes(toks, k).alias("__gh"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    # Checkpointed at the one-row-per-doc stage, for two reasons:
+    # (a) the gram subtree has two downstream consumers (dup-gram
+    # aggregation and the join back) that would each re-evaluate it;
+    # (b) Catalyst's InferFiltersFromGenerate puts a
+    # ``size(__gh) > 0`` filter UNDER the posexplode with the whole
+    # tokenize→hash→slice tree inlined into it — measured 4× the
+    # query without the boundary. Against materialized arrays the
+    # inferred filter is a length check.
+    base = stable_checkpoint(
+        hashed.select(
+            "doc_id", "n_tokens",
+            _gram_hashes(F.col("__th"), k).alias("__gh"),
+        )
     )
     # positions are 1-based (posexplode is 0-based; +1 matches the
     # oracle's range(1, ...) convention)
@@ -115,11 +143,15 @@ def span_dup_metrics(
             F.sum("c").alias("covered_tokens"),
         )
     )
+    # n_grams is pure arithmetic on n_tokens — computing it as
+    # size(__gh) would re-run the whole shingle+hash transform just to
+    # count it (Catalyst does not fold size∘transform)
     stats = base.select(
         "doc_id",
         "n_tokens",
         F.greatest(
-            F.size("__gh").cast("bigint"), F.lit(0).cast("bigint")
+            F.col("n_tokens") - F.lit(k - 1),
+            F.lit(0).cast("bigint"),
         ).alias("n_grams"),
     )
     return stats.join(per_doc, "doc_id", "left").select(

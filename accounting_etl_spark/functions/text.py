@@ -16,6 +16,43 @@ def tokens_ws(col: Column) -> Column:
     return F.split(F.trim(col), " ")
 
 
+def token_hashes(tokens: Column) -> Column:
+    """Per-token xxhash64 array — the cheap first stage of the
+    hashed-gram scheme (see :func:`hashed_grams`)."""
+    return F.transform(tokens, lambda t: F.xxhash64(t))
+
+
+def hashed_grams(th: Column, k: int) -> Column:
+    """64-bit k-gram keys from a MATERIALIZED token-hash array:
+    gram i = ``xxhash64(slice(th, i, k))`` — k long mixes per gram
+    instead of building and md5/xxhash-ing a rebuilt k-token shingle
+    string (measured 4× cheaper at sf1.0 for k=50).
+
+    Two usage rules, both learned the hard way (operators/span_dedup):
+
+    - ``th`` must be its own projected column (``token_hashes(...)``
+      aliased in a prior ``select``), not an inline expression:
+      referenced ≥3 times here, which stops ``CollapseProject`` from
+      inlining the token-hash transform into every gram.
+    - If the result feeds ``explode``/``posexplode``, materialize the
+      gram-array row first (``stable_checkpoint`` or persist):
+      Catalyst's ``InferFiltersFromGenerate`` plants a
+      ``size(...) > 0`` filter under the Generate with the whole
+      tokenize→hash→slice tree inlined — measured 4-10× the query.
+
+    Use only where gram keys need EQUALITY, not display: outputs that
+    surface gram values (winnowing fingerprints, top-2-gram text)
+    keep the portable md5-hex scheme. Collisions (~n²/2⁶⁴) only ever
+    merge two grams; count-shaped rollups are insensitive."""
+    return F.when(
+        F.size(th) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(th) - (k - 1)),
+            lambda i: F.xxhash64(F.slice(th, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def chunk_starts(tokens: Column, *, size: int, step: int) -> Column:
     """1-based start offsets of sliding token chunks.
 

@@ -16,23 +16,41 @@ which is far smaller than the corpus). Documents with zero hits never
 reach the shuffle — the final left join restores them with a zero
 count. No all-pairs stage, no driver data beyond the plan.
 
-Grams travel as 16-hex md5 prefixes, not raw strings: fixed-width,
-engine-portable (DuckDB md5 agrees byte-for-byte), and the broadcast
-table stays compact regardless of gram text length.
+Grams travel as 64-bit hashed-gram keys (functions/text.py
+hashed_grams: xxhash64 over slices of a per-token hash array), not
+raw strings: fixed-width, never materializes the gram text, and the
+broadcast table is 8 bytes per gram regardless of gram length. Both
+sides use the same scheme, so overlap semantics are those of raw
+token sequences; the DuckDB oracle joins on its own representation
+and the contaminated-doc SET matches.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_ws, word_shingles
+from ..functions.checkpointing import stable_checkpoint
+from ..functions.text import hashed_grams, token_hashes, tokens_ws
 
 
-def _gram_hashes(text: Column, n: int) -> Column:
-    grams = word_shingles(tokens_ws(text), n)
-    return F.array_distinct(
-        F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+def _gram_sets(
+    df: DataFrame, cols: list[str], text_col: str, n: int
+) -> DataFrame:
+    """One row per input doc: ``cols`` + the distinct 64-bit n-gram
+    key set (functions/text.py hashed_grams — both sides of the
+    overlap join use the same key scheme, so membership semantics are
+    those of raw token sequences). Checkpointed so the explode above
+    it never re-evaluates the tokenize→hash tree (see hashed_grams
+    notes on InferFiltersFromGenerate)."""
+    th = df.select(
+        *cols, token_hashes(tokens_ws(F.col(text_col))).alias("__th")
+    )
+    return stable_checkpoint(
+        th.select(
+            *cols,
+            F.array_distinct(hashed_grams(F.col("__th"), n)).alias("__gs"),
+        )
     )
 
 
@@ -43,9 +61,8 @@ def eval_ngrams(
     column, deduplicated — the small side every corpus shard joins
     against."""
     return (
-        eval_docs.select(
-            F.explode(_gram_hashes(F.col(text_col), n)).alias("gh")
-        )
+        _gram_sets(eval_docs, [], text_col, n)
+        .select(F.explode("__gs").alias("gh"))
         .distinct()
     )
 
@@ -66,8 +83,8 @@ def decontaminate(
     input document.
     """
     ids = docs.select(id_col)
-    exploded = docs.select(
-        id_col, F.explode(_gram_hashes(F.col(text_col), n)).alias("gh")
+    exploded = _gram_sets(docs, [id_col], text_col, n).select(
+        id_col, F.explode("__gs").alias("gh")
     )
     hits = (
         exploded.join(F.broadcast(eval_grams), "gh")

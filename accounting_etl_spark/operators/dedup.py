@@ -25,9 +25,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.checkpointing import stable_checkpoint
 from ..functions.pairs import explode_bucket_pairs
 from ..functions.spread import spread
-from ..functions.text import tokens_ws, word_shingles
+from ..functions.text import hashed_grams, token_hashes, tokens_ws
 
 
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
@@ -81,12 +82,22 @@ def minhash_bands(
     # small-file scans arrive single-partition and shingling is
     # CPU-bound; spread() no-ops when the scan is already wide
     wide = spread(df, id_col)
-    sh = wide.select(
+    # shingle keys via the hashed-gram scheme (functions/text.py
+    # hashed_grams): 64-bit keys from a materialized token-hash array,
+    # checkpointed before the explode so InferFiltersFromGenerate's
+    # inferred filter sees stored arrays, not the tokenize→hash tree.
+    # The hash family below re-hashes the key with the member index —
+    # any uniform 64-bit key scheme gives the same MinHash semantics.
+    th = wide.select(
         F.col(id_col).alias("__id"),
-        F.explode(word_shingles(tokens_ws(F.col(text_col)), k_shingle)).alias(
-            "__sh"
-        ),
-    ).select("__id", F.xxhash64("__sh").alias("__kh"))
+        token_hashes(tokens_ws(F.col(text_col))).alias("__th"),
+    )
+    gs = stable_checkpoint(
+        th.select(
+            "__id", hashed_grams(F.col("__th"), k_shingle).alias("__gs")
+        )
+    )
+    sh = gs.select("__id", F.explode("__gs").alias("__kh"))
     sig = sh.groupBy("__id").agg(
         *[
             F.min(F.xxhash64(F.col("__kh"), F.lit(h))).alias(f"__h{h}")

@@ -29,44 +29,27 @@ Everything is integer math, so the per-doc numbers are bit-identical
 across engines and partitionings (the DuckDB oracle runs the same
 window recurrence).
 
-At 100 TB: two shuffles keyed by the 16-hex gram hash (uniform — md5
-output, no skew), one window partitioned by doc_id (per-doc row count
-bounded by doc length / k). The k-gram set can optionally be
+At 100 TB: two shuffles keyed by the 64-bit gram hash (uniform —
+xxhash64 output, no skew), one window partitioned by doc_id (per-doc
+row count bounded by doc length / k). The k-gram set can optionally be
 persisted as the corpus-side index for incremental batches, same
 pattern as operators/incremental.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.checkpointing import stable_checkpoint
+from ..functions.text import hashed_grams, token_hashes
 
 
-def _gram_hashes(th: Column, k: int) -> Column:
-    """Fixed-width gram keys from a MATERIALIZED token-hash array
-    ``th`` (``transform(tokens, xxhash64)``): gram i =
-    ``xxhash64(slice(th, i, k))`` — k long-hash mixes per gram
-    instead of building and hashing a ~6·k-char shingle string.
-    Measured at sf1.0 (691k grams): 9.0s string-shingle → 2.3s.
-
-    ``th`` must be its own projected column, not an inline
-    expression: referenced ≥3 times here, which stops
-    ``CollapseProject`` from inlining the token-hash transform into
-    every gram (that inlining is what makes the naive one-step
-    version O(n·k) string work per doc again).
-
-    Collisions (~n²/2⁶⁴, token-hash or gram-hash) only ever mark one
-    extra gram duplicated; the DuckDB oracle groups on the raw gram
-    text and the rollup still matches."""
-    return F.when(
-        F.size(th) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(th) - (k - 1)),
-            lambda i: F.xxhash64(F.slice(th, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+# gram keys: the shared hashed-gram scheme (functions/text.py
+# hashed_grams — xxhash64 over slices of a materialized token-hash
+# array; 9.0s → 2.3s at sf1.0 vs string shingles for k=50). The
+# DuckDB oracle groups on the raw gram text; the rollup is
+# insensitive to the key representation.
 
 
 def span_dup_metrics(
@@ -91,7 +74,7 @@ def span_dup_metrics(
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+        token_hashes(toks).alias("__th"),
     )
     # Checkpointed at the one-row-per-doc stage, for two reasons:
     # (a) the gram subtree has two downstream consumers (dup-gram
@@ -104,7 +87,7 @@ def span_dup_metrics(
     base = stable_checkpoint(
         hashed.select(
             "doc_id", "n_tokens",
-            _gram_hashes(F.col("__th"), k).alias("__gh"),
+            hashed_grams(F.col("__th"), k).alias("__gh"),
         )
     )
     # positions are 1-based (posexplode is 0-based; +1 matches the

@@ -16,8 +16,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.checkpointing import stable_checkpoint
 from ..functions.spread import spread
-from ..functions.text import chunk_starts, normalize_text, word_shingles
+from ..functions.text import (
+    chunk_starts,
+    hashed_grams,
+    normalize_text,
+    token_hashes,
+    word_shingles,
+)
 from ..sources.tables import load_table
 from . import Q
 
@@ -476,7 +483,18 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already many partitions)
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.trim(F.col("text")), " ")
-    sh = docs.select("doc_id", F.explode(word_shingles(toks)).alias("sh"))
+    # shingle keys via the hashed-gram scheme (functions/text.py
+    # hashed_grams): 64-bit keys from a materialized token-hash
+    # array, checkpointed before the explode (InferFiltersFromGenerate
+    # would otherwise re-evaluate the whole tree under the Generate).
+    # Every downstream stage needs shingle EQUALITY only, and the
+    # oracle computes intersection/union counts on raw shingle text —
+    # count-shaped outputs are insensitive to the key representation.
+    th = docs.select("doc_id", token_hashes(toks).alias("__th"))
+    gs = stable_checkpoint(
+        th.select("doc_id", hashed_grams(F.col("__th"), 3).alias("__gs"))
+    )
+    sh = gs.select("doc_id", F.explode("__gs").alias("sh"))
     # One groupBy on the shingle replaces the per-doc distinct, the
     # df-filter join AND the shingle self-join: per shingle, a sorted
     # SET posting list (collect_set dedups within-doc repeats) → local
@@ -500,7 +518,6 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE re-planning of the two shuffle joins).
     small = docs.count() <= _BROADCAST_DOC_LIMIT
     if not small:
-        from ..functions.checkpointing import stable_checkpoint
 
         postings = stable_checkpoint(postings)
     pairs = _jaccard_pairs(postings)
@@ -595,7 +612,6 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the df_ aggregate). n_src is a single row: always safe to hint.
     small = docs.count() <= _BROADCAST_DOC_LIMIT
     if not small:
-        from ..functions.checkpointing import stable_checkpoint
 
         tf = stable_checkpoint(tf)
         df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -743,7 +759,6 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``SPARK_GRAFT_CHECKPOINT_DIR`` on a cluster — see
     functions/checkpointing.py).
     """
-    from ..functions.checkpointing import stable_checkpoint
 
     pairs = stable_checkpoint(
         q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")

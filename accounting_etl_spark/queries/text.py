@@ -258,22 +258,47 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops = F.size(F.filter(ws, lambda t: t.isin("the", "a")))
     en_ratio = stops.cast("double") / n_ws
     ws_uniq = F.size(F.array_distinct(ws)).cast("double") / n_ws
+    # __g5 only feeds a duplicate-count → the 64-bit hashed-gram
+    # scheme (functions/text.py); __g2 keeps gram TEXT because
+    # top_2gram surfaces it. The top-2-gram itself is a sorted-run
+    # fold — O(n log n) per doc instead of the O(n²)
+    # filter-scan-per-distinct-gram form (quadratic in document
+    # length: fatal on book-length docs at 100 TB). Tie-break matches
+    # the oracle's struct-max: highest count, then largest gram.
     docs = docs.select(
         "*",
         word_shingles(ws, 2).alias("__g2"),
-        word_shingles(ws, 5).alias("__g5"),
-    ).select(
+        hashed_grams(token_hashes(ws), 5).alias("__g5"),
+    )
+    sorted2 = F.array_sort("__g2")
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("cnt"),
+        F.lit("").alias("gram"),
+    )
+    def _run_step(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        better = (run > acc["cnt"]) | (
+            (run == acc["cnt"]) & (g > acc["gram"])
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["cnt"]).alias("cnt"),
+            F.when(better, g).otherwise(acc["gram"]).alias("gram"),
+        )
+    docs = docs.select(
         "*",
-        F.array_max(
-            F.transform(
-                F.array_distinct(F.col("__g2")),
-                lambda g: F.struct(
-                    F.size(
-                        F.filter(F.col("__g2"), lambda x: x == g)
-                    ).alias("cnt"),
-                    g.alias("gram"),
-                ),
-            )
+        F.aggregate(
+            sorted2,
+            acc0,
+            _run_step,
+            lambda acc: F.struct(
+                acc["cnt"].alias("cnt"), acc["gram"].alias("gram")
+            ),
         ).alias("__top2"),
     )
     n2, n5 = F.size("__g2"), F.size("__g5")

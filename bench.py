@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "near_dup_jaccard",
     "near_dup_hash",
+    "dedup_clusters",
+    "tfidf_terms",
     "cosine_topk",
     "ann_variants",
     "event_windows",

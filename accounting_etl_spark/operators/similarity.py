@@ -245,6 +245,21 @@ def ivf_topk(
             corpus, query_ids, mat,
             id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe,
         )
+    mat = _sample_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+    )
+    return _ivf_with_centroids(
+        corpus, query_ids, mat,
+        id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe,
+    )
+
+
+def _sample_centroids(
+    corpus: DataFrame, *, id_col: str, vec_col: str, n_cells: int
+) -> list[list[float]]:
+    """Deterministic seed centroids: each row hashes to one of
+    ``n_cells`` cells and a map-side-combining ``min_by`` picks one
+    representative per cell — the driver collects ≤ n_cells rows."""
     id_str = F.col(id_col).cast("string")
     reps = (
         corpus.select(
@@ -265,15 +280,7 @@ def ivf_topk(
         .orderBy("id")
         .collect()
     )
-    return _ivf_with_centroids(
-        corpus,
-        query_ids,
-        [[float(x) for x in r["c"]] for r in cents],
-        id_col=id_col,
-        vec_col=vec_col,
-        k=k,
-        n_probe=n_probe,
-    )
+    return [[float(x) for x in r["c"]] for r in cents]
 
 
 def _ivf_with_centroids(
@@ -346,6 +353,238 @@ def _ivf_with_centroids(
     )
     top = topk_per_group(
         scored, ["q_id"], [F.desc("cosine"), F.asc("nb_id")], k, rank_col="rank"
+    )
+    return top.select(
+        "q_id", "nb_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
+    )
+
+
+# ---------------- IVF-PQ: product quantization over the IVF cells ----
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m_sub: int,
+    n_codes: int,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks: ``m_sub`` codebooks of
+    ``n_codes`` sub-centroids each, picked the same way as the IVF
+    seed centroids — each row's subvector hashes to one code slot and
+    a map-side-combining ``min_by`` keeps one representative, so the
+    driver collects exactly ≤ m_sub·n_codes short rows regardless of
+    corpus size. Hash gaps (tiny corpora) are filled from slot 0 so
+    the codebook is always rectangular.
+
+    Subvectors are taken from the L2-NORMALIZED vector, matching the
+    encode/ADC convention in :func:`ivf_pq_topk` (sum of subspace
+    dots over normalized vectors = full cosine).
+    """
+    d_sub = dim // m_sub
+    if d_sub * m_sub != dim:
+        raise ValueError(f"m_sub={m_sub} must divide dim={dim}")
+    id_str = F.col(id_col).cast("string")
+    vec = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda s, x: s + x * x)
+    )
+    nvec = F.transform(vec, lambda x: x / norm)
+    subs = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.xxhash64(id_str, F.lit("pq-rank")).alias("__rk"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.slice(nvec, j * d_sub + 1, d_sub).alias("sv"),
+                )
+                for j in range(m_sub)
+            ])
+        ).alias("s"),
+    ).select(
+        "__id", "__rk", F.col("s.j").alias("j"), F.col("s.sv").alias("sv")
+    )
+    reps = (
+        subs.groupBy(
+            "j",
+            F.pmod(
+                F.xxhash64(F.col("__id").cast("string"), F.col("j")),
+                F.lit(n_codes),
+            ).alias("code"),
+        )
+        .agg(
+            F.min_by(F.col("sv"), F.struct("__rk", "__id")).alias("c")
+        )
+        .collect()
+    )
+    by_slot: dict[tuple[int, int], list[float]] = {
+        (r["j"], r["code"]): [float(x) for x in r["c"]] for r in reps
+    }
+    books: list[list[list[float]]] = []
+    for j in range(m_sub):
+        fallback = next(
+            (by_slot[(j, c)] for c in range(n_codes) if (j, c) in by_slot),
+            [0.0] * d_sub,
+        )
+        books.append([
+            by_slot.get((j, c), fallback) for c in range(n_codes)
+        ])
+    return books
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    query_ids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    shortlist_factor: int = 16,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse IVF routing + product-quantized candidate
+    scoring + exact rerank of a small shortlist (Jégou et al. 2011,
+    *Product Quantization for Nearest Neighbor Search*).
+
+    The 100 TB shape this adds over plain IVF: the candidate join
+    carries ``(nb_id, cell, codes)`` — ``m_sub`` bytes-ish of codes
+    per corpus row, never the raw vectors — and scores candidates
+    with an ADC lookup table (per query: dot of each query subvector
+    with each sub-centroid, ``m_sub·n_codes`` doubles, broadcast with
+    the probe rows). Raw corpus vectors are touched only by the
+    shortlist rerank join (``|Q|·k·shortlist_factor`` rows). All
+    stages are ordinary DataFrame ops: two broadcast joins + one
+    window.
+
+    Vectors are L2-normalized before encoding, so the sum of
+    per-subspace dots approximates full cosine directly.
+    """
+    dim = len(corpus.select(F.col(vec_col)).first()[0])
+    d_sub = dim // m_sub
+    coarse = _sample_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+    )
+    books = pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col,
+        dim=dim, m_sub=m_sub, n_codes=n_codes,
+    )
+    cents_lit = lit_matrix(coarse)
+    book_lits = [lit_matrix(b) for b in books]
+
+    vec = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda s, x: s + x * x))
+    nvec = F.transform(vec, lambda x: x / norm)
+
+    def best_cell(v: Column) -> Column:
+        pairs = F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: x * y),
+                    F.lit(0.0), lambda s, p: s + p,
+                ).alias("dot"),
+                i.alias("cell"),
+            ),
+        )
+        return F.sort_array(pairs, asc=False)
+
+    def sub(v: Column, j: int) -> Column:
+        return F.slice(v, j * d_sub + 1, d_sub)
+
+    def code_for(v: Column, j: int) -> Column:
+        # argmin squared L2 distance to the subspace codebook
+        dists = F.transform(
+            book_lits[j],
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(sub(v, j), c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda s, p: s + p,
+                ).alias("d"),
+                i.alias("code"),
+            ),
+        )
+        return F.sort_array(dists, asc=True)[0]["code"]
+
+    assigned = corpus.select(
+        F.col(id_col).alias("nb_id"),
+        best_cell(vec)[0]["cell"].alias("cell"),
+        F.array(*[code_for(nvec, j) for j in range(m_sub)]).alias("codes"),
+    )
+    # per-query ADC table: dot of each normalized query subvector with
+    # every sub-centroid, flattened to m_sub*n_codes slots
+    lut = F.flatten(
+        F.array(*[
+            F.transform(
+                book_lits[j],
+                lambda c: F.aggregate(
+                    F.zip_with(sub(F.col("q_nvec"), j), c,
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda s, p: s + p,
+                ),
+            )
+            for j in range(m_sub)
+        ])
+    )
+    q_probe = (
+        corpus.select(
+            F.col(id_col).alias("q_id"),
+            vec.alias("q_emb"),
+            nvec.alias("q_nvec"),
+        )
+        .join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("q_id"))),
+            "q_id",
+        )
+        .select(
+            "q_id", "q_emb",
+            lut.alias("__lut"),
+            F.explode(
+                F.slice(best_cell(F.col("q_nvec")), 1, n_probe)
+            ).alias("pc"),
+        )
+        .select("q_id", "q_emb", "__lut", F.col("pc.cell").alias("cell"))
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            lambda c, j: F.element_at(
+                F.col("__lut"), (j * n_codes + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0), lambda s, x: s + x,
+    )
+    cands = (
+        F.broadcast(q_probe)
+        .join(assigned, "cell")
+        .filter(F.col("q_id") != F.col("nb_id"))
+        .dropDuplicates(["q_id", "nb_id"])
+        .withColumn("adc", adc)
+    )
+    shortlist = topk_per_group(
+        cands.select("q_id", "q_emb", "nb_id", "adc"),
+        ["q_id"], [F.desc("adc"), F.asc("nb_id")],
+        k * shortlist_factor, rank_col="__adc_rank",
+    )
+    # exact rerank: only the shortlist touches raw corpus vectors
+    nb_vecs = corpus.select(
+        F.col(id_col).alias("nb_id"), vec.alias("nb_emb")
+    )
+    scored = (
+        nb_vecs.join(
+            F.broadcast(shortlist.select("q_id", "q_emb", "nb_id")), "nb_id"
+        )
+        .withColumn("cosine", _cosine(F.col("q_emb"), F.col("nb_emb")))
+    )
+    top = topk_per_group(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("nb_id")], k,
+        rank_col="rank",
     )
     return top.select(
         "q_id", "nb_id", F.col("rank").cast("bigint").alias("rank"), "cosine"

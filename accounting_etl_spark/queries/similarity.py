@@ -146,7 +146,10 @@ def q_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = q_ann_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("variant"), "q_id", "nb_id", "rank", "cosine"
     )
-    return lsh.unionByName(ivf)
+    pq = q_ann_pq(spark, sf_dir).select(
+        F.lit("pq").alias("variant"), "q_id", "nb_id", "rank", "cosine"
+    )
+    return lsh.unionByName(ivf).unionByName(pq)
 
 
 # registered below, after q_ann_ivf is defined (variants reference it)
@@ -239,6 +242,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (rows-only): coarse IVF routing, product-quantized
+    ADC candidate scoring, exact rerank of the shortlist — the
+    memory-bounded 100 TB path where candidate scoring never touches
+    raw vectors (operators/similarity.py ivf_pq_topk)."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id")
+    return ivf_pq_topk(emb, queries, k=_TOP_K)
+
+
 QUERIES["ann_variants"] = Q(
-    q_ann_variants, None, variants={"lsh": q_ann_topk, "ivf": q_ann_ivf}
+    q_ann_variants, None,
+    variants={"lsh": q_ann_topk, "ivf": q_ann_ivf, "pq": q_ann_pq},
 )

@@ -128,3 +128,66 @@ def test_ivf_rejects_unknown_centroid_mode(spark):
     q = emb.filter(F.col("vec_id") < 2).select("vec_id")
     with pytest.raises(ValueError, match="centroids"):
         ivf_topk(emb, q, centroids="nope")
+
+
+def test_pq_recall_vs_exact(spark):
+    from accounting_etl_spark.queries.similarity import (
+        q_ann_pq,
+        q_cosine_topk,
+    )
+
+    exact = _pairs(q_cosine_topk(spark, SF_SMOKE))
+    approx = _pairs(q_ann_pq(spark, SF_SMOKE))
+    assert approx, "IVF-PQ returned nothing"
+    recall = len(exact & approx) / len(exact)
+    # ADC-scored shortlist + exact rerank must clear the IVF floor
+    assert recall >= 0.3, f"IVF-PQ recall {recall:.2f}"
+
+
+def test_pq_deterministic(spark):
+    from accounting_etl_spark.queries.similarity import q_ann_pq
+
+    a = sorted(map(tuple, q_ann_pq(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, q_ann_pq(spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_pq_adc_approximates_cosine(spark):
+    """ADC score (sum of subspace LUT dots over normalized vectors)
+    must track true cosine: for each query, the PQ top-1 after rerank
+    is a genuinely high-cosine neighbor (>= 0.8 * the exact top-1)."""
+    from accounting_etl_spark.queries.similarity import (
+        q_ann_pq,
+        q_cosine_topk,
+    )
+
+    exact_best = {
+        r.q_id: r.cosine
+        for r in q_cosine_topk(spark, SF_SMOKE).collect()
+        if r.rank == 1
+    }
+    got = [r for r in q_ann_pq(spark, SF_SMOKE).collect() if r.rank == 1]
+    assert got
+    ratios = [r.cosine / exact_best[r.q_id] for r in got]
+    # per-query floor tolerates one routing miss on random vectors;
+    # the mean pins that ADC ordering genuinely tracks cosine
+    assert min(ratios) >= 0.7, ratios
+    assert sum(ratios) / len(ratios) >= 0.85, ratios
+
+
+def test_pq_codebooks_shape(spark):
+    from pyspark.sql import functions as F
+
+    from accounting_etl_spark.operators.similarity import pq_codebooks
+    from accounting_etl_spark.queries.similarity import _N_QUERIES  # noqa
+    from accounting_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select(F.col("embedding")).first()[0])
+    books = pq_codebooks(
+        emb, id_col="vec_id", vec_col="embedding",
+        dim=dim, m_sub=4, n_codes=16,
+    )
+    assert len(books) == 4
+    assert all(len(b) == 16 for b in books)
+    assert all(len(c) == dim // 4 for b in books for c in b)

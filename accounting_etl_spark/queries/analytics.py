@@ -448,6 +448,48 @@ def q_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling audit (operators/dsir.py — the
+    Xie et al. 2023 hashed-n-gram importance estimator with exact
+    integer ratios). The stratum-0 sources are the target slice; every
+    other document is scored ``Σ c_w·ratio(w)`` in pure bigint and the
+    top-importance half BY TOKENS is kept via the distributed
+    prefix-sum. Per source: docs kept (n), importance kept (v1), docs
+    total (v2), kept fraction (v3) — counts, integer scores, and the
+    budget boundary all pin bit-identically against DuckDB."""
+    from ..operators.dsir import dsir_select
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    stratum = F.pmod(
+        F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(4)
+    )
+    sel = dsir_select(
+        docs.select("doc_id", "source", "text"),
+        tokens_col=F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        is_target=stratum == F.lit(0),
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("importance"))).alias(
+                "imp_kept"
+            ),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            F.lit("dsir").alias("variant"),
+            F.col("source").alias("grp"),
+            F.col("n_kept").cast("bigint").alias("n"),
+            F.coalesce(F.col("imp_kept"), F.lit(0))
+            .cast("double")
+            .alias("v1"),
+            F.col("n_total").cast("double").alias("v2"),
+            (F.col("n_kept").cast("double") / F.col("n_total")).alias("v3"),
+        )
+    )
+
+
 def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles + fixed-width histogram + stratified-sample
     audit + sequence-packing audit + token-budget audit +
@@ -457,7 +499,8 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant 'hist': grp = bucket id, v1/v2 = lo/hi, v3 = bucket
     start. variant 'sample': see q_sample_stats. variant 'pack': see
     q_pack_stats. variant 'budget': see q_budget_stats. variant
-    'span': see q_span_stats. variant 'lm': see q_lm_stats."""
+    'span': see q_span_stats. variant 'lm': see q_lm_stats. variant
+    'dsir': see q_dsir_stats."""
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -481,6 +524,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_budget_stats(spark, sf_dir))
         .unionByName(q_span_stats(spark, sf_dir))
         .unionByName(q_lm_stats(spark, sf_dir))
+        .unionByName(q_dsir_stats(spark, sf_dir))
     )
 
 
@@ -574,6 +618,8 @@ UNION ALL
 SELECT * FROM ({{span_sql}})
 UNION ALL
 SELECT * FROM ({{lm_sql}})
+UNION ALL
+SELECT * FROM ({{dsir_sql}})
 """
 
 
@@ -663,10 +709,54 @@ GROUP BY source
 """
 
 
+# DSIR importance resampling: the oracle groups on the RAW word text
+# (Spark joins on xxhash64 keys — an internal choice the bigint score
+# is insensitive to); the quantized ratio and budget boundary are the
+# identical 64-bit integer expressions on both sides.
+_DSIR_SQL = """
+WITH tk AS (
+  SELECT doc_id, source,
+         CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4
+              AS INTEGER) = 0 AS is_t,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, is_t, unnest(t) AS word FROM tk
+), ratio AS (
+  SELECT word,
+         ((count(CASE WHEN is_t THEN 1 END) + 1) * 1000000)
+           // (count(CASE WHEN NOT is_t THEN 1 END) + 1) AS ratio
+  FROM w GROUP BY word
+), per_doc AS (
+  SELECT doc_id, sum(c * ratio) AS importance FROM (
+    SELECT doc_id, word, count(*) AS c
+    FROM w WHERE NOT is_t GROUP BY doc_id, word
+  ) JOIN ratio USING (word) GROUP BY doc_id
+), pool AS (
+  SELECT d.doc_id, d.source, CAST(len(t) AS BIGINT) AS n_tokens,
+         coalesce(importance, 0) AS importance
+  FROM tk d LEFT JOIN per_doc USING (doc_id) WHERE NOT is_t
+), sel AS (
+  SELECT source, importance,
+         (SUM(n_tokens) OVER (ORDER BY importance DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 2
+           <= (SUM(n_tokens) OVER ()) * 1 AS keep
+  FROM pool
+)
+SELECT 'dsir' AS variant, source AS grp,
+  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n,
+  CAST(coalesce(sum(CASE WHEN keep THEN importance END), 0) AS DOUBLE) AS v1,
+  CAST(count(*) AS DOUBLE) AS v2,
+  CAST(count(CASE WHEN keep THEN 1 END) AS DOUBLE) / count(*) AS v3
+FROM sel GROUP BY source
+"""
+
+
 _DIST_STATS_SQL = (
     _dist_stats_sql()
     .replace("{span_sql}", _SPAN_SQL)
     .replace("{lm_sql}", _LM_SQL)
+    .replace("{dsir_sql}", _DSIR_SQL)
 )
 
 
@@ -720,6 +810,7 @@ QUERIES["dist_stats"] = Q(
         "budget": q_budget_stats,
         "span": q_span_stats,
         "lm": q_lm_stats,
+        "dsir": q_dsir_stats,
     },
 )
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)

@@ -157,15 +157,19 @@ def q_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_DD_LIMIT = 200
 _EMB_DD_THRESHOLD = 0.35
+_SEM_K = 8  # anchor count for the semantic-dedup clustering
 
 
-def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (SURVEY §2.11 dedup family).
+def _bounded_cosines(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """All-pairs exact decimal cosines over the bounded id range.
 
-    Exact decimal cosine over a bounded id range (all-pairs is the
-    oracle baseline; the unbounded path goes through the LSH buckets
-    of operators/similarity.py first). Same decimal-dot determinism
-    contract as q_cosine_topk.
+    Returns ``(cos, norms)`` where ``cos`` is every ``va < vb`` pair
+    with its cosine (NO threshold — callers filter) and ``norms`` is
+    ``(vec_id, n2)``. Shared by the 'pairs' and 'semdedup' variants so
+    the decimal-dot determinism contract (see q_cosine_topk) holds for
+    both.
     """
     emb = spread(
         load_table(spark, sf_dir, "embeddings").filter(
@@ -189,18 +193,129 @@ def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("vec_id").alias("va"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("vec_id").alias("vb"), F.col("n2").alias("nb2"))
-    return (
+    cos = (
         dots.join(F.broadcast(na), "va")
         .join(F.broadcast(nb), "vb")
         .withColumn(
             "cosine",
             F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
         )
-        .filter(F.col("cosine") >= _EMB_DD_THRESHOLD)
         .select("va", "vb", "cosine")
+    )
+    return cos, norms
+
+
+def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (SURVEY §2.11 dedup family).
+
+    Exact decimal cosine over a bounded id range (all-pairs is the
+    oracle baseline; the unbounded path goes through the LSH buckets
+    of operators/similarity.py first). Same decimal-dot determinism
+    contract as q_cosine_topk.
+    """
+    cos, _ = _bounded_cosines(spark, sf_dir)
+    return cos.filter(F.col("cosine") >= _EMB_DD_THRESHOLD)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space,
+    then drop all-but-one of each intra-cluster group of semantic
+    near-duplicates.
+
+    Clustering here is nearest-anchor assignment — the ``_SEM_K``
+    lowest vec_ids act as fixed anchors and every vector joins the
+    anchor with the highest cosine (tie-break: anchor id). That keeps
+    the whole operator SQL-expressible so the DuckDB oracle can check
+    it end-to-end; the unbounded path swaps anchors for trained IVF
+    centroids (operators/similarity.py ivf_topk's assignment stage)
+    and generates intra-cluster pairs per cell instead of all-pairs —
+    the pair search stays bucketed either way, never corpus-wide.
+
+    Drop rule (deterministic SemDeDup): a vector is dropped iff some
+    LOWER-id vector in the same cluster has cosine ≥ threshold with
+    it; the minimum id of each intra-cluster duplicate group
+    survives. Output per vector: its cluster anchor (``vb``), cosine
+    to that anchor, and the keep flag.
+    """
+    cos, norms = _bounded_cosines(spark, sf_dir)
+    # doc→anchor cosines: symmetrize the va<vb pair table, plus each
+    # anchor's self-cosine (n2/(√n2·√n2) — the same IEEE ops in both
+    # engines, not a 1.0 literal, so ranking ties break identically)
+    danc = (
+        cos.filter(F.col("vb") < _SEM_K)
+        .select(
+            F.col("va").alias("doc"), F.col("vb").alias("anchor"), "cosine"
+        )
+        .unionByName(
+            cos.filter(F.col("va") < _SEM_K).select(
+                F.col("vb").alias("doc"),
+                F.col("va").alias("anchor"),
+                "cosine",
+            )
+        )
+        .unionByName(
+            norms.filter(F.col("vec_id") < _SEM_K).select(
+                F.col("vec_id").alias("doc"),
+                F.col("vec_id").alias("anchor"),
+                (
+                    F.col("n2") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("n2")))
+                ).alias("cosine"),
+            )
+        )
+    )
+    from ..operators.topk import topk_per_group
+
+    assigned = topk_per_group(
+        danc, ["doc"], [F.desc("cosine"), F.asc("anchor")], 1
+    ).select("doc", "anchor", "cosine")
+    pairs_t = cos.filter(F.col("cosine") >= _EMB_DD_THRESHOLD)
+    dropped = (
+        pairs_t.join(
+            assigned.select(F.col("doc").alias("va"), F.col("anchor").alias("ca")),
+            "va",
+        )
+        .join(
+            assigned.select(F.col("doc").alias("vb"), F.col("anchor").alias("cb")),
+            "vb",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .select(F.col("vb").alias("doc"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(dropped, "doc", "left").select(
+        F.col("doc").alias("va"),
+        F.col("anchor").alias("vb"),
+        "cosine",
+        F.col("__dropped").isNull().alias("keep"),
     )
 
 
+def q_near_dup_embedding_merged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding near-dup pairs + SemDeDup verdicts in one
+    union-tagged entry (driver cap: the correctness gate records at
+    most 50 registry entries). variant 'pairs': (va, vb, cosine) edges
+    at the threshold. variant 'semdedup': per-vector (va=vec, vb=its
+    cluster anchor, cosine to that anchor, keep)."""
+    pairs = q_near_dup_embedding(spark, sf_dir).select(
+        F.lit("pairs").alias("variant"),
+        "va",
+        "vb",
+        "cosine",
+        F.lit(None).cast("boolean").alias("keep"),
+    )
+    sem = q_semdedup(spark, sf_dir).select(
+        F.lit("semdedup").alias("variant"), "va", "vb", "cosine", "keep"
+    )
+    return pairs.unionByName(sem)
+
+
+# SemDeDup oracle: the same decimal-cosine CTEs, then nearest-anchor
+# assignment (row_number over cosine DESC, anchor ASC — the doubles
+# are bit-identical on both sides, see q_cosine_topk) and the
+# min-id-survivor drop rule as a plain EXISTS-style join.
 _EMB_DD_SQL = f"""
 WITH el0 AS (
   SELECT vec_id,
@@ -218,16 +333,49 @@ WITH el0 AS (
   FROM el a JOIN el b USING (i)
   WHERE a.vec_id < b.vec_id
   GROUP BY 1, 2
+), cosall AS (
+  SELECT va, vb, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+  FROM dots
+  JOIN norms na ON va = na.vec_id
+  JOIN norms nb ON vb = nb.vec_id
+), pairs AS (
+  SELECT va, vb, cosine FROM cosall WHERE cosine >= {_EMB_DD_THRESHOLD}
+), danc AS (
+  SELECT va AS doc, vb AS anchor, cosine FROM cosall WHERE vb < {_SEM_K}
+  UNION ALL
+  SELECT vb AS doc, va AS anchor, cosine FROM cosall WHERE va < {_SEM_K}
+  UNION ALL
+  SELECT vec_id AS doc, vec_id AS anchor,
+         n2 / (sqrt(n2) * sqrt(n2)) AS cosine
+  FROM norms WHERE vec_id < {_SEM_K}
+), assigned AS (
+  SELECT doc, anchor, cosine FROM (
+    SELECT doc, anchor, cosine,
+           row_number() OVER (PARTITION BY doc
+                              ORDER BY cosine DESC, anchor ASC) AS rn
+    FROM danc
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT p.vb AS doc
+  FROM pairs p
+  JOIN assigned x ON p.va = x.doc
+  JOIN assigned y ON p.vb = y.doc
+  WHERE x.anchor = y.anchor
 )
-SELECT va, vb, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
-FROM dots
-JOIN norms na ON va = na.vec_id
-JOIN norms nb ON vb = nb.vec_id
-WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {_EMB_DD_THRESHOLD}
+SELECT 'pairs' AS variant, va, vb, cosine, CAST(NULL AS BOOLEAN) AS keep
+FROM pairs
+UNION ALL
+SELECT 'semdedup' AS variant, a.doc AS va, a.anchor AS vb, a.cosine,
+       d.doc IS NULL AS keep
+FROM assigned a LEFT JOIN dropped d ON a.doc = d.doc
 """
 
 
-QUERIES["near_dup_embedding"] = Q(q_near_dup_embedding, _EMB_DD_SQL)
+QUERIES["near_dup_embedding"] = Q(
+    q_near_dup_embedding_merged,
+    _EMB_DD_SQL,
+    variants={"pairs": q_near_dup_embedding, "semdedup": q_semdedup},
+)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -589,3 +589,103 @@ def ivf_pq_topk(
     return top.select(
         "q_id", "nb_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
     )
+
+
+# ---------------- SemDeDup: semantic dedup over IVF cells ------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_cells: int = 16,
+    centroids: str = "sample",
+    max_cell: int = 256,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) at corpus scale: cluster the
+    embedding space into IVF cells, generate candidate pairs ONLY
+    within a cell, and drop every vector that has a lower-id
+    same-cell neighbor with cosine ≥ ``threshold`` (deterministic
+    min-id survivor — the same rule the oracle-checked bounded
+    variant in queries/similarity.py pins exactly).
+
+    Scale shape:
+
+    - cell assignment is a map-only literal-matrix transform (one
+      ``lit_matrix`` shared subtree — the IVF fold);
+    - pair generation is the chunked posting-list expansion
+      (functions/pairs.py ``explode_bucket_pairs``): a hot cell cuts
+      into ``max_cell``-sized chunk-pair rows instead of one O(c²)
+      array row, the ADVICE-r2 skew escape shared with minhash/simhash;
+    - only candidate pairs rejoin the raw vectors (two equi-joins) for
+      the exact-cosine verify — never an all-pairs cross of the corpus.
+
+    ``n_cells`` should grow with the corpus (cells stay ~|corpus| /
+    n_cells); ``centroids="kmeans"`` buys density-following cells at
+    the cost of a bounded training job (see :func:`ivf_topk`).
+
+    Returns one row per corpus vector: ``(id_col, cell, keep)``.
+    Recall caveat (inherent to SemDeDup): a near-dup pair split across
+    two cells is not examined — the paper accepts this; raising
+    n_probe-style multi-assignment is future work.
+    """
+    from ..functions.pairs import explode_bucket_pairs
+
+    if centroids == "kmeans":
+        mat = _kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+        )
+    elif centroids == "sample":
+        mat = _sample_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+        )
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+    cents_lit = lit_matrix(mat)
+    vec = F.col(vec_col).cast("array<double>")
+    best_cell = F.sort_array(
+        F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda s, p: s + p,
+                ).alias("dot"),
+                i.alias("cell"),
+            ),
+        ),
+        asc=False,
+    )[0]["cell"]
+    assigned = corpus.select(
+        F.col(id_col).alias("__id"), vec.alias("__vec"), best_cell.alias("cell")
+    )
+    members = assigned.groupBy("cell").agg(
+        F.sort_array(F.collect_list("__id")).alias("ids")
+    )
+    cand = explode_bucket_pairs(
+        members,
+        "ids",
+        lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        max_cell,
+    ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    va = assigned.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
+    vb = assigned.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+    dropped = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(_cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("id_b").alias("__id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )

@@ -75,3 +75,77 @@ def test_survivor_is_cluster_min_of_each_dup_group(spark):
     for p in pairs:
         if sem[p["va"]]["vb"] == sem[p["vb"]]["vb"]:
             assert not sem[p["vb"]]["keep"]
+
+
+def _emb(spark):
+    from accounting_etl_spark.sources.tables import load_table
+
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_semantic_dedup_drop_rule_matches_brute_force(spark):
+    from accounting_etl_spark.operators.similarity import (
+        _cosine,
+        semantic_dedup,
+    )
+
+    emb = _emb(spark)
+    out = semantic_dedup(emb, threshold=0.35, n_cells=8).cache()
+    n_vec = emb.count()
+    assert out.count() == n_vec  # one verdict per vector
+    # brute-force the same rule within the cells the operator chose,
+    # with the SAME double cosine fold (bit-identical, no tolerance)
+    with_vec = out.join(emb, "vec_id").select("vec_id", "cell", "embedding")
+    a = with_vec.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cell"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = with_vec.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cell"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    expect_dropped = {
+        r["id_b"]
+        for r in a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("id_b")
+        .distinct()
+        .collect()
+    }
+    got_dropped = {r["vec_id"] for r in out.filter(~F.col("keep")).collect()}
+    assert got_dropped == expect_dropped
+    assert 0 < len(got_dropped) < n_vec
+    out.unpersist()
+
+
+def test_semantic_dedup_chunking_invariant(spark):
+    from accounting_etl_spark.operators.similarity import semantic_dedup
+
+    emb = _emb(spark)
+    big = {
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in semantic_dedup(
+            emb, threshold=0.35, n_cells=8, max_cell=10**6
+        ).collect()
+    }
+    chunked = {
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in semantic_dedup(
+            emb, threshold=0.35, n_cells=8, max_cell=16
+        ).collect()
+    }
+    assert big == chunked  # hot-cell chunking never changes results
+
+
+def test_semantic_dedup_kmeans_mode(spark):
+    from accounting_etl_spark.operators.similarity import semantic_dedup
+
+    emb = _emb(spark)
+    out = semantic_dedup(
+        emb, threshold=0.35, n_cells=4, centroids="kmeans"
+    ).collect()
+    assert len(out) == emb.count()
+    assert any(not r["keep"] for r in out)

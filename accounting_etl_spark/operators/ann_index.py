@@ -1,0 +1,182 @@
+"""Persisted IVF index: build once, probe many, read only what you probe.
+
+``ivf_topk`` (operators/similarity.py) recomputes centroid assignment
+per query batch — right for one-shot jobs, wasteful for a serving- or
+eval-loop workload that probes the same corpus repeatedly. This module
+materializes the IVF structure as plain parquet:
+
+- ``<path>/centroids`` — ≤ n_cells rows ``(cell, c: array<double>)``;
+- ``<path>/postings`` — one row per corpus vector ``(id, vec)``,
+  **partitioned by cell** (``partitionBy("cell")``).
+
+The cell partitioning is the point: a probe filters ``cell IN
+(<probed>)`` with a driver-known list, so Catalyst prunes the scan to
+the probed directories — a 1024-cell index answers an n_probe=8 batch
+by reading ~0.8% of the postings bytes, verified by a
+``PartitionFilters`` plan assertion in tests. Appending new vectors is
+an assignment pass against the SAVED centroids plus a partitioned
+append — no rebuild, no read of existing postings (the incremental
+admission pattern of streaming/dedup.py applied to similarity
+search).
+
+Everything driver-side is bounded by n_cells (the centroid collect);
+the build's only data-sized work is one map-only assignment pass and
+the partitioned write's shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.litmatrix import lit_matrix
+from .similarity import _cosine, _kmeans_centroids, _sample_centroids
+from .topk import topk_per_group
+
+
+def _ranked_cells(vec: Column, cents_lit: Column) -> Column:
+    """Cells sorted by descending dot product with ``vec`` — the
+    shared lit_matrix fold (see _ivf_with_centroids)."""
+    return F.sort_array(
+        F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda s, p: s + p,
+                ).alias("dot"),
+                i.alias("cell"),
+            ),
+        ),
+        asc=False,
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    centroids: str = "sample",
+) -> None:
+    """Materialize the IVF index for ``corpus`` under ``path``.
+
+    ``centroids`` as in :func:`..similarity.ivf_topk`: "sample" =
+    deterministic hash representatives (replay-identical builds),
+    "kmeans" = MLlib-trained on a bounded hash-sample.
+    """
+    spark = corpus.sparkSession
+    if centroids == "kmeans":
+        mat = _kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+        )
+    elif centroids == "sample":
+        mat = _sample_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+        )
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(mat)], "cell int, c array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_postings(corpus, path, mat, id_col=id_col, vec_col=vec_col,
+                    mode="overwrite")
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign ``new_vectors`` against the SAVED centroids and append
+    to the postings — no rebuild, no read of existing postings."""
+    mat = load_centroids(new_vectors.sparkSession, path)
+    _write_postings(new_vectors, path, mat, id_col=id_col,
+                    vec_col=vec_col, mode="append")
+
+
+def _write_postings(
+    df: DataFrame,
+    path: str,
+    centroid_matrix: list[list[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+    mode: str,
+) -> None:
+    cents_lit = lit_matrix(centroid_matrix)
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        vec.alias("vec"),
+        _ranked_cells(vec, cents_lit)[0]["cell"].cast("int").alias("cell"),
+    )
+    assigned.write.mode(mode).partitionBy("cell").parquet(f"{path}/postings")
+
+
+def load_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    """The ≤ n_cells centroid rows — the only driver-side read."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return [[float(x) for x in r["c"]] for r in rows]
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query against the saved index.
+
+    ``queries`` carries the query vectors (``id_col``, ``vec_col``).
+    The probed cell set is computed driver-side from the (bounded)
+    centroid matrix and pushed into the postings scan as a partition
+    filter — only the probed cell directories are read.
+
+    Returns ``(q_id, nb_id, rank, cosine)``.
+    """
+    mat = load_centroids(spark, path)
+    cents_lit = lit_matrix(mat)
+    q_vec = F.col(vec_col).cast("array<double>")
+    q_probe = queries.select(
+        F.col(id_col).alias("q_id"),
+        q_vec.alias("q_emb"),
+        F.explode(
+            F.slice(_ranked_cells(q_vec, cents_lit), 1, n_probe)
+        ).alias("pc"),
+    ).select("q_id", "q_emb", F.col("pc.cell").cast("int").alias("cell"))
+    # driver-known probe list → partition pruning on the postings scan
+    # (queries are a bounded batch; the distinct set is ≤ n_cells)
+    probed = sorted(
+        {r["cell"] for r in q_probe.select("cell").distinct().collect()}
+    )
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("cell").isin(probed)
+    )
+    cands = (
+        F.broadcast(q_probe)
+        .join(postings, "cell")
+        .filter(F.col("q_id") != F.col("id"))
+        .select("q_id", "q_emb", F.col("id").alias("nb_id"),
+                F.col("vec").alias("nb_emb"))
+        .dropDuplicates(["q_id", "nb_id"])
+    )
+    scored = cands.withColumn(
+        "cosine", _cosine(F.col("q_emb"), F.col("nb_emb"))
+    )
+    top = topk_per_group(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("nb_id")], k,
+        rank_col="rank",
+    )
+    return top.select(
+        "q_id", "nb_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
+    )

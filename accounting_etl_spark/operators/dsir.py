@@ -128,9 +128,34 @@ def dsir_select(
         "__is_target",
         F.explode("__tokens").alias("word"),
     ).withColumn("word", F.xxhash64("word"))
-    ratios = importance_ratios(words, is_target_col="__is_target")
-    raw_words = words.filter(~F.col("__is_target"))
-    scores = dsir_scores(raw_words, ratios, doc_col=doc_col)
+    # ONE pass over the token stream: aggregate to (doc, word) grain
+    # first, then both the |vocab|-sized ratio table and the per-doc
+    # scores derive from that compact table — the naive shape
+    # (importance_ratios + dsir_scores on the raw stream) explodes
+    # and shuffles the full token stream twice
+    doc_word = words.groupBy(doc_col, "word", "__is_target").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    counts = doc_word.groupBy("word").agg(
+        F.sum(F.when(F.col("__is_target"), F.col("c")).otherwise(0)).alias(
+            "count_target"
+        ),
+        F.sum(F.when(~F.col("__is_target"), F.col("c")).otherwise(0)).alias(
+            "count_raw"
+        ),
+    )
+    ratios = counts.withColumn(
+        "ratio",
+        F.expr(
+            f"((count_target + 1L) * {RATIO_SCALE}L) DIV (count_raw + 1L)"
+        ),
+    )
+    scores = (
+        doc_word.filter(~F.col("__is_target"))
+        .join(ratios.select("word", "ratio"), "word")
+        .groupBy(doc_col)
+        .agg(F.sum(F.col("c") * F.col("ratio")).alias("importance"))
+    )
     raw = base.filter(~F.col("__is_target")).drop("__tokens", "__is_target")
     scored = raw.join(scores, doc_col, "left").withColumn(
         "importance", F.coalesce(F.col("importance"), F.lit(0).cast("bigint"))

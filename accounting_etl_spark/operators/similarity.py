@@ -392,14 +392,24 @@ def pq_codebooks(
         F.aggregate(vec, F.lit(0.0), lambda s, x: s + x * x)
     )
     nvec = F.transform(vec, lambda x: x / norm)
-    subs = corpus.select(
+    # project the normalized vector before slicing so the norm
+    # aggregate + divide transform evaluate once per row, not once
+    # per subspace (see the projection-boundary note in ivf_pq_topk)
+    pre = corpus.select(
         F.col(id_col).alias("__id"),
         F.xxhash64(id_str, F.lit("pq-rank")).alias("__rk"),
+        nvec.alias("__nvec"),
+    )
+    subs = pre.select(
+        "__id",
+        "__rk",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(j).alias("j"),
-                    F.slice(nvec, j * d_sub + 1, d_sub).alias("sv"),
+                    F.slice(F.col("__nvec"), j * d_sub + 1, d_sub).alias(
+                        "sv"
+                    ),
                 )
                 for j in range(m_sub)
             ])
@@ -465,11 +475,12 @@ def ivf_pq_topk(
     Vectors are L2-normalized before encoding, so the sum of
     per-subspace dots approximates full cosine directly.
     """
-    dim = len(corpus.select(F.col(vec_col)).first()[0])
-    d_sub = dim // m_sub
     coarse = _sample_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
     )
+    # dim comes free with the centroid collect — no separate first() job
+    dim = len(coarse[0])
+    d_sub = dim // m_sub
     books = pq_codebooks(
         corpus, id_col=id_col, vec_col=vec_col,
         dim=dim, m_sub=m_sub, n_codes=n_codes,
@@ -497,13 +508,14 @@ def ivf_pq_topk(
     def sub(v: Column, j: int) -> Column:
         return F.slice(v, j * d_sub + 1, d_sub)
 
-    def code_for(v: Column, j: int) -> Column:
-        # argmin squared L2 distance to the subspace codebook
+    def code_for_sub(sv: Column, j: int) -> Column:
+        # argmin squared L2 distance to the subspace codebook;
+        # ``sv`` must be a materialized column (see below)
         dists = F.transform(
             book_lits[j],
             lambda c, i: F.struct(
                 F.aggregate(
-                    F.zip_with(sub(v, j), c, lambda x, y: (x - y) * (x - y)),
+                    F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
                     F.lit(0.0), lambda s, p: s + p,
                 ).alias("d"),
                 i.alias("code"),
@@ -511,10 +523,28 @@ def ivf_pq_topk(
         )
         return F.sort_array(dists, asc=True)[0]["code"]
 
-    assigned = corpus.select(
+    # materialize the normalized vector, then the m_sub subvectors,
+    # through projection boundaries: inlining ``nvec`` (which carries
+    # the O(dim) norm aggregate + divide transform) into every one of
+    # the m_sub·n_codes code-distance expressions bloats codegen and
+    # re-evaluates the normalize per code — the same CollapseProject
+    # hazard functions/text.py hashed_grams documents (the ≥3
+    # references here keep the projections separate)
+    pre = corpus.select(
         F.col(id_col).alias("nb_id"),
-        best_cell(vec)[0]["cell"].alias("cell"),
-        F.array(*[code_for(nvec, j) for j in range(m_sub)]).alias("codes"),
+        vec.alias("__vec"),
+        nvec.alias("__nvec"),
+    ).select(
+        "nb_id",
+        "__vec",
+        *[sub(F.col("__nvec"), j).alias(f"__sv{j}") for j in range(m_sub)],
+    )
+    assigned = pre.select(
+        F.col("nb_id"),
+        best_cell(F.col("__vec"))[0]["cell"].alias("cell"),
+        F.array(
+            *[code_for_sub(F.col(f"__sv{j}"), j) for j in range(m_sub)]
+        ).alias("codes"),
     )
     # per-query ADC table: dot of each normalized query subvector with
     # every sub-centroid, flattened to m_sub*n_codes slots

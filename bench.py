@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "near_dup_jaccard",
     "near_dup_hash",
+    "near_dup_embedding",
     "dedup_clusters",
     "tfidf_terms",
     "cosine_topk",

@@ -47,6 +47,7 @@ def prefix_sum(
     value_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inclusive running sum of ``value_col`` in ``order_col`` order,
     computed with bounded per-task state (no single-partition window).
@@ -57,33 +58,47 @@ def prefix_sum(
     to be well-defined. Range partitioning and the per-partition
     window use the identical sort, so partition p's rows all precede
     partition p+1's in that order regardless of direction.
+
+    ``group_cols`` makes the running sum restart per group (a
+    per-domain prefix sum) while staying distributed: a huge group
+    would collapse a plain ``Window.partitionBy(group)`` into one
+    task, so instead the range partitioning leads with the group
+    columns (each partition holds contiguous (group, order) slices),
+    the local cumsum windows on ``(group, pid)``, and the offsets
+    prefix-sum windows on pid *within* each group — the offsets table
+    stays one row per (group, partition), tiny on both axes.
     """
     order = _as_order_list(order_col)
+    groups = list(group_cols or [])
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order).withColumn(
+    ranged = df.repartitionByRange(n, *groups, *order).withColumn(
         "__pid", F.spark_partition_id()
     )
-    local = Window.partitionBy("__pid").orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    local = (
+        Window.partitionBy(*groups, "__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_local = ranged.withColumn(
         "__local_cum", F.sum(value_col).over(local)
     )
-    totals = ranged.groupBy("__pid").agg(
+    totals = ranged.groupBy(*groups, "__pid").agg(
         F.sum(value_col).alias("__total")
     )
-    # N rows (one per partition): the single-task window here is the
+    # one row per (group,) partition: the small window here is the
     # point of the algorithm, not a scale bug
     off_w = (
-        Window.orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+        Window.partitionBy(*groups).orderBy("__pid")
+        if groups
+        else Window.orderBy("__pid")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = totals.select(
+        *groups,
         "__pid",
         (F.sum("__total").over(off_w) - F.col("__total")).alias("__offset"),
     )
     return (
-        with_local.join(F.broadcast(offsets), "__pid")
+        with_local.join(F.broadcast(offsets), [*groups, "__pid"])
         .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
         .drop("__pid", "__local_cum")
     )

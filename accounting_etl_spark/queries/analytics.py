@@ -448,6 +448,76 @@ def q_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS: dict[int, tuple[int, int]] = {
+    0: (3, 10),
+    1: (3, 10),
+    2: (1, 10),
+    3: (1, 10),
+}
+
+
+def q_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture token budgeting audit (operators/mixture.py —
+    per-domain corpus-fraction allocations via the GROUPED distributed
+    prefix-sum; DoReMi-style recipe weights). Strata 0/1 get 30% of
+    corpus tokens each, 2/3 get 10% each, best-quality first within
+    each domain. Per domain: docs kept (n), tokens kept (v1), domain
+    tokens total (v2), achieved corpus fraction (v3). Integer cutoff
+    math and the grouped cumsum pin bit-identically against DuckDB's
+    per-domain window."""
+    from ..operators.mixture import mixture_select
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    stratum = F.pmod(
+        F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(4)
+    )
+    ws = F.split(F.trim(F.col("text")), " ")
+    uniq = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    quality = (
+        F.least(F.col("n_chars").cast("double") / 400, F.lit(1.0)) * 0.5
+        + uniq * 0.5
+    )
+    sized = docs.select(
+        "doc_id",
+        stratum.alias("dom"),
+        quality.alias("q"),
+        F.size(ws).cast("bigint").alias("n_tokens"),
+    )
+    sel = mixture_select(
+        sized,
+        group_col="dom",
+        order_col=[F.col("q").desc(), F.col("doc_id")],
+        weights=_MIX_WEIGHTS,
+    )
+    total = sized.agg(
+        F.sum("n_tokens").cast("bigint").alias("__corpus_tokens")
+    )
+    return (
+        sel.groupBy("dom")
+        .agg(
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens"))).alias(
+                "tok_kept"
+            ),
+            F.sum("n_tokens").alias("tok_total"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("mix").alias("variant"),
+            F.col("dom").cast("string").alias("grp"),
+            F.col("n_kept").cast("bigint").alias("n"),
+            F.coalesce(F.col("tok_kept"), F.lit(0))
+            .cast("double")
+            .alias("v1"),
+            F.col("tok_total").cast("double").alias("v2"),
+            (
+                F.coalesce(F.col("tok_kept"), F.lit(0)).cast("double")
+                / F.col("__corpus_tokens").cast("double")
+            ).alias("v3"),
+        )
+    )
+
+
 def q_dsir_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling audit (operators/dsir.py — the
     Xie et al. 2023 hashed-n-gram importance estimator with exact
@@ -500,7 +570,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     start. variant 'sample': see q_sample_stats. variant 'pack': see
     q_pack_stats. variant 'budget': see q_budget_stats. variant
     'span': see q_span_stats. variant 'lm': see q_lm_stats. variant
-    'dsir': see q_dsir_stats."""
+    'dsir': see q_dsir_stats. variant 'mix': see q_mix_stats."""
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -525,6 +595,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_span_stats(spark, sf_dir))
         .unionByName(q_lm_stats(spark, sf_dir))
         .unionByName(q_dsir_stats(spark, sf_dir))
+        .unionByName(q_mix_stats(spark, sf_dir))
     )
 
 
@@ -620,6 +691,8 @@ UNION ALL
 SELECT * FROM ({{lm_sql}})
 UNION ALL
 SELECT * FROM ({{dsir_sql}})
+UNION ALL
+SELECT * FROM ({{mix_sql}})
 """
 
 
@@ -752,11 +825,50 @@ FROM sel GROUP BY source
 """
 
 
+# domain mixture: the oracle's per-domain window cumsum mirrors the
+# grouped distributed prefix-sum; the CASE weight tables are generated
+# from the same _MIX_WEIGHTS dict so the two sides cannot drift
+def _mix_sql() -> str:
+    num = " ".join(
+        f"WHEN {g} THEN {w[0]}" for g, w in _MIX_WEIGHTS.items()
+    )
+    den = " ".join(
+        f"WHEN {g} THEN {w[1]}" for g, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4
+              AS INTEGER) AS dom,
+         least(CAST(n_chars AS DOUBLE) / 400, 1.0) * 0.5
+         + CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+           / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) * 0.5 AS q,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), sel AS (
+  SELECT dom, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY dom ORDER BY q DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           * (CASE dom {den} ELSE 1 END)
+           <= (SUM(n_tokens) OVER ()) * (CASE dom {num} ELSE 0 END) AS keep
+  FROM base
+)
+SELECT 'mix' AS variant, CAST(dom AS VARCHAR) AS grp,
+  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n,
+  CAST(coalesce(sum(CASE WHEN keep THEN n_tokens END), 0) AS DOUBLE) AS v1,
+  CAST(sum(n_tokens) AS DOUBLE) AS v2,
+  CAST(coalesce(sum(CASE WHEN keep THEN n_tokens END), 0) AS DOUBLE)
+    / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM base) AS v3
+FROM sel GROUP BY dom
+"""
+
+
 _DIST_STATS_SQL = (
     _dist_stats_sql()
     .replace("{span_sql}", _SPAN_SQL)
     .replace("{lm_sql}", _LM_SQL)
     .replace("{dsir_sql}", _DSIR_SQL)
+    .replace("{mix_sql}", _mix_sql())
 )
 
 
@@ -811,6 +923,7 @@ QUERIES["dist_stats"] = Q(
         "span": q_span_stats,
         "lm": q_lm_stats,
         "dsir": q_dsir_stats,
+        "mix": q_mix_stats,
     },
 )
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)

@@ -719,3 +719,62 @@ def semantic_dedup(
             F.col("__dropped").isNull().alias("keep"),
         )
     )
+
+
+# ---------------- Johnson–Lindenstrauss random projection ------------
+
+
+def projection_matrix(dim: int, out_dim: int, seed: int = _SEED) -> list[list[float]]:
+    """Deterministic sparse-sign JL matrix (Achlioptas 2003): entries
+    ±√(3/out_dim) or 0 with probabilities 1/6, 1/6, 2/3 — the database-
+    friendly construction (3× fewer multiplies than Gaussian, same
+    distance-preservation guarantee; the √3 compensates the zeros so
+    E[(Rx)_i²] = ‖x‖²/out_dim and expected norms are preserved)."""
+    rng = random.Random((seed << 16) ^ out_dim ^ (dim << 1))
+    s = (3.0 / out_dim) ** 0.5
+    rows = []
+    for _ in range(out_dim):
+        row = []
+        for _ in range(dim):
+            r = rng.random()
+            row.append(s if r < 1 / 6 else (-s if r < 1 / 3 else 0.0))
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    dim: int,
+    out_dim: int,
+    seed: int = _SEED,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction as a map-only
+    literal-matrix transform.
+
+    High-dim embeddings make every ANN stage pay O(dim) per candidate;
+    projecting 128→32 dims cuts that 4× while approximately preserving
+    pairwise distances (the JL lemma), which is why production ANN
+    pipelines project before bucketing. The projection matrix is
+    deterministic (seeded, engine-independent) and inlined as ONE
+    ``lit_matrix`` expression — a single map-side pass, no shuffle, no
+    UDF; the same shared-fold shape as the IVF centroid assignment.
+
+    Compose with the ANN paths by projecting corpus and queries with
+    the SAME (dim, out_dim, seed) and running LSH/IVF on ``out_col``.
+    """
+    mat = lit_matrix(projection_matrix(dim, out_dim, seed))
+    vec = F.col(vec_col).cast("array<double>")
+    return df.withColumn(
+        out_col,
+        F.transform(
+            mat,
+            lambda row: F.aggregate(
+                F.zip_with(vec, row, lambda x, r: x * r),
+                F.lit(0.0),
+                lambda s, p: s + p,
+            ),
+        ),
+    )

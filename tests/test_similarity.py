@@ -191,3 +191,51 @@ def test_pq_codebooks_shape(spark):
     assert len(books) == 4
     assert all(len(b) == 16 for b in books)
     assert all(len(c) == dim // 4 for b in books for c in b)
+
+
+def test_random_projection_preserves_neighborhoods(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from accounting_etl_spark.operators.similarity import (
+        projection_matrix,
+        random_projection,
+    )
+    from accounting_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("vec_id") < 100
+    )
+    dim = len(emb.select("embedding").first()[0])
+    out = random_projection(emb, dim=dim, out_dim=32).collect()
+    # determinism: identical across calls (seeded matrix, no RNG state)
+    out2 = random_projection(emb, dim=dim, out_dim=32).collect()
+    assert {r["vec_id"]: r["projected"] for r in out} == {
+        r["vec_id"]: r["projected"] for r in out2
+    }
+    # Spark fold == numpy matmul (same seeded matrix)
+    mat = np.array(projection_matrix(dim, 32))
+    for r in out[:5]:
+        expect = mat @ np.array(r["embedding"], dtype=np.float64)
+        assert np.allclose(np.array(r["projected"]), expect, atol=1e-9)
+    # JL property: per-pair distance distortion d_proj/d_orig is
+    # concentrated around 1 (correlation is the WRONG metric here —
+    # random high-dim distances concentrate, so their fluctuations
+    # are mostly noise; the lemma bounds each pair's distortion,
+    # std ≈ 1/sqrt(2·out_dim) ≈ 0.125 at out_dim=32)
+    X = np.array([r["embedding"] for r in out], dtype=np.float64)
+    P = np.array([r["projected"] for r in out])
+    iu = np.triu_indices(len(X), k=1)
+    d_orig = np.linalg.norm(X[:, None, :] - X[None, :, :], axis=2)[iu]
+    d_proj = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=2)[iu]
+    ratio = d_proj / d_orig
+    assert abs(ratio.mean() - 1.0) < 0.05, ratio.mean()
+    assert ratio.std() < 0.25, ratio.std()
+    assert ratio.min() > 0.4 and ratio.max() < 1.8
+    # map-only: no Exchange in the projection plan
+    plan = (
+        random_projection(emb, dim=dim, out_dim=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -101,3 +101,42 @@ def score_quality(model, df: DataFrame) -> DataFrame:
         F.element_at(vector_to_array("probability"), 2),
     ).drop("__grams", "features", "rawPrediction", "probability",
            "prediction")
+
+
+def compression_ratio(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+) -> DataFrame:
+    """zlib-compressed bytes / raw UTF-8 bytes per document — the
+    classic boilerplate/repetition quality signal (low ratio =
+    template-like text; used alongside the Gopher gram fractions).
+
+    zlib is not expressible in native column expressions, so this is
+    one Arrow-batched ``mapInPandas`` pass appending a double column —
+    map-side only, no shuffle, payload never leaves the executor.
+    Empty text gets ratio 1.0 (nothing to judge).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # build a NEW StructType — StructType.add mutates in place, and
+    # df.schema hands back the DataFrame's cached schema object
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    names = list(df.columns)
+
+    def add_ratio(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                (len(zlib.compress(b)) / len(b)) if len(b) else 1.0
+                for b in raw
+            ]
+            yield pdf[names + [out_col]]
+
+    return df.mapInPandas(add_ratio, schema=out_schema)

@@ -106,3 +106,25 @@ def test_weak_supervision_from_heuristic_gate(spark):
     ).count()
     total = scored.count()
     assert agree / total >= 0.7  # learned filter imitates the gate
+
+
+def test_compression_ratio_orders_repetitive_below_diverse(spark):
+    from accounting_etl_spark.operators.quality_model import (
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam " * 20),
+        (2, "the quick brown fox jumps over one lazy dog near a very "
+            "old riverbank while seventeen distinct words wander 93 "
+            "miles through unusual quiet meadows tonight " * 5),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in compression_ratio(df).collect()}
+    assert got[1] < got[2] < 1.0  # repetitive compresses far better
+    assert got[3] == 1.0
+    # map-side only: no shuffle introduced
+    plan = compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -54,3 +54,37 @@ def stratified_keep(
             stratum == F.lit(k), h < F.lit(rate_cutoff_hex(r))
         ).otherwise(cond)
     return cond
+
+
+def split_assign(
+    key: Column, fractions: dict[str, float], *, salt: str = "split"
+) -> Column:
+    """Deterministic multi-way split label from a key's uniform hash.
+
+    ``fractions`` maps split names to probabilities (must sum to ≤ 1;
+    any remainder falls into the LAST listed split, so the canonical
+    ``{"train": .8, "val": .1, "test": .1}`` is exact). Cumulative
+    md5-prefix cutoffs, same portable scheme as :func:`stratified_keep`
+    — identical assignment in any engine with md5, no RNG.
+
+    Pass a DEDUP-CLUSTER label as ``key`` (not the doc id) to get a
+    leakage-free split: every near-duplicate of a document lands in
+    the same split, so eval can't score memorized training dupes.
+    """
+    total = sum(fractions.values())
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total}; need (0, 1]")
+    h = sample_hash(F.lit(salt), key)
+    names = list(fractions)
+    # band i covers [cum_{i-1}, cum_i); build the when() chain from the
+    # innermost (largest cutoff) outward so evaluation tests the bands
+    # in cumulative order and the remainder falls to the last split
+    bands = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        bands.append((name, rate_cutoff_hex(cum)))
+    result: Column = F.lit(names[-1])
+    for name, cutoff in reversed(bands):
+        result = F.when(h < F.lit(cutoff), F.lit(name)).otherwise(result)
+    return result

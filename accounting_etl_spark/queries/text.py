@@ -770,15 +770,51 @@ def q_curation_verdicts(
     )
 
 
-def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster labels + the composed curation verdict in one
-    union-tagged entry (driver cap: the correctness gate records at
-    most 50 registry entries). variant 'clusters' carries
-    (cluster_id, cluster_size, keep=is_survivor); variant 'curation'
-    carries (quality_score, keep, drop_reason) for EVERY document —
-    the flagship LLM-pipeline composition, oracle-checked end to end.
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
-    Both variants consume the same Jaccard pair list; the lazy
+
+def q_cluster_split(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Leakage-free train/val/test split: the split key is the
+    near-dup CLUSTER label (singletons key on their own doc_id), so
+    every near-duplicate of a document lands in the same split and
+    eval never scores a memorized training dupe — the step a benchmark
+    -clean pipeline runs after dedup clustering. Assignment is the
+    portable md5-cutoff scheme (functions/sampling.py split_assign):
+    identical in any engine, no RNG."""
+    from ..functions.sampling import split_assign
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    if pairs is None:
+        pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("__label"),
+    )
+    keyed = docs.join(labels, "doc_id", "left").withColumn(
+        "cluster_key", F.coalesce(F.col("__label"), F.col("doc_id"))
+    )
+    return keyed.select(
+        "doc_id",
+        "cluster_key",
+        split_assign(F.col("cluster_key"), _SPLIT_FRACTIONS).alias("split"),
+    )
+
+
+def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labels + the composed curation verdict + the
+    cluster-aware split in one union-tagged entry (driver cap: the
+    correctness gate records at most 50 registry entries). variant
+    'clusters' carries (cluster_id, cluster_size, keep=is_survivor);
+    variant 'curation' carries (quality_score, keep, drop_reason) for
+    EVERY document — the flagship LLM-pipeline composition,
+    oracle-checked end to end; variant 'split' carries the
+    leakage-free train/val/test assignment (cluster_id = split key,
+    drop_reason = split name).
+
+    All variants consume the same Jaccard pair list; the lazy
     checkpoint materializes the pair-generation plan once instead of
     once per variant (local blocks by default, reliable dir via
     ``SPARK_GRAFT_CHECKPOINT_DIR`` on a cluster — see
@@ -806,7 +842,16 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").cast("double").alias("quality_score"),
         "drop_reason",
     )
-    return clusters.unionByName(cur)
+    split = q_cluster_split(spark, sf_dir, pairs).select(
+        F.lit("split").alias("variant"),
+        "doc_id",
+        F.col("cluster_key").alias("cluster_id"),
+        F.lit(None).cast("bigint").alias("cluster_size"),
+        F.lit(None).cast("boolean").alias("keep"),
+        F.lit(None).cast("double").alias("quality_score"),
+        F.col("split").alias("drop_reason"),
+    )
+    return clusters.unionByName(cur).unionByName(split)
 
 
 # quality score must be bit-identical to plans/curation.py: the same
@@ -874,6 +919,39 @@ SELECT doc_id, quality_score, drop_reason,
 FROM verdict
 """
 
+def _split_sql() -> str:
+    """The 'split' variant: cumulative md5-prefix cutoffs mirroring
+    functions/sampling.py split_assign exactly (same '#'-joined salt
+    key, same 8-hex prefix, cutoffs generated from the same dict)."""
+    from ..functions.sampling import rate_cutoff_hex
+
+    names = list(_SPLIT_FRACTIONS)
+    cum = 0.0
+    cases = ""
+    for name in names[:-1]:
+        cum += _SPLIT_FRACTIONS[name]
+        cases += (
+            f"WHEN h < '{rate_cutoff_hex(cum)}' THEN '{name}' "
+        )
+    return f"""
+SELECT 'split' AS variant, doc_id, cluster_id,
+       CAST(NULL AS BIGINT) AS cluster_size,
+       CAST(NULL AS BOOLEAN) AS keep,
+       CAST(NULL AS DOUBLE) AS quality_score,
+       CASE {cases}ELSE '{names[-1]}' END AS drop_reason
+FROM (
+  SELECT doc_id, cluster_id,
+         substring(md5('split' || '#' || CAST(cluster_id AS VARCHAR)),
+                   1, 8) AS h
+  FROM (
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d
+    LEFT JOIN ({_CLUSTERS_SQL}) c USING (doc_id)
+  )
+)
+"""
+
+
 _CLUSTERS_MERGED_SQL = f"""
 SELECT 'clusters' AS variant, doc_id, cluster_id, cluster_size,
        is_survivor AS keep,
@@ -886,10 +964,16 @@ SELECT 'curation' AS variant, CAST(doc_id AS BIGINT) AS doc_id,
        CAST(NULL AS BIGINT) AS cluster_size,
        keep, quality_score, drop_reason
 FROM ({_CURATION_SQL})
+UNION ALL
+SELECT * FROM ({_split_sql()})
 """
 
 QUERIES["dedup_clusters"] = Q(
     q_dedup_clusters_merged,
     _CLUSTERS_MERGED_SQL,
-    variants={"clusters": q_dedup_clusters, "curation": q_curation_verdicts},
+    variants={
+        "clusters": q_dedup_clusters,
+        "curation": q_curation_verdicts,
+        "split": q_cluster_split,
+    },
 )

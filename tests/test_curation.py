@@ -120,3 +120,45 @@ def test_curation_contaminated_outranks_other_reasons(spark):
     # so it falls through to the quality gate
     assert v[3].drop_reason == "low_quality"
     assert v[4].keep and v[4].drop_reason is None
+
+
+def test_cluster_split_is_leakage_free(spark):
+    from accounting_etl_spark.queries.text import (
+        q_cluster_split,
+        q_near_dup_jaccard,
+    )
+    from tests.conftest import SF_SMOKE
+
+    splits = {
+        r["doc_id"]: (r["cluster_key"], r["split"])
+        for r in q_cluster_split(spark, SF_SMOKE).collect()
+    }
+    pairs = q_near_dup_jaccard(spark, SF_SMOKE).collect()
+    assert pairs, "fixture has no near-dup pairs"
+    # every near-dup pair lands in the SAME split (same cluster key)
+    for p in pairs:
+        ka, sa = splits[p["doc_a"]]
+        kb, sb = splits[p["doc_b"]]
+        assert ka == kb and sa == sb, (p["doc_a"], p["doc_b"], sa, sb)
+    # all three splits are populated and cover every document
+    names = {s for _, s in splits.values()}
+    assert names == {"train", "val", "test"}
+    assert len(splits) == 500
+
+
+def test_split_assign_fractions_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from accounting_etl_spark.functions.sampling import split_assign
+
+    df = spark.range(0, 20_000)
+    out = df.select(
+        "id", split_assign(F.col("id"), {"train": 0.8, "val": 0.1, "test": 0.1}).alias("s")
+    )
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.1) < 0.01
+    # deterministic across evaluations
+    again = {r["id"]: r["s"] for r in out.collect()}
+    assert {r["id"]: r["s"] for r in out.collect()} == again

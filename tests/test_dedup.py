@@ -249,3 +249,66 @@ def test_resize_images_typed_output(spark):
     assert set(out["doc_id"] % 3) == {0}  # image modality only
     assert (out["width"] == 64).all() and (out["height"] == 32).all()
     assert out["content"].map(len).eq(16).all()  # md5-sized fake payloads
+
+
+def test_star_cc_matches_propagation_on_random_graph(spark):
+    import random
+
+    from accounting_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 200), rng.randint(0, 200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    prop = {
+        r["node"]: r["label"] for r in connected_components(df).collect()
+    }
+    star = {
+        r["node"]: r["label"]
+        for r in connected_components_star(df).collect()
+    }
+    assert star == prop
+
+
+def test_star_cc_handles_long_chains_in_few_rounds(spark):
+    from accounting_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # a 150-edge path: min-label propagation needs ~150 rounds (one
+    # hop per round); the star alternation must finish in <= 10
+    chain = [(i, i + 1) for i in range(150)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components_star(df, max_iter=10).collect()
+    }
+    assert set(labels.values()) == {0}
+    assert len(labels) == 151
+
+
+def test_star_cc_on_fixture_pairs(spark):
+    from accounting_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+    from accounting_etl_spark.queries.text import q_near_dup_jaccard
+    from tests.conftest import SF_SMOKE
+
+    pairs = q_near_dup_jaccard(spark, SF_SMOKE).select("doc_a", "doc_b")
+    prop = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            pairs, src="doc_a", dst="doc_b"
+        ).collect()
+    }
+    star = {
+        r["node"]: r["label"]
+        for r in connected_components_star(
+            pairs, src="doc_a", dst="doc_b"
+        ).collect()
+    }
+    assert star == prop

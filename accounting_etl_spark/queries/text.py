@@ -687,19 +687,26 @@ QUERIES["tfidf_terms"] = Q(q_tfidf_terms, _TFIDF_SQL)
 
 
 def q_dedup_clusters(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERS from the exact-Jaccard pair edges: connected
     components via min-label propagation (operators/graph.py), sized,
     with the minimum doc_id as the deterministic survivor. This is
     the step a production dedup runs after candidate pairs — drop
     everything where is_survivor is false. ``pairs`` lets the merged
-    entry share one materialized pair list across variants."""
+    entry share one materialized pair list across variants;
+    ``labels`` additionally shares one already-computed (node, label)
+    table so the iterative CC runs once per entry, not once per
+    variant."""
     from ..operators.graph import connected_components
 
     if pairs is None:
         pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    if labels is None:
+        labels = connected_components(pairs, src="doc_a", dst="doc_b")
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -774,7 +781,10 @@ _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
 def q_cluster_split(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-free train/val/test split: the split key is the
     near-dup CLUSTER label (singletons key on their own doc_id), so
@@ -782,18 +792,23 @@ def q_cluster_split(
     eval never scores a memorized training dupe — the step a benchmark
     -clean pipeline runs after dedup clustering. Assignment is the
     portable md5-cutoff scheme (functions/sampling.py split_assign):
-    identical in any engine, no RNG."""
+    identical in any engine, no RNG. ``labels`` shares the merged
+    entry's one CC run."""
     from ..functions.sampling import split_assign
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    if pairs is None:
-        pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
+    if labels is None:
+        if pairs is None:
+            pairs = q_near_dup_jaccard(spark, sf_dir).select(
+                "doc_a", "doc_b"
+            )
+        labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    lab = labels.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("label").cast("bigint").alias("__label"),
     )
-    keyed = docs.join(labels, "doc_id", "left").withColumn(
+    keyed = docs.join(lab, "doc_id", "left").withColumn(
         "cluster_key", F.coalesce(F.col("__label"), F.col("doc_id"))
     )
     return keyed.select(
@@ -821,10 +836,16 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/checkpointing.py).
     """
 
+    from ..operators.graph import connected_components
+
     pairs = stable_checkpoint(
         q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     )
-    clusters = q_dedup_clusters(spark, sf_dir, pairs).select(
+    # ONE iterative CC over the shared pair list; 'clusters' and
+    # 'split' both consume these labels (the CC result is already
+    # checkpointed per round, so reuse is a cheap re-read)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    clusters = q_dedup_clusters(spark, sf_dir, pairs, labels).select(
         F.lit("clusters").alias("variant"),
         "doc_id",
         "cluster_id",
@@ -842,7 +863,7 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").cast("double").alias("quality_score"),
         "drop_reason",
     )
-    split = q_cluster_split(spark, sf_dir, pairs).select(
+    split = q_cluster_split(spark, sf_dir, pairs, labels).select(
         F.lit("split").alias("variant"),
         "doc_id",
         F.col("cluster_key").alias("cluster_id"),

@@ -282,3 +282,54 @@ def simhash_candidates(
         )
         .agg(F.first("p.hamming").alias("hamming"))
     )
+
+
+def lsh_params(
+    threshold: float,
+    num_hashes: int,
+    *,
+    candidates: tuple[int, ...] | None = None,
+) -> dict:
+    """Choose the banding (bands, rows) for a target Jaccard threshold.
+
+    The collision probability of a pair with similarity j under
+    (b bands × r rows) is ``1 - (1 - j^r)^b`` — an s-curve whose
+    inflection sits near ``(1/b)^(1/r)``. This picks, among the
+    divisors of ``num_hashes``, the banding whose inflection lands
+    closest to ``threshold`` (the standard MMDS ch.3 recipe), and
+    reports the operating characteristics a pipeline owner needs to
+    sanity-check recall/cost:
+
+    - ``p_at_threshold``: collision probability exactly at the target,
+    - ``fn_below`` / ``fp_above``: collision probability at 0.8× and
+      1.25× the threshold (miss-rate proxy below, junk-rate above).
+
+    Pure driver-side arithmetic — feed the result straight into
+    :func:`minhash_candidates` / :func:`minhash_bands`.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    divs = candidates or tuple(
+        b for b in range(1, num_hashes + 1) if num_hashes % b == 0
+    )
+
+    def collide(j: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - j**r) ** b
+
+    best = None
+    for b in divs:
+        r = num_hashes // b
+        inflection = (1.0 / b) ** (1.0 / r)
+        score = abs(inflection - threshold)
+        if best is None or score < best[0]:
+            best = (score, b, r, inflection)
+    _, b, r, inflection = best
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "num_hashes": num_hashes,
+        "inflection": inflection,
+        "p_at_threshold": collide(threshold, b, r),
+        "fn_below": collide(threshold * 0.8, b, r),
+        "fp_above": collide(min(threshold * 1.25, 1.0), b, r),
+    }

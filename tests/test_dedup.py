@@ -312,3 +312,23 @@ def test_star_cc_on_fixture_pairs(spark):
         ).collect()
     }
     assert star == prop
+
+
+def test_lsh_params_picks_banding_near_threshold():
+    from accounting_etl_spark.operators.dedup import lsh_params
+
+    p = lsh_params(0.5, 16)
+    assert p["bands"] * p["rows_per_band"] == 16
+    # the s-curve inflection lands near the target...
+    assert abs(p["inflection"] - 0.5) < 0.2
+    # ...and the curve discriminates: well-above-threshold pairs
+    # collide far more often than well-below ones
+    assert p["fp_above"] > 0.6
+    assert p["fn_below"] < p["p_at_threshold"] < p["fp_above"]
+    # a high threshold prefers more rows per band (sharper curve)
+    hi = lsh_params(0.9, 16)
+    assert hi["rows_per_band"] >= p["rows_per_band"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_params(1.5, 16)

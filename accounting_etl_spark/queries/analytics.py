@@ -560,6 +560,59 @@ def q_dsir_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HH_CAPACITY = 512
+_HH_DEN = 200  # report tokens with count * _HH_DEN >= total
+
+
+def q_hh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'hh' variant: heavy hitters over the document token stream
+    (operators/heavy_hitters.py) — bounded-state frequent-items
+    sketch + exact verification, reported as every token with
+    frequency ≥ total/_HH_DEN. The sketch capacity (512) strictly
+    exceeds _HH_DEN, so the one-sided guarantee makes the output
+    EXACTLY the over-threshold set — deterministic and
+    oracle-matchable by a plain GROUP BY/HAVING. The threshold join
+    is a 1-row broadcast (same shape as the scalar distributions
+    elsewhere in this entry)."""
+    from ..operators.heavy_hitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    counts = heavy_hitters(toks, key_col="tok", capacity=_HH_CAPACITY)
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("count") * _HH_DEN >= F.col("__total"))
+        .select(
+            F.lit("hh").alias("variant"),
+            F.col("tok").alias("grp"),
+            F.col("count").cast("bigint").alias("n"),
+            F.col("count").cast("double").alias("v1"),
+            F.col("__total").cast("double").alias("v2"),
+            (
+                F.col("count").cast("double")
+                / F.col("__total").cast("double")
+            ).alias("v3"),
+        )
+    )
+
+
+_HH_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+), tot AS (SELECT count(*) AS total FROM toks)
+SELECT 'hh' AS variant, tok AS grp, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE) AS v1,
+       CAST(max(total) AS DOUBLE) AS v2,
+       CAST(count(*) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS v3
+FROM toks, tot
+GROUP BY tok
+HAVING count(*) * {_HH_DEN} >= max(total)
+"""
+
+
 def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles + fixed-width histogram + stratified-sample
     audit + sequence-packing audit + token-budget audit +
@@ -570,7 +623,8 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     start. variant 'sample': see q_sample_stats. variant 'pack': see
     q_pack_stats. variant 'budget': see q_budget_stats. variant
     'span': see q_span_stats. variant 'lm': see q_lm_stats. variant
-    'dsir': see q_dsir_stats. variant 'mix': see q_mix_stats."""
+    'dsir': see q_dsir_stats. variant 'mix': see q_mix_stats.
+    variant 'hh': see q_hh_stats."""
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -596,6 +650,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_lm_stats(spark, sf_dir))
         .unionByName(q_dsir_stats(spark, sf_dir))
         .unionByName(q_mix_stats(spark, sf_dir))
+        .unionByName(q_hh_stats(spark, sf_dir))
     )
 
 
@@ -693,6 +748,8 @@ UNION ALL
 SELECT * FROM ({{dsir_sql}})
 UNION ALL
 SELECT * FROM ({{mix_sql}})
+UNION ALL
+SELECT * FROM ({{hh_sql}})
 """
 
 
@@ -869,6 +926,7 @@ _DIST_STATS_SQL = (
     .replace("{lm_sql}", _LM_SQL)
     .replace("{dsir_sql}", _DSIR_SQL)
     .replace("{mix_sql}", _mix_sql())
+    .replace("{hh_sql}", _HH_SQL)
 )
 
 
@@ -924,6 +982,7 @@ QUERIES["dist_stats"] = Q(
         "lm": q_lm_stats,
         "dsir": q_dsir_stats,
         "mix": q_mix_stats,
+        "hh": q_hh_stats,
     },
 )
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)

@@ -818,6 +818,27 @@ def q_cluster_split(
     )
 
 
+def q_dedup_clusters_star(
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """'star' variant: the SAME cluster contract as 'clusters' but
+    computed by large-star/small-star alternation
+    (operators/graph.py connected_components_star) — ~log²-round
+    convergence instead of diameter-bound label propagation, the
+    variant to run when boilerplate chains make diameter the binding
+    constraint at web scale. Labels are the component minimum on both
+    algorithms, so the oracle is the identical recursive CTE — a
+    cross-ALGORITHM equality check, not just cross-engine."""
+    from ..operators.graph import connected_components_star
+
+    if pairs is None:
+        pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    return q_dedup_clusters(spark, sf_dir, pairs, labels)
+
+
 def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster labels + the composed curation verdict + the
     cluster-aware split in one union-tagged entry (driver cap: the
@@ -827,7 +848,9 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVERY document — the flagship LLM-pipeline composition,
     oracle-checked end to end; variant 'split' carries the
     leakage-free train/val/test assignment (cluster_id = split key,
-    drop_reason = split name).
+    drop_reason = split name); variant 'star' recomputes the cluster
+    contract via large-star/small-star CC (q_dedup_clusters_star) —
+    same oracle CTE, cross-algorithm equality.
 
     All variants consume the same Jaccard pair list; the lazy
     checkpoint materializes the pair-generation plan once instead of
@@ -863,6 +886,15 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").cast("double").alias("quality_score"),
         "drop_reason",
     )
+    star = q_dedup_clusters_star(spark, sf_dir, pairs).select(
+        F.lit("star").alias("variant"),
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.col("is_survivor").alias("keep"),
+        F.lit(None).cast("double").alias("quality_score"),
+        F.lit(None).cast("string").alias("drop_reason"),
+    )
     split = q_cluster_split(spark, sf_dir, pairs, labels).select(
         F.lit("split").alias("variant"),
         "doc_id",
@@ -872,7 +904,9 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("quality_score"),
         F.col("split").alias("drop_reason"),
     )
-    return clusters.unionByName(cur).unionByName(split)
+    return (
+        clusters.unionByName(cur).unionByName(split).unionByName(star)
+    )
 
 
 # quality score must be bit-identical to plans/curation.py: the same
@@ -987,6 +1021,12 @@ SELECT 'curation' AS variant, CAST(doc_id AS BIGINT) AS doc_id,
 FROM ({_CURATION_SQL})
 UNION ALL
 SELECT * FROM ({_split_sql()})
+UNION ALL
+SELECT 'star' AS variant, doc_id, cluster_id, cluster_size,
+       is_survivor AS keep,
+       CAST(NULL AS DOUBLE) AS quality_score,
+       CAST(NULL AS VARCHAR) AS drop_reason
+FROM ({_CLUSTERS_SQL})
 """
 
 QUERIES["dedup_clusters"] = Q(
@@ -996,5 +1036,6 @@ QUERIES["dedup_clusters"] = Q(
         "clusters": q_dedup_clusters,
         "curation": q_curation_verdicts,
         "split": q_cluster_split,
+        "star": q_dedup_clusters_star,
     },
 )

@@ -131,11 +131,101 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'url' variant: canonical-URL dedup (operators/url_ops.py) — the
+    cheapest dedup key a web-crawl pipeline has. Six deterministic URL
+    shapes are synthesized per doc_id (scheme/host case, default and
+    non-default ports, tracking params + fragment, unsorted params,
+    trailing slash, non-URL passthrough); shapes 0/1/5 of the same
+    resource must collapse to ONE canonical form. The oracle states
+    the EXPECTED canonical per shape independently (no regex
+    re-implementation), so the driver checks the operator's semantics,
+    not a shared expression. content_hash carries the canonical URL,
+    fingerprint the registrable domain."""
+    from pyspark.sql import Window
+
+    from ..operators.url_ops import url_dedup, url_domain
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    k = (F.col("doc_id") % 17).cast("string")
+    shape = F.col("doc_id") % 6
+    base = F.concat(F.lit("example"), k, F.lit(".com"))
+    url = (
+        F.when(
+            shape == 0,
+            F.concat(
+                F.lit("HTTP://EXAMPLE"), k, F.lit(".COM:80/path/"), k,
+                F.lit("/?utm_campaign=x&fbclid=abc&z=9&a=1#top"),
+            ),
+        )
+        .when(
+            shape == 1,
+            F.concat(F.lit("http://"), base, F.lit("/path/"), k, F.lit("?a=1&z=9")),
+        )
+        .when(
+            shape == 2,
+            F.concat(F.lit("HTTPS://"), base, F.lit(":443/Sec/"), k),
+        )
+        .when(
+            shape == 3,
+            F.concat(F.lit("not a url "), F.col("doc_id").cast("string")),
+        )
+        .when(
+            shape == 4,
+            F.concat(F.lit("http://"), base, F.lit(":8080/path/"), k),
+        )
+        .otherwise(
+            F.concat(F.lit("http://"), base, F.lit("/path/"), k, F.lit("/?z=9&a=1")),
+        )
+    )
+    d = url_dedup(docs.withColumn("url", url), url_col="url", id_col="doc_id")
+    w = Window.partitionBy("canon_url")
+    return d.select(
+        F.lit("url").alias("variant"),
+        "doc_id",
+        "source",
+        F.col("canon_url").alias("content_hash"),
+        url_domain(F.col("url")).alias("fingerprint"),
+        F.lit(None).cast("string").alias("winnow_fp"),
+        "keep_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
+        "is_dup",
+    )
+
+
+_URL_DEDUP_SQL = """
+WITH u AS (
+  SELECT doc_id, source, CAST(doc_id % 17 AS VARCHAR) AS k,
+         doc_id % 6 AS shape
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CASE
+           WHEN shape IN (0, 1, 5)
+             THEN 'http://example' || k || '.com/path/' || k || '?a=1&z=9'
+           WHEN shape = 2 THEN 'https://example' || k || '.com/Sec/' || k
+           WHEN shape = 3 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+           ELSE 'http://example' || k || '.com:8080/path/' || k
+         END AS content_hash,
+         CASE WHEN shape = 3 THEN ''
+              ELSE 'example' || k || '.com' END AS fingerprint
+  FROM u
+)
+SELECT 'url' AS variant, doc_id, source, content_hash, fingerprint,
+       CAST(NULL AS VARCHAR) AS winnow_fp,
+       min(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
+       CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS n_copies,
+       doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+FROM c
+"""
+
+
 def q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup + incremental-batch dedup in one union-tagged entry
     (driver cap). variant 'full': q_dedup_exact over every document.
     variant 'incr': q_dedup_incremental — batch docs only, winnow_fp/
-    n_copies NULL."""
+    n_copies NULL. variant 'url': q_url_dedup — canonical-URL dedup
+    over synthesized URL shapes, expected-value oracle."""
     full = q_dedup_exact(spark, sf_dir).select(
         F.lit("full").alias("variant"),
         "doc_id",
@@ -147,7 +237,9 @@ def q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_copies").cast("bigint").alias("n_copies"),
         "is_dup",
     )
-    return full.unionByName(q_dedup_incremental(spark, sf_dir))
+    return full.unionByName(q_dedup_incremental(spark, sf_dir)).unionByName(
+        q_url_dedup(spark, sf_dir)
+    )
 
 
 _DEDUP_EXACT_SQL = """
@@ -212,6 +304,8 @@ _DEDUP_EXACT_MERGED_SQL = f"""
 SELECT 'full' AS variant, * FROM ({_DEDUP_EXACT_SQL})
 UNION ALL
 SELECT * FROM ({_DEDUP_INCR_SQL})
+UNION ALL
+SELECT * FROM ({_URL_DEDUP_SQL})
 """
 
 
@@ -601,7 +695,7 @@ QUERIES: dict[str, Q] = {
     "dedup_exact": Q(
         q_dedup_exact_merged,
         _DEDUP_EXACT_MERGED_SQL,
-        variants={"incr": q_dedup_incremental},
+        variants={"incr": q_dedup_incremental, "url": q_url_dedup},
     ),
     "text_metrics": Q(q_text_metrics, _TEXT_METRICS_SQL),
     "near_dup_jaccard": Q(q_near_dup_jaccard, _JACCARD_SQL),

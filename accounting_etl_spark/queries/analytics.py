@@ -151,7 +151,7 @@ QUERIES: dict[str, Q] = {
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketches (rows-only: HLL/KLL internals are
+    """'sketch' variant: approximate sketches (HLL/KLL internals are
     engine-specific, so no cross-engine oracle; error bounds vs exact
     are unit-tested in tests/test_sketches.py)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -160,10 +160,189 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
         F.percentile_approx("o_totalprice", 0.9, 1000).alias("approx_p90"),
         F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.lit("sketch").alias("variant"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("approx_cust").cast("double").alias("v1"),
+        F.col("approx_median").cast("double").alias("v2"),
+        F.col("approx_p90").cast("double").alias("v3"),
     )
 
 
-QUERIES["approx_sketches"] = Q(q_approx_sketches, None)
+_BPE_TOP_WORDS = 300
+_BPE_MERGES = 80
+
+
+def q_bpe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'bpe' variant: learned-BPE tokenization rollup
+    (operators/bpe.py). The merge list is trained on the corpus word
+    frequencies (distributed count, ≤ top-N rows to the driver), then
+    applied map-side; per source: docs, total BPE segments, mean
+    segments/doc, and fertility (BPE segments per whitespace token).
+    Not SQL-expressible (the merge list is the product of an iterative
+    greedy training loop), so rows-only by design; segment/fertility
+    invariants are unit-tested in tests/test_bpe.py."""
+    from ..operators.bpe import bpe_tokenize, train_bpe, word_freq_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(
+        word_freq_table(docs, top_n=_BPE_TOP_WORDS), n_merges=_BPE_MERGES
+    )
+    toks = bpe_tokenize(docs, merges).join(
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("__ws"),
+        ),
+        "doc_id",
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("n_bpe_tokens").alias("__seg"),
+        F.sum("__ws").alias("__wsn"),
+    ).select(
+        F.lit("bpe").alias("variant"),
+        F.col("source").alias("grp"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__seg").cast("double").alias("v1"),
+        (F.col("__seg") / F.col("__n")).cast("double").alias("v2"),
+        (F.col("__seg") / F.col("__wsn")).cast("double").alias("v3"),
+    )
+
+
+_QUALITY_TRAIN_MOD = 3  # doc_id % 3 == 0 rows train the classifier
+
+
+def q_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'quality' variant: trainable quality classifier rollup
+    (operators/quality_model.py). A deterministic heuristic labels the
+    doc_id%3==0 slice (token-uniqueness ≥ 0.5 → positive), HashingTF +
+    logistic regression fit on it (fixed-dim features, no vocab
+    shuffle), the model scores the held-out slice map-side; per
+    source: held-out docs, predicted-positive count, mean probability,
+    positive fraction. Model training is not SQL-expressible, so
+    rows-only by design; separation and plan (map-side scoring)
+    invariants are unit-tested in tests/test_quality_model.py."""
+    from ..operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    uniq = F.size(F.array_distinct(F.split(F.trim(F.col("text")), " "))) / F.size(
+        F.split(F.trim(F.col("text")), " ")
+    )
+    train = docs.filter(F.col("doc_id") % _QUALITY_TRAIN_MOD == 0).withColumn(
+        "label", (uniq >= 0.5).cast("double")
+    )
+    model = train_quality_classifier(train)
+    held = docs.filter(F.col("doc_id") % _QUALITY_TRAIN_MOD != 0)
+    scored = score_quality(model, held)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(F.col("quality_prob") > 0.5, 1)).alias("__pos"),
+        F.avg("quality_prob").alias("__mp"),
+    ).select(
+        F.lit("quality").alias("variant"),
+        F.col("source").alias("grp"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__pos").cast("double").alias("v1"),
+        F.col("__mp").cast("double").alias("v2"),
+        (F.col("__pos") / F.col("__n")).cast("double").alias("v3"),
+    )
+
+
+def q_compression_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'comp' variant: zlib compression-ratio signal rollup
+    (operators/quality_model.py compression_ratio) — one Arrow map
+    pass, no shuffle until the rollup; per source: docs, mean ratio,
+    min ratio, share of template-like docs (ratio < 0.4). zlib is not
+    SQL-expressible, so rows-only by design; the no-Exchange plan is
+    unit-asserted."""
+    from ..operators.quality_model import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    rated = compression_ratio(docs)
+    return rated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("compression_ratio").alias("__mean"),
+        F.min("compression_ratio").alias("__min"),
+        F.count(F.when(F.col("compression_ratio") < 0.4, 1)).alias("__tpl"),
+    ).select(
+        F.lit("comp").alias("variant"),
+        F.col("source").alias("grp"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__mean").cast("double").alias("v1"),
+        F.col("__min").cast("double").alias("v2"),
+        (F.col("__tpl") / F.col("__n")).cast("double").alias("v3"),
+    )
+
+
+_SHARD_TOKENS = 5_000
+
+
+def q_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'shard' variant: training-shard assignment audit
+    (sinks/training_export.py assign_shards) — xxhash64 pseudo-shuffle
+    order + distributed prefix-sum shard bounds; per shard: docs,
+    token sum, max doc tokens, fill fraction. xxhash64 has no DuckDB
+    twin, so rows-only by design; bound and determinism invariants are
+    unit-tested in tests/test_training_export.py."""
+    from ..sinks.training_export import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    sharded = assign_shards(docs, shard_tokens=_SHARD_TOKENS)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("n_tokens").alias("__tok"),
+        F.max("n_tokens").alias("__mx"),
+    ).select(
+        F.lit("shard").alias("variant"),
+        F.col("shard").cast("string").alias("grp"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__tok").cast("double").alias("v1"),
+        F.col("__mx").cast("double").alias("v2"),
+        (F.col("__tok") / F.lit(_SHARD_TOKENS)).cast("double").alias("v3"),
+    )
+
+
+def q_sketches_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only union-tagged entry (driver cap): engine-specific or
+    non-SQL-expressible rollups, one schema
+    (variant, grp, n, v1, v2, v3). variant 'sketch': HLL/KLL
+    approximates. variant 'bpe': learned-BPE segment rollup. variant
+    'quality': trained-classifier score rollup. variant 'comp': zlib
+    compression-ratio rollup. variant 'shard': training-shard
+    assignment audit. Each operator's exact semantics are unit-tested;
+    this entry gives them driver exposure (rows + stable schema)."""
+    return (
+        q_approx_sketches(spark, sf_dir)
+        .unionByName(q_bpe_rollup(spark, sf_dir))
+        .unionByName(q_quality_rollup(spark, sf_dir))
+        .unionByName(q_compression_rollup(spark, sf_dir))
+        .unionByName(q_shard_rollup(spark, sf_dir))
+    )
+
+
+QUERIES["approx_sketches"] = Q(
+    q_sketches_merged,
+    None,
+    variants={
+        "sketch": q_approx_sketches,
+        "bpe": q_bpe_rollup,
+        "quality": q_quality_rollup,
+        "comp": q_compression_rollup,
+        "shard": q_shard_rollup,
+    },
+)
 
 
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -309,6 +309,15 @@ def lsh_params(
     """
     if not 0 < threshold < 1:
         raise ValueError("threshold must be in (0, 1)")
+    if candidates:
+        bad = [b for b in candidates if num_hashes % b != 0]
+        if bad:
+            raise ValueError(
+                f"candidate band counts {bad} do not divide "
+                f"num_hashes={num_hashes}; the reported operating "
+                "characteristics would not match the banding "
+                "minhash_bands actually produces"
+            )
     divs = candidates or tuple(
         b for b in range(1, num_hashes + 1) if num_hashes % b == 0
     )

@@ -75,8 +75,14 @@ def mixture_select(
         out.crossJoin(F.broadcast(total))
         .withColumn(
             "keep",
-            F.col("cum_tokens") * _lookup(1)
-            <= F.col("__corpus_tokens") * _lookup(0),
+            # num == 0 (excluded domain) is always-drop: without the
+            # guard, zero-token head rows satisfy 0 <= 0 and leak
+            # through the budget boundary (ADVICE r4)
+            (_lookup(0) > 0)
+            & (
+                F.col("cum_tokens") * _lookup(1)
+                <= F.col("__corpus_tokens") * _lookup(0)
+            ),
         )
         .drop("__corpus_tokens")
     )

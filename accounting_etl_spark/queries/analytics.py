@@ -1083,7 +1083,8 @@ WITH base AS (
   FROM documents
 ), sel AS (
   SELECT dom, n_tokens,
-         (SUM(n_tokens) OVER (PARTITION BY dom ORDER BY q DESC, doc_id
+         (CASE dom {num} ELSE 0 END) > 0
+           AND (SUM(n_tokens) OVER (PARTITION BY dom ORDER BY q DESC, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
            * (CASE dom {den} ELSE 1 END)
            <= (SUM(n_tokens) OVER ()) * (CASE dom {num} ELSE 0 END) AS keep

@@ -38,8 +38,12 @@ def assign_shards(
     shard_tokens: int,
 ) -> DataFrame:
     """Add ``shard`` (0-based) under the deterministic pseudo-shuffle
-    order. A document larger than ``shard_tokens`` gets a shard of its
-    own (its start still falls at the running boundary)."""
+    order. Assignment is by START offset: a document whose start falls
+    mid-window shares its shard with the preceding smaller documents,
+    so a shard holds at most ``shard_tokens`` of starts but can exceed
+    ``shard_tokens`` by up to its last document's overhang (an
+    oversized document therefore spans past its shard boundary rather
+    than getting a private shard)."""
     shuffled_order = [F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)]
     out = prefix_sum(
         docs,

@@ -84,7 +84,13 @@ def semantic_admission_batch(
         .select(F.col("q_id").alias(id_col))
         .distinct()
     )
-    admitted = survivors.join(dup_ids, id_col, "left_anti")
+    # materialize once: the index append below and the caller's sink
+    # otherwise each re-run the probe join and within-batch dedup
+    # (correct only because the postings read snapshots its file
+    # listing before the append — ADVICE r4)
+    admitted = survivors.join(dup_ids, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
     # (3) grow the index so later batches see these admissions
     if append:
         append_to_ivf_index(

@@ -332,3 +332,14 @@ def test_lsh_params_picks_banding_near_threshold():
 
     with pytest.raises(ValueError):
         lsh_params(1.5, 16)
+
+
+def test_lsh_params_rejects_non_dividing_candidate_bands():
+    import pytest
+
+    from accounting_etl_spark.operators.dedup import lsh_params
+
+    with pytest.raises(ValueError, match="do not divide"):
+        lsh_params(0.5, num_hashes=128, candidates=(7,))
+    # dividing candidates still work
+    assert lsh_params(0.5, num_hashes=128, candidates=(8, 16))["bands"] in (8, 16)

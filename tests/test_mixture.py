@@ -98,3 +98,21 @@ def test_mixture_plan_has_no_global_data_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__pid" in line or "dom" in line, line
+
+
+def test_mixture_zero_weight_domain_drops_zero_token_head_rows(spark):
+    # a zero-token row at the HEAD of an excluded domain satisfies
+    # cum*den <= total*num as 0 <= 0 — the num==0 guard must still
+    # drop it (ADVICE r4)
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", 10), (3, "b", 5)], "id long, dom string, n_tokens long"
+    )
+    sel = mixture_select(
+        df,
+        group_col="dom",
+        order_col=["id"],
+        weights={"b": (1, 1)},  # 'a' falls to default (0, 1): excluded
+    )
+    got = {r["id"]: r["keep"] for r in sel.collect()}
+    assert got[1] is False and got[2] is False
+    assert got[3] is True

@@ -631,8 +631,9 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     n_cells: int = 16,
-    centroids: str = "sample",
+    centroids="sample",
     max_cell: int = 256,
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) at corpus scale: cluster the
     embedding space into IVF cells, generate candidate pairs ONLY
@@ -657,25 +658,37 @@ def semantic_dedup(
     the cost of a bounded training job (see :func:`ivf_topk`).
 
     Returns one row per corpus vector: ``(id_col, cell, keep)``.
-    Recall caveat (inherent to SemDeDup): a near-dup pair split across
-    two cells is not examined — the paper accepts this; raising
-    n_probe-style multi-assignment is future work.
+    Recall caveat (inherent to SemDeDup): with ``n_assign=1`` a
+    near-dup pair split across two cells is not examined — the paper
+    accepts this. ``n_assign=2`` assigns each vector to its top-2
+    cells FOR CANDIDATE GENERATION ONLY (the reported ``cell`` and the
+    survivor rule are unchanged), closing most cross-cell misses for
+    ~n_assign× candidate cost (VERDICT r4). ``centroids`` may also be
+    an explicit matrix (list of row-lists) for caller-controlled
+    cells.
     """
     from ..functions.pairs import explode_bucket_pairs
 
-    if centroids == "kmeans":
-        mat = _kmeans_centroids(
-            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
-        )
-    elif centroids == "sample":
-        mat = _sample_centroids(
-            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
-        )
+    if isinstance(centroids, str):
+        if centroids == "kmeans":
+            mat = _kmeans_centroids(
+                corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+            )
+        elif centroids == "sample":
+            mat = _sample_centroids(
+                corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+            )
+        else:
+            raise ValueError(f"unknown centroids mode {centroids!r}")
     else:
-        raise ValueError(f"unknown centroids mode {centroids!r}")
+        mat = [list(row) for row in centroids]
+    if not 1 <= n_assign <= len(mat):
+        raise ValueError(
+            f"n_assign={n_assign} must be in [1, n_cells={len(mat)}]"
+        )
     cents_lit = lit_matrix(mat)
     vec = F.col(vec_col).cast("array<double>")
-    best_cell = F.sort_array(
+    ranked_cells = F.sort_array(
         F.transform(
             cents_lit,
             lambda c, i: F.struct(
@@ -688,12 +701,21 @@ def semantic_dedup(
             ),
         ),
         asc=False,
-    )[0]["cell"]
-    assigned = corpus.select(
-        F.col(id_col).alias("__id"), vec.alias("__vec"), best_cell.alias("cell")
     )
-    members = assigned.groupBy("cell").agg(
-        F.sort_array(F.collect_list("__id")).alias("ids")
+    assigned = corpus.select(
+        F.col(id_col).alias("__id"),
+        vec.alias("__vec"),
+        ranked_cells[0]["cell"].alias("cell"),
+        F.transform(
+            F.slice(ranked_cells, 1, n_assign), lambda s: s["cell"]
+        ).alias("__cand_cells"),
+    )
+    # candidate generation over the top-n_assign cells per vector; the
+    # reported cell and the survivor rule stay primary-cell/min-id
+    members = assigned.select(
+        "__id", F.explode("__cand_cells").alias("cell")
+    ).groupBy("cell").agg(
+        F.sort_array(F.collect_set("__id")).alias("ids")
     )
     cand = explode_bucket_pairs(
         members,
@@ -701,6 +723,10 @@ def semantic_dedup(
         lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
         max_cell,
     ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    if n_assign > 1:
+        # a pair sharing two assigned cells is generated twice —
+        # dedup before the (more expensive) exact-cosine verify
+        cand = cand.distinct()
     va = assigned.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
     vb = assigned.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
     dropped = (

@@ -149,3 +149,60 @@ def test_semantic_dedup_kmeans_mode(spark):
     ).collect()
     assert len(out) == emb.count()
     assert any(not r["keep"] for r in out)
+
+
+def test_multi_assignment_catches_cross_cell_near_dups(spark):
+    """VERDICT r4 #3: with explicit centroids, plant a near-dup pair
+    straddling the cell boundary — n_assign=1 misses it (the paper's
+    accepted caveat), n_assign=2 examines and drops the higher id.
+    The reported primary cell must be unchanged by n_assign."""
+    import math
+
+    from accounting_etl_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [
+        (1, unit(44.0)),   # just on the x-centroid side of the bisector
+        (2, unit(46.0)),   # just on the y-centroid side; cos(2°)≈0.999
+        (3, unit(5.0)),    # deep in cell 0
+        (4, unit(85.0)),   # deep in cell 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, threshold=0.9, centroids=cents, n_assign=1
+        ).collect()
+    }
+    multi = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, threshold=0.9, centroids=cents, n_assign=2
+        ).collect()
+    }
+    # primary assignment identical under both
+    for v in (1, 2, 3, 4):
+        assert single[v]["cell"] == multi[v]["cell"]
+    assert single[1]["cell"] != single[2]["cell"]  # pair straddles cells
+    # n_assign=1: the straddling pair is never examined — both keep
+    assert single[1]["keep"] and single[2]["keep"]
+    # n_assign=2: pair examined, min-id survivor rule drops id 2
+    assert multi[1]["keep"] and not multi[2]["keep"]
+    assert multi[3]["keep"] and multi[4]["keep"]
+
+
+def test_n_assign_validation(spark):
+    import pytest
+
+    from accounting_etl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="n_assign"):
+        semantic_dedup(emb, centroids=[[1.0, 0.0], [0.0, 1.0]], n_assign=3)

@@ -170,6 +170,34 @@ def _parse_objects(payload: bytes) -> dict[int, bytes]:
         if end == -1:
             continue
         objs[int(m.group(1))] = payload[start:end]
+    # PDF 1.5+ object streams: objects packed inside a /Type /ObjStm
+    # stream are invisible to the top-level scan — expand them. The
+    # stream begins with /N pairs of "objnum offset" (offsets relative
+    # to /First); compressed objects never contain streams themselves,
+    # so a body slice is the whole object.
+    for body in list(objs.values()):
+        d = _dict_of(body)
+        if b"/ObjStm" not in d:
+            continue
+        try:
+            data = _stream_of(body)
+            nm = re.search(rb"/N\s+(\d+)", d)
+            fm = re.search(rb"/First\s+(\d+)", d)
+            if data is None or nm is None or fm is None:
+                continue
+            n, first = int(nm.group(1)), int(fm.group(1))
+            header = data[:first].split()
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1]))
+                for i in range(n)
+            ]
+            for i, (num, off) in enumerate(pairs):
+                end_off = (
+                    pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+                )
+                objs.setdefault(num, data[first + off:first + end_off])
+        except (ValueError, IndexError, zlib.error):
+            continue  # malformed object stream: skip, keep scanning
     return objs
 
 
@@ -264,6 +292,13 @@ def _unescape(raw: bytes) -> str:
                 out.append(int(om.group(1), 8))
                 i += 1 + len(om.group(1))
                 continue
+            if nxt in (b"\r", b"\n"):
+                # backslash-EOL is a line continuation: both chars
+                # vanish (PDF 32000-1 §7.3.4.2); \r\n counts as one EOL
+                i += 2
+                if nxt == b"\r" and raw[i:i + 1] == b"\n":
+                    i += 1
+                continue
             i += 1  # lone backslash: drop
             continue
         out += c
@@ -277,12 +312,16 @@ _TOKEN_RE = re.compile(
     rb"|\[|\]"
     rb"|/[^\s/\[\]()<>{}]+"        # name
     rb"|[-+]?[\d.]+"               # number
-    rb"|[A-Za-z'\"*]+"             # operator
+    rb"|[A-Za-z'\"*]+",            # operator
+    re.S,  # a literal string may span lines (\<EOL> continuation)
 )
 
 
 class _TextState:
-    __slots__ = ("x", "y", "lx", "ly", "size", "font", "tl", "tc", "tw")
+    __slots__ = (
+        "x", "y", "lx", "ly", "size", "font", "tl", "tc", "tw",
+        "scale", "vscale", "rot",
+    )
 
     def __init__(self) -> None:
         self.x = self.y = 0.0    # current point (text space ~ user space)
@@ -292,21 +331,35 @@ class _TextState:
         self.tl = 0.0            # leading
         self.tc = 0.0            # char spacing
         self.tw = 0.0            # word spacing
+        self.scale = 1.0         # Tm horizontal scale (a)
+        self.vscale = 1.0        # Tm vertical scale (d)
+        self.rot = False         # Tm has rotation/shear: skip emission
 
 
 def _emit_string(
     s: str, st: _TextState, page_h: float, words: list[list]
 ) -> None:
     """Advance the cursor through ``s`` char by char, flushing maximal
-    non-space runs as word fragments [text, x0, x1, y, size]."""
+    non-space runs as word fragments [text, x0, x1, y, size].
+
+    Rotated/sheared text matrices are not laid out — emission is
+    skipped (graceful skip, the word grid stays uncorrupted); pure
+    scale+translate matrices scale advances and the effective size.
+    """
+    if st.rot:
+        return
     run: list[str] = []
     run_x0 = st.x
     for ch in s:
-        adv = _char_width(ch, st.font) / 1000.0 * st.size + st.tc
+        adv = (
+            _char_width(ch, st.font) / 1000.0 * st.size + st.tc
+        ) * st.scale
         if ch == " ":
-            adv += st.tw
+            adv += st.tw * st.scale
             if run:
-                words.append(["".join(run), run_x0, st.x, st.y, st.size])
+                words.append(
+                    ["".join(run), run_x0, st.x, st.y, st.size * st.vscale]
+                )
                 run = []
             st.x += adv
             run_x0 = st.x
@@ -316,7 +369,9 @@ def _emit_string(
             run.append(ch)
             st.x += adv
     if run:
-        words.append(["".join(run), run_x0, st.x, st.y, st.size])
+        words.append(
+            ["".join(run), run_x0, st.x, st.y, st.size * st.vscale]
+        )
 
 
 def _words_from_content(
@@ -346,6 +401,8 @@ def _words_from_content(
             op = tok
             if op == b"BT":
                 st.x = st.y = st.lx = st.ly = 0.0
+                st.scale = st.vscale = 1.0
+                st.rot = False
                 stack.clear()
             elif op == b"Tf" and len(stack) >= 2:
                 st.size = stack[-1][1]
@@ -353,21 +410,28 @@ def _words_from_content(
                 st.font = fonts.get(key, "Helvetica")
                 stack.clear()
             elif op == b"Td" and len(stack) >= 2:
-                st.lx += stack[-2][1]
-                st.ly += stack[-1][1]
+                st.lx += stack[-2][1] * st.scale
+                st.ly += stack[-1][1] * st.vscale
                 st.x, st.y = st.lx, st.ly
                 stack.clear()
             elif op == b"TD" and len(stack) >= 2:
                 st.tl = -stack[-1][1]
-                st.lx += stack[-2][1]
-                st.ly += stack[-1][1]
+                st.lx += stack[-2][1] * st.scale
+                st.ly += stack[-1][1] * st.vscale
                 st.x, st.y = st.lx, st.ly
                 stack.clear()
             elif op == b"Tm" and len(stack) >= 6:
+                a, b_ = stack[-6][1], stack[-5][1]
+                c, d = stack[-4][1], stack[-3][1]
                 st.lx = stack[-2][1]
                 st.ly = stack[-1][1]
                 st.x, st.y = st.lx, st.ly
-                # scale/rotation components ignored (identity assumed)
+                # pure scale+translate is laid out; rotation/shear is
+                # recognized and SKIPPED (not mis-placed) until the
+                # next Tm/BT resets the matrix
+                st.rot = abs(b_) > 1e-9 or abs(c) > 1e-9
+                st.scale = a if not st.rot else 1.0
+                st.vscale = d if not st.rot else 1.0
                 stack.clear()
             elif op == b"TL" and stack:
                 st.tl = stack[-1][1]
@@ -379,14 +443,14 @@ def _words_from_content(
                 st.tw = stack[-1][1]
                 stack.clear()
             elif op == b"T*":
-                st.ly -= st.tl
+                st.ly -= st.tl * st.vscale
                 st.x, st.y = st.lx, st.ly
                 stack.clear()
             elif op == b"Tj" and stack and stack[-1][0] == "str":
                 _emit_string(stack[-1][1], st, page_h, frags)
                 stack.clear()
             elif op == b"'" and stack and stack[-1][0] == "str":
-                st.ly -= st.tl
+                st.ly -= st.tl * st.vscale
                 st.x, st.y = st.lx, st.ly
                 _emit_string(stack[-1][1], st, page_h, frags)
                 stack.clear()
@@ -400,7 +464,7 @@ def _words_from_content(
                     stack.pop()
                 for kind, val in reversed(items):
                     if kind == "num":
-                        st.x -= val / 1000.0 * st.size
+                        st.x -= val / 1000.0 * st.size * st.scale
                     elif kind == "str":
                         _emit_string(val, st, page_h, frags)
                 stack.clear()
@@ -459,7 +523,10 @@ def extract_words(payload: bytes) -> list[tuple]:
         fonts = _page_fonts(d, objs)
         content = b""
         for cid in _refs(d, b"/Contents"):
-            s = _stream_of(objs.get(cid, b""))
+            try:
+                s = _stream_of(objs.get(cid, b""))
+            except zlib.error:
+                s = None  # corrupt Flate payload: skip this stream
             if s:
                 content += s + b"\n"
         for text, x0, x1, top, bottom in _words_from_content(

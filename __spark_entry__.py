@@ -10,7 +10,9 @@ exactly insertion-order entries 0-49 of 66 appeared in
 CORRECTNESS_r01.json), so the registry stays at ≤50 entries by
 union-tagging related operator variants into shared entries (a
 ``variant`` column tags each member) — one recorded row may verify
-several operators. ``registry.py`` asserts the cap.
+several operators. ``registry.py`` asserts the cap; README section
+"The 50-entry union-tagging convention" maps entry → variants →
+operators.
 
 The real surface lives in ``accounting_etl_spark.registry``; this
 module only adapts it to the driver's shape.

@@ -402,7 +402,71 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, queries, k=_TOP_K)
 
 
+_JL_OUT_DIM = 16
+
+
+def q_ann_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'jl' variant: Johnson–Lindenstrauss projection composed with
+    the IVF path — corpus projected 64→16 dims by the deterministic
+    seeded lit-matrix transform (operators/similarity.py
+    random_projection, map-only), then IVF ANN runs entirely in the
+    projected space, paying O(16) instead of O(64) per candidate.
+    Distances are projected-space (rows-only by design); distortion
+    concentration and no-Exchange plan are unit-tested in
+    tests/test_similarity.py."""
+    from ..operators.similarity import ivf_topk, random_projection
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    proj = random_projection(emb, dim=64, out_dim=_JL_OUT_DIM)
+    queries = proj.filter(F.col("vec_id") < _N_QUERIES).select("vec_id")
+    return ivf_topk(proj, queries, vec_col="projected", k=_TOP_K)
+
+
+def q_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'pidx' variant: the PERSISTED IVF index (operators/ann_index.py)
+    — postings materialized to parquet partitioned by cell, probes
+    prune to the probed cell directories via partition filters, then
+    queried back. Bit-identical to the in-memory IVF path is
+    unit-tested (tests/test_ann_index.py); this exposes the
+    build→query round trip to the driver. The index lands under /tmp
+    keyed by the sf dir (the returned DataFrame lazily reads it, so
+    the path must outlive this call)."""
+    import hashlib
+    import os
+
+    from ..operators.ann_index import build_ivf_index, query_ivf_index
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join("/tmp", f"spark_graft_ann_index_{key}")
+    build_ivf_index(emb, path)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    return query_ivf_index(spark, path, queries, k=_TOP_K)
+
+
+def q_ann_variants_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five ANN scale paths union-tagged (driver cap): 'lsh',
+    'ivf', 'pq' as before, plus 'jl' (JL-projected IVF) and 'pidx'
+    (persisted partition-pruned index)."""
+    base = q_ann_variants(spark, sf_dir)
+    jl = q_ann_jl(spark, sf_dir).select(
+        F.lit("jl").alias("variant"), "q_id", "nb_id", "rank", "cosine"
+    )
+    pidx = q_ann_persisted(spark, sf_dir).select(
+        F.lit("pidx").alias("variant"), "q_id", "nb_id", "rank", "cosine"
+    )
+    return base.unionByName(jl).unionByName(pidx)
+
+
 QUERIES["ann_variants"] = Q(
-    q_ann_variants, None,
-    variants={"lsh": q_ann_topk, "ivf": q_ann_ivf, "pq": q_ann_pq},
+    q_ann_variants_merged, None,
+    variants={
+        "lsh": q_ann_topk,
+        "ivf": q_ann_ivf,
+        "pq": q_ann_pq,
+        "jl": q_ann_jl,
+        "pidx": q_ann_persisted,
+    },
 )

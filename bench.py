@@ -86,23 +86,34 @@ def main() -> None:
     # entire performance signal): a failing query records an error row
     # and the run continues; rc is nonzero only above a failure
     # threshold.
+    # The two noisiest slots (iterative CC rounds, ANN index builds —
+    # TODO.md documents 2-3x host-noise swings) report the MEDIAN of
+    # five passes so round-over-round comparisons stop chasing noise;
+    # everything else reports the best of three (steady-state).
+    NOISY_RUNS = {"dedup_clusters": 5, "ann_variants": 5}
+    run_log: dict[str, dict] = {}
+
     def best_of(name: str, fn, runs: int = 3) -> float | None:
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(runs):
             try:
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.time() - t0)
+                samples.append(round(time.time() - t0, 3))
             except Exception as exc:  # noqa: BLE001 — isolate per query
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 return None
-        return round(best, 3)
+        stat = "median" if name in NOISY_RUNS else "best"
+        run_log[name] = {"samples": samples, "stat": stat}
+        if stat == "median":
+            return sorted(samples)[len(samples) // 2]
+        return min(samples)
 
     timings: dict[str, float] = {}
     for name in names:
-        t = best_of(name, qs[name].fn)
+        t = best_of(name, qs[name].fn, runs=NOISY_RUNS.get(name, 3))
         if t is not None:
             timings[name] = t
     # the total counts only top-level entries (the driver-comparable
@@ -121,6 +132,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": run_log,
         "sf": sf,
     }
     if errors:

@@ -340,6 +340,18 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram arrays and the count-struct max are bound as projected
     columns first (the dedup_exact 17s→2s lesson) so codegen
     evaluates each once per row.
+
+    Gopher/C4 rule battery (Rae et al. 2021 App. A; Raffel et al.
+    2020 §2.2): the corpus has no line structure, so a deterministic
+    lined page is synthesized from (doc_id, whitespace tokens) — the
+    same engine-portable trick as the PII battery — and the real
+    rules run over it: terminal-punctuation / bullet-start /
+    ellipsis-end line fractions, C4's "keep lines with ≥5 words
+    ending in punctuation", alphabetic-word fraction, #/ellipsis
+    symbol ratio, the 8-word stop list, mean-word-length and
+    word-count bounds. Every threshold compares in integer math
+    (``10*n_sym <= n_ws``, never ``float <= 0.1``) so the
+    ``gopher_pass`` / ``c4_clean`` verdicts are bit-portable.
     """
     # small-file scans arrive single-partition and the per-doc battery
     # is CPU-bound; spread() no-ops when the scan is already wide
@@ -394,6 +406,93 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 acc["cnt"].alias("cnt"), acc["gram"].alias("gram")
             ),
         ).alias("__top2"),
+    )
+    # --- Gopher/C4 line battery (Rae et al. 2021 App. A; Raffel et al.
+    # C4 §2.2). The corpus has no line structure, so — the PII-battery
+    # pattern — a deterministic lined page is synthesized from
+    # (doc_id, ws): lines of doc_id%7+5 words, suffix/bullet decoration
+    # cycling on (doc_id + line_idx). Both engines build the identical
+    # page, then the REAL line/word rules run over it. Every rule
+    # threshold compares in integer math (10*n_sym <= n_ws, not
+    # float <= 0.1) so the booleans are bit-portable.
+    k_words = F.col("doc_id") % 7 + 5
+    n_lines_c = F.floor((n_ws + k_words - 1) / k_words).cast("int")
+    lines_col = F.transform(
+        F.sequence(F.lit(0), n_lines_c - 1),
+        lambda i: F.concat(
+            F.when((F.col("doc_id") + i) % 4 == 1, F.lit("- ")).otherwise(
+                F.lit("")
+            ),
+            F.array_join(F.slice(ws, i * k_words + 1, k_words), " "),
+            F.when((F.col("doc_id") + i) % 5 == 0, F.lit("."))
+            .when((F.col("doc_id") + i) % 5 == 1, F.lit("..."))
+            .when((F.col("doc_id") + i) % 5 == 3, F.lit("!"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    # projection-bound (the dedup_exact 17s→2s lesson): the line array
+    # and its counts evaluate once per row, not once per consumer
+    docs = docs.select(
+        "*",
+        lines_col.alias("__lines"),
+        F.size(
+            F.filter(ws, lambda t: t.rlike("[A-Za-z]"))
+        ).cast("bigint").alias("__n_alpha"),
+        (
+            F.regexp_count(F.col("text"), F.lit("#"))
+            + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+        ).cast("bigint").alias("__n_sym"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+                lambda s: F.array_contains(
+                    F.transform(ws, F.lower), s
+                ),
+            )
+        ).cast("bigint").alias("__n_stops"),
+    )
+    nl = F.size("__lines").cast("bigint")
+    n_punct = F.size(
+        F.filter("__lines", lambda l: l.rlike("[.!?]$"))
+    ).cast("bigint")
+    n_bullet = F.size(
+        F.filter("__lines", lambda l: l.startswith("- "))
+    ).cast("bigint")
+    n_ellipsis = F.size(
+        F.filter("__lines", lambda l: l.endswith("..."))
+    ).cast("bigint")
+    n_c4_kept = F.size(
+        F.filter(
+            "__lines",
+            lambda l: l.rlike("[.!?]$")
+            & (
+                F.size(
+                    F.regexp_extract_all(l, F.lit("[A-Za-z0-9]+"), 0)
+                )
+                >= 5
+            ),
+        )
+    ).cast("bigint")
+    n_tok = F.size(toks).cast("bigint")
+    _rules = [
+        n_tok.between(50, 100_000),
+        (sum_len >= 3 * n_tok) & (sum_len <= 10 * n_tok),
+        10 * F.col("__n_sym") <= n_ws,
+        10 * n_bullet <= nl,
+        10 * n_ellipsis <= 3 * nl,
+        5 * F.col("__n_alpha") >= 4 * n_ws,
+        F.col("__n_stops") >= 2,
+    ]
+    gopher_pass = _rules[0]
+    for _r in _rules[1:]:
+        gopher_pass = gopher_pass & _r
+    n_violations = sum(
+        (F.when(r, 0).otherwise(1) for r in _rules), F.lit(0)
+    ).cast("bigint")
+    c4_clean = (
+        ~F.lower(F.col("text")).contains("lorem ipsum")
+        & ~F.col("text").contains("{")
+        & (n_c4_kept >= 1)
     )
     n2, n5 = F.size("__g2"), F.size("__g5")
     return docs.select(
@@ -452,7 +551,23 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_5gram_frac"),
+        nl.alias("n_lines"),
+        (n_punct.cast("double") / nl).alias("frac_line_punct"),
+        (n_bullet.cast("double") / nl).alias("frac_line_bullet"),
+        (n_ellipsis.cast("double") / nl).alias("frac_line_ellipsis"),
+        n_c4_kept.alias("n_c4_kept_lines"),
+        (F.col("__n_alpha").cast("double") / n_ws).alias("alpha_word_frac"),
+        (F.col("__n_sym").cast("double") / n_ws).alias("symbol_word_ratio"),
+        F.col("__n_stops").alias("n_gopher_stops"),
+        n_violations.alias("n_gopher_violations"),
+        gopher_pass.alias("gopher_pass"),
+        c4_clean.alias("c4_clean"),
     )
+
+
+# Gopher rule-7 stop list (Rae et al. 2021 Appendix A: "contains at
+# least two of the following English words")
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 # weighted sentiment lexicon (SURVEY §2.11) — inlined as a CASE chain.
@@ -520,7 +635,20 @@ WITH t AS (
          ) AS g5,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
               || '@example.com or 555-'
-              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii,
+         list_transform(
+           range(0, (len(string_split(trim(text), ' ')) + doc_id % 7 + 4)
+                    // (doc_id % 7 + 5)),
+           i -> (CASE WHEN (doc_id + i) % 4 = 1 THEN '- ' ELSE '' END)
+             || array_to_string(list_slice(string_split(trim(text), ' '),
+                  i * (doc_id % 7 + 5) + 1, (i + 1) * (doc_id % 7 + 5)), ' ')
+             || (CASE (doc_id + i) % 5 WHEN 0 THEN '.' WHEN 1 THEN '...'
+                 WHEN 3 THEN '!' ELSE '' END)
+         ) AS lines,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace
   FROM documents
 ), s AS (
   SELECT doc_id, lang, n_chars, toks, pii, g2, g5,
@@ -531,7 +659,18 @@ WITH t AS (
            g -> {{'cnt': len(list_filter(g2, x -> x = g)), 'gram': g}}
          )) AS top2,
          CAST(list_sum(list_transform(ws, x -> {_SENT_CASE})) AS BIGINT) AS sent_sum,
-         CAST(len(list_filter(ws, x -> ({_SENT_CASE}) != 0)) AS BIGINT) AS n_sent_tokens
+         CAST(len(list_filter(ws, x -> ({_SENT_CASE}) != 0)) AS BIGINT) AS n_sent_tokens,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> regexp_matches(l, '[.!?]$'))) AS n_punct,
+         len(list_filter(lines, l -> starts_with(l, '- '))) AS n_bullet,
+         len(list_filter(lines, l -> ends_with(l, '...'))) AS n_ellipsis,
+         len(list_filter(lines, l -> regexp_matches(l, '[.!?]$')
+             AND len(regexp_extract_all(l, '[A-Za-z0-9]+')) >= 5)) AS n_c4_kept,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         n_sym, has_lorem, has_brace,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             g -> list_contains(list_transform(ws, x -> lower(x)), g))) AS n_stops,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len
   FROM t
 )
 SELECT doc_id, lang, n_chars,
@@ -563,7 +702,32 @@ SELECT doc_id, lang, n_chars,
        ELSE 0.0 END AS top_2gram_frac,
   CASE WHEN len(g5) > 0
        THEN CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5)
-       ELSE 0.0 END AS dup_5gram_frac
+       ELSE 0.0 END AS dup_5gram_frac,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_punct AS DOUBLE) / n_lines AS frac_line_punct,
+  CAST(n_bullet AS DOUBLE) / n_lines AS frac_line_bullet,
+  CAST(n_ellipsis AS DOUBLE) / n_lines AS frac_line_ellipsis,
+  CAST(n_c4_kept AS BIGINT) AS n_c4_kept_lines,
+  CAST(n_alpha AS DOUBLE) / n_ws AS alpha_word_frac,
+  CAST(n_sym AS DOUBLE) / n_ws AS symbol_word_ratio,
+  CAST(n_stops AS BIGINT) AS n_gopher_stops,
+  CAST((CASE WHEN len(toks) BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+   + (CASE WHEN sum_len >= 3 * len(toks) AND sum_len <= 10 * len(toks)
+      THEN 0 ELSE 1 END)
+   + (CASE WHEN 10 * n_sym <= n_ws THEN 0 ELSE 1 END)
+   + (CASE WHEN 10 * n_bullet <= n_lines THEN 0 ELSE 1 END)
+   + (CASE WHEN 10 * n_ellipsis <= 3 * n_lines THEN 0 ELSE 1 END)
+   + (CASE WHEN 5 * n_alpha >= 4 * n_ws THEN 0 ELSE 1 END)
+   + (CASE WHEN n_stops >= 2 THEN 0 ELSE 1 END) AS BIGINT)
+   AS n_gopher_violations,
+  (len(toks) BETWEEN 50 AND 100000
+   AND sum_len >= 3 * len(toks) AND sum_len <= 10 * len(toks)
+   AND 10 * n_sym <= n_ws
+   AND 10 * n_bullet <= n_lines
+   AND 10 * n_ellipsis <= 3 * n_lines
+   AND 5 * n_alpha >= 4 * n_ws
+   AND n_stops >= 2) AS gopher_pass,
+  (NOT has_lorem AND NOT has_brace AND n_c4_kept >= 1) AS c4_clean
 FROM s
 """
 

@@ -67,6 +67,16 @@ def eval_ngrams(
     )
 
 
+# Broadcast the eval gram set only when measurably small: 8 bytes per
+# 64-bit gram key → 4M grams ≈ 32 MB broadcast. Eval suites are
+# usually far below this; a contamination sweep against a huge
+# reference corpus (e.g. "remove anything that appears in Common
+# Crawl snapshot X") is not, and a forced hint there is a 100 TB
+# driver/executor OOM that never falls back the way an AQE choice
+# does (the near_dup_jaccard lesson, queries/text.py).
+_BROADCAST_GRAM_LIMIT = 4_000_000
+
+
 def decontaminate(
     docs: DataFrame,
     eval_grams: DataFrame,
@@ -74,6 +84,7 @@ def decontaminate(
     n: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Per-document contamination verdict against a benchmark gram set.
 
@@ -81,13 +92,26 @@ def decontaminate(
     one-column ``gh`` DataFrame). Returns
     ``(id_col, n_contam_grams, is_contaminated)`` with one row per
     input document.
+
+    The eval side is checkpointed and COUNTED, and the broadcast hint
+    applies only under the measured bound; above it the gram join
+    shuffles, where the session's runtime bloom-filter injection
+    (session.py) prunes the corpus-side explode by the selective eval
+    side at the scan — the engine-native form of the hand-rolled
+    bloom prefilter, without a row-at-a-time Python membership UDF.
     """
+    if broadcast_limit is None:
+        broadcast_limit = _BROADCAST_GRAM_LIMIT
     ids = docs.select(id_col)
     exploded = _gram_sets(docs, [id_col], text_col, n).select(
         id_col, F.explode("__gs").alias("gh")
     )
+    # one materialization serves the count AND the join probe
+    eval_grams = stable_checkpoint(eval_grams)
+    small = eval_grams.count() <= broadcast_limit
+    eval_side = F.broadcast(eval_grams) if small else eval_grams
     hits = (
-        exploded.join(F.broadcast(eval_grams), "gh")
+        exploded.join(eval_side, "gh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contam_grams"))
     )

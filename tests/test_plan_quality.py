@@ -156,6 +156,29 @@ def test_decontam_broadcasts_eval_grams(spark):
     assert all("BroadcastHashJoin" in ln for ln in gram_joins), gram_joins
 
 
+def test_decontam_gate_degrades_to_shuffle_above_limit(spark):
+    """Above the measured gram bound the eval side loses its broadcast
+    hint (shuffled semi-equi join + the session's runtime bloom
+    injection instead of an unbounded forced broadcast), and the
+    verdicts are identical on both paths."""
+    from pyspark.sql import functions as F
+
+    from accounting_etl_spark.operators.decontam import (
+        decontaminate,
+        eval_ngrams,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ev = eval_ngrams(docs.filter(F.col("doc_id") % 97 == 0), n=4)
+    small = decontaminate(docs, ev, n=4)
+    large = decontaminate(docs, ev, n=4, broadcast_limit=0)
+    opt = large._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, opt
+    a = {r["doc_id"]: r["n_contam_grams"] for r in small.collect()}
+    b = {r["doc_id"]: r["n_contam_grams"] for r in large.collect()}
+    assert a == b and any(v > 0 for v in a.values())
+
+
 def test_corpus_sized_broadcasts_gated_on_measured_cardinality(spark, monkeypatch):
     """Forced broadcast hints on sides whose cardinality grows with the
     corpus are 100 TB OOMs — a hint never falls back the way an

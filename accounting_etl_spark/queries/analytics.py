@@ -314,6 +314,59 @@ def q_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LAYOUT_FILES = 4
+
+
+def q_layout_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'layout' variant: layout-maintenance audit (operators/layout.py).
+    Compacts the documents table with byte-derived file sizing, then
+    range-clusters it on doc_id and reads the WRITTEN files back: one
+    row per output file with its row count and doc_id min/max — the
+    disjoint ranges parquet footer-skipping depends on. Filesystem
+    side effects aren't SQL-expressible, so rows-only by design;
+    footer-level disjointness is unit-asserted in
+    tests/test_layout.py. The collect is bounded by the file count
+    (``_LAYOUT_FILES``)."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import compact, write_clustered
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    d = tempfile.mkdtemp(prefix="layout_rollup_")
+    try:
+        n_compact = compact(docs, f"{d}/compacted", target_bytes=1 << 20)
+        write_clustered(
+            docs.select("doc_id", "n_chars"),
+            f"{d}/clustered",
+            cluster_cols=["doc_id"],
+            num_files=_LAYOUT_FILES,
+        )
+        per_file = (
+            spark.read.parquet(f"{d}/clustered")
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    rows = [
+        ("layout", str(rank), r["n"], float(r["lo"]), float(r["hi"]),
+         float(n_compact))
+        for rank, r in enumerate(sorted(per_file, key=lambda r: r["lo"]))
+    ]
+    return spark.createDataFrame(
+        rows, "variant string, grp string, n bigint, v1 double, "
+        "v2 double, v3 double"
+    )
+
+
 def q_sketches_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only union-tagged entry (driver cap): engine-specific or
     non-SQL-expressible rollups, one schema
@@ -321,7 +374,8 @@ def q_sketches_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximates. variant 'bpe': learned-BPE segment rollup. variant
     'quality': trained-classifier score rollup. variant 'comp': zlib
     compression-ratio rollup. variant 'shard': training-shard
-    assignment audit. Each operator's exact semantics are unit-tested;
+    assignment audit. variant 'layout': compaction + range-clustered
+    write audit. Each operator's exact semantics are unit-tested;
     this entry gives them driver exposure (rows + stable schema)."""
     return (
         q_approx_sketches(spark, sf_dir)
@@ -329,6 +383,7 @@ def q_sketches_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_quality_rollup(spark, sf_dir))
         .unionByName(q_compression_rollup(spark, sf_dir))
         .unionByName(q_shard_rollup(spark, sf_dir))
+        .unionByName(q_layout_rollup(spark, sf_dir))
     )
 
 
@@ -341,6 +396,7 @@ QUERIES["approx_sketches"] = Q(
         "quality": q_quality_rollup,
         "comp": q_compression_rollup,
         "shard": q_shard_rollup,
+        "layout": q_layout_rollup,
     },
 )
 

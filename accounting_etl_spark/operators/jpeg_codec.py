@@ -15,9 +15,17 @@ payload actually uses. Everything here is from the public spec:
   markers), canonical Huffman reconstruction from (bits, values),
   MCU entropy decode, dequantize → inverse zigzag → IDCT → level
   shift, nearest-neighbor chroma upsampling for 4:2:0/4:2:2, BT.601
-  YCbCr→RGB. Progressive (SOF2) and arithmetic coding raise
-  ``NotImplementedError`` — they are rare in training corpora and
-  PIL remains the fallback when installed.
+  YCbCr→RGB. **Progressive (SOF2)** is fully decoded too (T.81
+  Annex G): per-component coefficient accumulators across scans,
+  spectral selection (DC scans interleaved or not, AC scans
+  single-component over the component's own block grid), successive
+  approximation (DC bit refinement; AC first/refine with EOBn
+  end-of-band run decoding and libjpeg-order correction bits),
+  table redefinition between scans, restart intervals inside any
+  scan kind, then one vectorized dequant+IDCT over the finished
+  coefficient planes. Arithmetic coding and hierarchical mode raise
+  ``NotImplementedError`` (vanishingly rare in crawled corpora; PIL
+  remains the fallback when installed).
 
 JPEG is lossy: round-trip tests assert bounded error (tight for
 smooth content at high quality), not equality.
@@ -347,8 +355,33 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _parse_dqt(body: bytes, qts: dict) -> None:
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0xF
+        n = 64 * (2 if pq else 1)
+        raw = body[i + 1 : i + 1 + n]
+        vals = np.frombuffer(raw, ">u2" if pq else np.uint8).astype(np.int32)
+        qt = np.zeros(64, np.int32)
+        qt[_ZIGZAG] = vals
+        qts[tq] = qt.reshape(8, 8)
+        i += 1 + n
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0xF
+        bits = list(body[i + 1 : i + 17])
+        n = sum(bits)
+        vals = list(body[i + 17 : i + 17 + n])
+        huff[(tc, th)] = _decode_tree(bits, vals)
+        i += 17 + n
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
-    """Baseline JPEG → uint8[H,W,3] RGB; None if not a JPEG."""
+    """Baseline or progressive JPEG → uint8[H,W,3] RGB; None if not a
+    JPEG."""
     if payload[:2] != b"\xff\xd8":
         return None
     qts: dict[int, np.ndarray] = {}
@@ -356,6 +389,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
     comps: list[dict] = []
     h = w = 0
     restart = 0
+    progressive = False
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -370,29 +404,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
         (seg_len,) = struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0xF
-                n = 64 * (2 if pq else 1)
-                raw = body[i + 1 : i + 1 + n]
-                vals = (
-                    np.frombuffer(raw, ">u2" if pq else np.uint8)
-                    .astype(np.int32)
-                )
-                qt = np.zeros(64, np.int32)
-                qt[_ZIGZAG] = vals
-                qts[tq] = qt.reshape(8, 8)
-                i += 1 + n
+            _parse_dqt(body, qts)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1 : i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17 : i + 17 + n])
-                huff[(tc, th)] = _decode_tree(bits, vals)
-                i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            _parse_dht(body, huff)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             _, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for ci in range(nc):
@@ -400,15 +416,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                 comps.append({
                     "id": cid, "hs": samp >> 4, "vs": samp & 0xF, "tq": tq,
                 })
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02X} (progressive/arithmetic) "
-                "not supported; baseline only"
+                f"JPEG SOF marker 0x{marker:02X} (lossless/arithmetic/"
+                "hierarchical) not supported; baseline + progressive only"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
+            if progressive:
+                return _decode_progressive(
+                    payload, pos, comps, qts, huff, h, w, restart
+                )
             ns = body[0]
             for ci in range(ns):
                 cid, tt = body[1 + 2 * ci], body[2 + 2 * ci]
@@ -478,7 +498,13 @@ def _decode_scan(payload, start, comps, qts, huff, h, w, restart):
                     y0 = (my * c["vs"] + vy) * 8
                     x0 = (mx * c["hs"] + vx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-    # upsample to full resolution and crop
+    return _assemble_rgb(comps, planes, h, w, hmax, vmax)
+
+
+def _assemble_rgb(comps, planes, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample component planes to full resolution, crop, and convert
+    BT.601 YCbCr → RGB (shared by the baseline and progressive
+    paths)."""
     full = []
     for c, p in zip(comps, planes):
         ry, rx = vmax // c["vs"], hmax // c["hs"]
@@ -494,3 +520,249 @@ def _decode_scan(payload, start, comps, qts, huff, h, w, restart):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------- progressive mode (T.81 Annex G) ---------------------
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index of the first real marker (not a stuffed 0x00, not RSTn)
+    after ``start`` — the end of one scan's entropy data."""
+    i, n = start, len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return i
+            i += 2
+        else:
+            i += 1
+    return n
+
+
+def _dc_unit(br, blk, pred: int, ah: int, al: int, dc_table) -> int:
+    """One block's DC in a progressive DC scan; returns the new
+    predictor."""
+    if ah == 0:
+        s = _read_symbol(br, dc_table)
+        diff = _extend(br.bits(s), s) if s else 0
+        pred += diff
+        blk[0] = pred << al
+    else:
+        if br.bit():
+            blk[0] = int(blk[0]) | (1 << al)
+    return pred
+
+
+def _ac_first_block(br, blk, ss, se, al, ac_table, eobrun: int) -> int:
+    """One block of an AC spectral-selection first scan (Ah=0) with
+    EOBn end-of-band runs; returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, ac_table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                eb = (1 << r) - 1
+                if r:
+                    eb += br.bits(r)
+                return eb
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine_block(br, blk, ss, se, al, ac_table, eobrun: int) -> int:
+    """One block of an AC successive-approximation refinement scan
+    (Ah>0): new coefficients arrive as ±1<<Al with runs counted over
+    zero-HISTORY positions; already-nonzero coefficients consume one
+    correction bit each, in coefficient order (libjpeg
+    decode_mcu_AC_refine semantics)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(br, ac_table)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients below
+            else:
+                val = p1 if br.bit() else m1
+            while k <= se:
+                coef = int(blk[k])
+                if coef != 0:
+                    if br.bit() and (coef & p1) == 0:
+                        blk[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            coef = int(blk[k])
+            if coef != 0:
+                if br.bit() and (coef & p1) == 0:
+                    blk[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    payload, pos, comps, coeffs, huff, restart, mcux, mcuy
+) -> int:
+    """Decode one progressive SOS (header at ``pos``) into the
+    per-component coefficient accumulators; returns the position just
+    past this scan's entropy data."""
+    (seg_len,) = struct.unpack_from(">H", payload, pos)
+    body = payload[pos + 2 : pos + seg_len]
+    ns = body[0]
+    sidx: list[int] = []
+    for ci in range(ns):
+        cid, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+        for i, c in enumerate(comps):
+            if c["id"] == cid:
+                c["dc"], c["ac"] = tt >> 4, tt & 0xF
+                sidx.append(i)
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+    start = pos + seg_len
+    end = _entropy_end(payload, start)
+    br = _BitReader(payload[start:end])
+    preds = [0] * len(comps)
+    eobrun = 0
+
+    def _restart_boundary():
+        nonlocal preds, eobrun
+        br.align()
+        while (
+            br.pos + 1 < len(br.data)
+            and br.data[br.pos] == 0xFF
+            and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+        ):
+            br.pos += 2
+        preds = [0] * len(comps)
+        eobrun = 0
+
+    if ss == 0:  # DC scan — interleaved when ns > 1
+        if ns > 1:
+            for m in range(mcux * mcuy):
+                if restart and m and m % restart == 0:
+                    _restart_boundary()
+                my, mx = divmod(m, mcux)
+                for i in sidx:
+                    c = comps[i]
+                    for vy in range(c["vs"]):
+                        for vx in range(c["hs"]):
+                            by = my * c["vs"] + vy
+                            bx = mx * c["hs"] + vx
+                            preds[i] = _dc_unit(
+                                br, coeffs[i][by, bx], preds[i],
+                                ah, al, huff.get((0, c.get("dc", 0))),
+                            )
+        else:
+            i = sidx[0]
+            c = comps[i]
+            for b in range(c["nby"] * c["nbx"]):
+                if restart and b and b % restart == 0:
+                    _restart_boundary()
+                by, bx = divmod(b, c["nbx"])
+                preds[i] = _dc_unit(
+                    br, coeffs[i][by, bx], preds[i],
+                    ah, al, huff.get((0, c.get("dc", 0))),
+                )
+    else:  # AC scan — always single-component, own block grid
+        i = sidx[0]
+        c = comps[i]
+        ac_table = huff[(1, c["ac"])]
+        for b in range(c["nby"] * c["nbx"]):
+            if restart and b and b % restart == 0:
+                _restart_boundary()
+            by, bx = divmod(b, c["nbx"])
+            blk = coeffs[i][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(br, blk, ss, se, al, ac_table, eobrun)
+            else:
+                eobrun = _ac_refine_block(
+                    br, blk, ss, se, al, ac_table, eobrun
+                )
+    return end
+
+
+def _decode_progressive(payload, pos, comps, qts, huff, h, w, restart):
+    """Progressive frame: accumulate coefficients across every scan,
+    then one vectorized dequant + IDCT + assemble."""
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        # padded (interleaved-grid) block dims vs the component's own
+        # block dims — non-interleaved scans cover only the latter
+        c["bx"], c["by"] = mcux * c["hs"], mcuy * c["vs"]
+        cw = -(-(w * c["hs"]) // hmax)
+        ch = -(-(h * c["vs"]) // vmax)
+        c["nbx"], c["nby"] = -(-cw // 8), -(-ch // 8)
+    coeffs = [
+        np.zeros((c["by"], c["bx"], 64), np.int32) for c in comps
+    ]
+    first = True
+    while pos < len(payload):
+        if first:
+            marker = 0xDA  # entered pointing at the first SOS length
+            first = False
+        else:
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:
+                break
+        if marker == 0xDA:
+            pos = _progressive_scan(
+                payload, pos, comps, coeffs, huff, restart, mcux, mcuy
+            )
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seg_len]
+        if marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == 0xDB:
+            _parse_dqt(body, qts)
+        elif marker == 0xDD:
+            (restart,) = struct.unpack_from(">H", body, 0)
+        pos += seg_len
+    planes = []
+    for c, cf in zip(comps, coeffs):
+        nb = c["by"] * c["bx"]
+        zz = cf.reshape(nb, 64)
+        nat = np.zeros((nb, 64), np.float64)
+        nat[:, _ZIGZAG] = zz
+        blocks = nat.reshape(nb, 8, 8) * qts[c["tq"]][None].astype(np.float64)
+        px = np.einsum("ij,njk,kl->nil", _DCT.T, blocks, _DCT) + 128.0
+        planes.append(
+            px.reshape(c["by"], c["bx"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["by"] * 8, c["bx"] * 8)
+        )
+    return _assemble_rgb(comps, planes, h, w, hmax, vmax)

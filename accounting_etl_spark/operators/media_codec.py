@@ -15,8 +15,9 @@ fully stubbed:
   filter 0). Adam7 interlace raises ``NotImplementedError``.
 - **GIF** (87a/89a): stdlib-only LZW decode of the first frame,
   global/local color tables, interlaced row order.
-- **JPEG** (baseline, via :mod:`.jpeg_codec`): numpy DCT encoder and
-  Huffman decoder — see that module; progressive raises.
+- **JPEG** (baseline + progressive, via :mod:`.jpeg_codec`): numpy
+  DCT encoder and Huffman decoder — see that module; arithmetic
+  coding raises.
 - **WAV** (RIFF PCM) via the stdlib ``wave`` module: samples +
   sample-rate + channel metadata.
 - **Nearest-neighbor resize** in numpy — the PIL-free resize kernel.
@@ -333,8 +334,9 @@ def decode_image(payload: bytes) -> np.ndarray | None:
     """Sniff-and-decode any supported still-image format.
 
     Raises ``NotImplementedError`` for a recognized format whose
-    variant is unsupported (progressive JPEG, interlaced PNG, 16-bit
-    depth) — callers with PIL installed may catch it and fall back.
+    variant is unsupported (arithmetic-coded JPEG, interlaced PNG,
+    16-bit depth) — callers with PIL installed may catch it and fall
+    back. Baseline AND progressive JPEG both decode natively.
     """
     from .jpeg_codec import decode_jpeg
 

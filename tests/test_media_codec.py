@@ -216,14 +216,16 @@ def test_jpeg_quality_tradeoff():
     assert err_hi < err_lo
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_arithmetic_raises():
+    # progressive (SOF2) now decodes (tests/test_jpeg_progressive.py);
+    # arithmetic-coded frames (SOF9) remain gated
     from accounting_etl_spark.operators import jpeg_codec as jc
 
     img = np.full((8, 8, 3), 99, np.uint8)
     jp = bytearray(jc.encode_jpeg(img))
     sof = jp.find(b"\xff\xc0")
-    jp[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    jp[sof + 1] = 0xC9  # rewrite SOF0 → SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         jc.decode_jpeg(bytes(jp))
 
 

@@ -180,3 +180,95 @@ def query_ivf_index(
     return top.select(
         "q_id", "nb_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
     )
+
+
+# Broadcast the eval postings only when measurably small: benchmark
+# suites are thousands-to-millions of vectors; 250k rows of
+# (id, 128-dim double vec) ≈ 256MB is the practical ceiling. Above it
+# the cell join shuffles — still bounded by the probed-cell candidate
+# counts, never corpus×eval.
+_EVAL_BROADCAST_LIMIT = 250_000
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    index_path: str,
+    *,
+    threshold: float,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_limit: int | None = None,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination against a persisted
+    eval-set IVF index.
+
+    The shape is the REVERSE of :func:`query_ivf_index`: there the
+    query batch is small and broadcasts; here the queries are the
+    whole TRAINING corpus and the index holds the (benchmark-sized)
+    eval set — so the eval postings are the broadcast side and the
+    corpus streams map-side through assignment + join. Each training
+    vector probes its ``n_probe`` nearest cells; any eval vector in
+    those cells with cosine ≥ ``threshold`` marks it contaminated.
+
+    Returns one row per training vector:
+    ``(id_col, best_eval_id, best_cosine, keep)`` where best_* are
+    NULL when no eval candidate shared a probed cell and
+    ``keep = best_cosine IS NULL OR best_cosine < threshold``.
+
+    Same recall caveat as any IVF probe: an eval near-match wholly
+    outside the probed cells is missed; raise ``n_probe`` (or build
+    the index with fewer cells) to trade cost for recall. With
+    ``n_probe >= n_cells`` the verdict is exact (unit-asserted
+    against the brute-force form).
+    """
+    if broadcast_limit is None:
+        broadcast_limit = _EVAL_BROADCAST_LIMIT
+    spark = train.sparkSession
+    mat = load_centroids(spark, index_path)
+    cents_lit = lit_matrix(mat)
+    t_vec = F.col(vec_col).cast("array<double>")
+    probes = train.select(
+        F.col(id_col).alias("t_id"),
+        t_vec.alias("t_emb"),
+        F.explode(
+            F.slice(_ranked_cells(t_vec, cents_lit), 1, n_probe)
+        ).alias("pc"),
+    ).select("t_id", "t_emb", F.col("pc.cell").cast("int").alias("cell"))
+    postings = spark.read.parquet(f"{index_path}/postings").select(
+        "cell", F.col("id").alias("e_id"), F.col("vec").alias("e_emb")
+    )
+    # eval indexes are benchmark-sized; broadcast under a measured
+    # bound, shuffled cell join above it (queries/text.py gate pattern)
+    if postings.count() <= broadcast_limit:
+        postings = F.broadcast(postings)
+    best = (
+        probes.join(postings, "cell")
+        .select(
+            "t_id",
+            F.struct(
+                _cosine(F.col("t_emb"), F.col("e_emb")).alias("cosine"),
+                (-F.col("e_id")).alias("neg_id"),
+            ).alias("cand"),
+        )
+        .groupBy("t_id")
+        .agg(F.max("cand").alias("best"))
+        .select(
+            "t_id",
+            (-F.col("best.neg_id")).alias("best_eval_id"),
+            F.col("best.cosine").alias("best_cosine"),
+        )
+    )
+    return (
+        train.select(F.col(id_col).alias("t_id"))
+        .join(best, "t_id", "left")
+        .select(
+            F.col("t_id").alias(id_col),
+            "best_eval_id",
+            "best_cosine",
+            (
+                F.col("best_cosine").isNull()
+                | (F.col("best_cosine") < threshold)
+            ).alias("keep"),
+        )
+    )

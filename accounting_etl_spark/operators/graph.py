@@ -212,3 +212,91 @@ def connected_components_star(
             ),
         )
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iters: int = 6,
+    scale: int = 10**12,
+    damping: tuple[int, int] = (85, 100),
+) -> DataFrame:
+    """Quantized fixed-point PageRank — bit-identical across engines.
+
+    The host-authority signal of a web-curation pipeline (demote
+    link-farm hosts, weight crawl frontiers): rank over the outlink
+    graph harvested by ``operators/html_extract.py``. Classic float
+    PageRank is NOT portable across engines (sum order changes the
+    low bits); here every rank is a BIGINT scaled by ``scale`` and the
+    recurrence uses only integer multiply / floor-divide, so a DuckDB
+    unrolled-CTE oracle reproduces the exact bits:
+
+        r0[v]     = scale // N
+        r_{k+1}[v] = (scale*(den-num)) // (den*N)
+                     + Σ_{u→v} (r_k[u]*num) // (den*outdeg[u])
+
+    with ``damping = (num, den)`` (0.85 = 85/100). Dangling-node mass
+    evaporates identically on both sides (the standard simplification
+    — re-injection would need a per-round global scalar).
+
+    Scale notes: each of the ``iters`` rounds is one equi-join on
+    ``src`` + one aggregate on ``dst`` — the same shuffle pair as
+    :func:`connected_components`; lineage is truncated per round with
+    ``stable_checkpoint``. ``N`` (node count) is the one driver-side
+    scalar. Overflow-safe by construction: total mass ≤ ``scale``
+    (1e12) and the largest intermediate is ``rank*num`` ≤ 8.5e13 ≪
+    2^63. No broadcast hints — the rank table is corpus-sized; AQE
+    may still convert small sides at runtime.
+
+    Returns (node, rank, outdeg): ``rank`` the scaled BIGINT,
+    ``outdeg`` 0 for sink nodes.
+    """
+    num, den = damping
+    e = stable_checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    base = stable_checkpoint(
+        nodes.join(outdeg, "node", "left").select(
+            "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+        )
+    )
+    n_nodes = base.count()  # the one driver scalar (bounded: a count)
+    init = int(scale) // n_nodes
+    teleport = (int(scale) * (den - num)) // (den * n_nodes)
+
+    ranks = base.select("node", F.lit(init).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        # per-source quotient computed once, then fanned out over edges
+        per_src = ranks.join(base.where(F.col("outdeg") > 0), "node").select(
+            F.col("node").alias("src"),
+            F.expr(
+                f"(rank * CAST({num} AS BIGINT)) div "
+                f"(CAST({den} AS BIGINT) * outdeg)"
+            ).alias("__c"),
+        )
+        contrib = per_src.join(e, "src").select(
+            F.col("dst").alias("node"), "__c"
+        )
+        ranks = stable_checkpoint(
+            base.select("node")
+            .join(contrib.groupBy("node").agg(F.sum("__c").alias("__s")),
+                  "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport).cast("bigint")
+                 + F.coalesce("__s", F.lit(0))).alias("rank"),
+            )
+        )
+    return ranks.join(base, "node").select("node", "rank", "outdeg")

@@ -1,0 +1,191 @@
+"""WARC source/sink + HTML extraction + integer PageRank units."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from accounting_etl_spark.operators.html_extract import (
+    extract_html,
+    extract_text,
+)
+from accounting_etl_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    warc_record_bytes,
+    write_warc,
+    write_warc_files,
+)
+
+HTML = (
+    "<html><head><title>Doc 7</title><style>p{color:red}</style></head>"
+    "<body><nav><a href='/home'>Home</a> <a href='/a'>About</a></nav>"
+    "<h1>web-3</h1><p>alpha beta gamma &amp; delta</p>"
+    "<ul><li><a href='http://ex.org/7/0'>l0</a></li>"
+    "<li><a href='/rel'>l1</a></li></ul>"
+    "<script>var x = '<p>not text</p>';</script>"
+    "<footer>&copy; 2026</footer></body></html>"
+)
+
+
+# ------------------------------------------------------------- pure python
+
+
+def test_extract_text_boilerplate_and_entities():
+    r = extract_text(HTML, base_url="http://site.test/doc/7")
+    assert r["title"] == "Doc 7"
+    # nav, footer, style, script and the link-dense <li>s are gone
+    assert r["text"] == "web-3\nalpha beta gamma & delta"
+    assert r["n_blocks"] == 2
+    # every link harvested + resolved; content links exclude nav
+    assert r["links"] == [
+        "http://site.test/home",
+        "http://site.test/a",
+        "http://ex.org/7/0",
+        "http://site.test/rel",
+    ]
+    assert r["content_links"] == ["http://ex.org/7/0", "http://site.test/rel"]
+
+
+def test_extract_text_malformed_never_raises():
+    for bad in ["<p>unclosed", "<<<>>>", "", "<a href=>x</a>", "<p>&#xZZ;</p>"]:
+        r = extract_text(bad)
+        assert isinstance(r["text"], str)
+
+
+def test_link_density_rule_integer_math():
+    # a block that is 100% link text drops; mixed block below 1/2 stays
+    html = "<p><a href='u'>all link</a></p><p>word word <a href='v'>x</a></p>"
+    r = extract_text(html)
+    assert r["text"] == "word word x"
+    assert r["links"] == ["u", "v"]
+
+
+def test_warc_record_roundtrip_gzip_members():
+    recs = [
+        warc_record_bytes(
+            record_id=f"doc-{i}",
+            target_uri=f"http://s/{i}",
+            payload=f"payload {i}".encode(),
+        )
+        for i in range(5)
+    ]
+    blob = b"".join(gzip.compress(r) for r in recs)
+    out = list(iter_warc_records(blob))
+    assert [o["record_id"] for o in out] == [
+        f"<urn:uuid:doc-{i}>" for i in range(5)
+    ]
+    assert all(o["http_status"] == 200 for o in out)
+    assert out[3]["payload"] == b"payload 3"
+    assert out[0]["content_type"].startswith("text/html")
+
+
+def test_warc_request_records_filtered_and_malformed_skipped():
+    good = warc_record_bytes(record_id="g", payload=b"ok")
+    req = warc_record_bytes(record_id="r", warc_type="request", payload=b"GET /")
+    broken = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: zzz\r\n\r\njunk"
+    blob = req + broken + good
+    out = list(iter_warc_records(blob, record_types=("response",)))
+    assert [o["record_id"] for o in out] == ["<urn:uuid:g>"]
+    # no filter: request comes through too, broken still skipped
+    assert len(list(iter_warc_records(blob))) == 2
+
+
+# ------------------------------------------------------------------ spark
+
+
+def test_write_read_warc_distributed(spark, tmp_path):
+    df = spark.range(20).selectExpr(
+        "id AS doc_id",
+        "concat('http://h', CAST(id % 3 AS STRING), '.test/p/', id) AS url",
+        "concat('<html><body><p>doc ', id, ' text</p></body></html>') AS html",
+    ).repartition(4)
+    man = write_warc_files(df, str(tmp_path / "w"), compress=True).collect()
+    assert sum(r["n_records"] for r in man) == 20
+    assert all(os.path.exists(r["file"]) for r in man)
+
+    back = read_warc(spark, str(tmp_path / "w"))
+    rows = back.collect()
+    assert len(rows) == 20
+    got = {r["record_id"]: r for r in rows}
+    assert got["<urn:uuid:doc-7>"]["target_uri"].endswith("/p/7")
+    assert (
+        bytes(got["<urn:uuid:doc-7>"]["payload"])
+        == b"<html><body><p>doc 7 text</p></body></html>"
+    )
+    assert all(r["http_status"] == 200 for r in rows)
+
+
+def test_extract_html_spark_pass(spark):
+    df = spark.createDataFrame(
+        [(1, HTML), (2, "<html><body><p>plain</p></body></html>")],
+        "doc_id bigint, html string",
+    )
+    out = extract_html(df, "html").orderBy("doc_id").collect()
+    assert out[0]["text"] == "web-3\nalpha beta gamma & delta"
+    assert out[0]["links"][0] == "/home"  # no base col → unresolved
+    assert out[1]["text"] == "plain"
+    assert out[1]["links"] == []
+    assert "html" not in {f.name for f in extract_html(df, "html").schema}
+
+
+def test_extract_html_plan_is_map_side(spark):
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id bigint, html string")
+    plan = extract_html(df, "html")._sc is not None and extract_html(
+        df, "html"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------- pagerank
+
+
+def _py_pagerank(edges, iters=6, scale=10**12, num=85, den=100):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    tele = (scale * (den - num)) // (den * n)
+    for _ in range(iters):
+        nxt = {v: tele for v in nodes}
+        for u, v in edges:
+            nxt[v] += (r[u] * num) // (den * out[u])
+        r = nxt
+    return r
+
+
+def test_pagerank_int_matches_python_reference(spark):
+    from accounting_etl_spark.operators.graph import pagerank_int
+
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (5, 4), (2, 5),
+        (6, 3),  # 7 appears only as a sink via (3, 7)
+        (3, 7),
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: (r["rank"], r["outdeg"])
+        for r in pagerank_int(df).collect()
+    }
+    ref = _py_pagerank(edges)
+    assert {k: v[0] for k, v in got.items()} == ref
+    assert got[7][1] == 0  # sink: no out-edges
+    # authority ordering: 3 has the most in-links
+    assert max(ref, key=ref.get) == 3
+
+
+def test_pagerank_int_duplicate_edges_and_total_mass(spark):
+    from accounting_etl_spark.operators.graph import pagerank_int
+
+    # duplicates collapse (distinct) — same result as the unique set
+    dup = [(1, 2)] * 5 + [(2, 1)] * 3
+    df = spark.createDataFrame(dup, "src bigint, dst bigint")
+    got = {r["node"]: r["rank"] for r in pagerank_int(df).collect()}
+    assert got == _py_pagerank([(1, 2), (2, 1)])
+    # symmetric 2-cycle: mass stays balanced and bounded by scale
+    assert got[1] == got[2]
+    assert sum(got.values()) <= 10**12

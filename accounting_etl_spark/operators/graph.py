@@ -277,7 +277,7 @@ def pagerank_int(
     teleport = (int(scale) * (den - num)) // (den * n_nodes)
 
     ranks = base.select("node", F.lit(init).cast("bigint").alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
         # per-source quotient computed once, then fanned out over edges
         per_src = ranks.join(base.where(F.col("outdeg") > 0), "node").select(
             F.col("node").alias("src"),
@@ -289,7 +289,7 @@ def pagerank_int(
         contrib = per_src.join(e, "src").select(
             F.col("dst").alias("node"), "__c"
         )
-        ranks = stable_checkpoint(
+        ranks = (
             base.select("node")
             .join(contrib.groupBy("node").agg(F.sum("__c").alias("__s")),
                   "node", "left")
@@ -299,4 +299,9 @@ def pagerank_int(
                  + F.coalesce("__s", F.lit(0))).alias("rank"),
             )
         )
+        # truncate lineage every other round (plan depth stays bounded
+        # while halving the materialization count — each round is only
+        # join+agg, not an exponential self-reference like CC)
+        if it % 2 == 1 or it == iters - 1:
+            ranks = stable_checkpoint(ranks)
     return ranks.join(base, "node").select("node", "rank", "outdeg")

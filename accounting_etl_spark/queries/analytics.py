@@ -848,6 +848,220 @@ HAVING count(*) * {_HH_DEN} >= max(total)
 """
 
 
+_WARC_PARTS = 8
+
+
+def q_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'warc' variant: the crawl-ingestion round-trip audit.
+
+    Documents are templated into HTML (pure JVM ``concat`` — nav +
+    h1=source + escaped body + per-doc link list + footer), archived
+    as real WARC/1.0 gzip-member files (``sources/warc.py``), scanned
+    back through the distributed ``binaryFile`` parse, and main-text
+    extracted (``operators/html_extract.py``). The rollup groups on
+    the EXTRACTED first text line (the <h1>, i.e. ``source``) so the
+    grouping key itself proves extraction: n = docs per source,
+    v1 = Σ extracted-text length (must equal the templated
+    ``len(source)+1+len(trim(text))``), v2 = Σ content outlinks (the
+    templated ``1 + doc_id % 4`` — nav/footer links must NOT count),
+    v3 = docs whose <title> round-tripped. The oracle computes the
+    same sums straight from ``documents``: any parser, boilerplate,
+    or entity-handling drift hash-mismatches. Filesystem side effects
+    follow the 'layout' variant pattern — bounded collect (≤ distinct
+    sources) and the temp dir is removed before returning."""
+    import shutil
+    import tempfile
+
+    from ..operators.html_extract import extract_html
+    from ..sources.warc import read_warc, write_warc_files
+
+    docs = load_table(spark, sf_dir, "documents")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    links_html = F.expr(
+        "array_join(transform(sequence(0L, doc_id % 4), i -> concat("
+        "'<li><a href=\"http://ex.org/', CAST(doc_id AS STRING), '/', "
+        "CAST(i AS STRING), '\">ref ', CAST(i AS STRING), '</a></li>')), '')"
+    )
+    did = F.col("doc_id").cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"),
+            F.pmod("doc_id", F.lit(7)).cast("string"),
+            F.lit(".example/d/"),
+            did,
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit("</title></head><body>"),
+            F.lit('<nav><a href="/home">Home</a> <a href="/about">About</a>'
+                  "</nav><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            esc,
+            F.lit("</p><ul>"),
+            links_html,
+            F.lit("</ul><footer>&copy; 2026 synthetic</footer>"
+                  "</body></html>"),
+        ).alias("html"),
+    ).repartition(_WARC_PARTS)
+
+    d = tempfile.mkdtemp(prefix="warc_stats_")
+    try:
+        write_warc_files(pages, d).collect()  # manifest only (≤ parts rows)
+        recs = read_warc(spark, d).select(
+            F.regexp_extract("record_id", r"doc-(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "target_uri",
+            F.col("payload").cast("string").alias("html"),
+        )
+        ex = extract_html(recs, html_col="html", base_col="target_uri")
+        roll = (
+            ex.select(
+                F.expr("split(text, '\n')[0]").alias("grp"),
+                F.length("text").alias("__tlen"),
+                F.size("content_links").alias("__nl"),
+                (
+                    F.col("title")
+                    == F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+                )
+                .cast("int")
+                .alias("__tok"),
+            )
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("__tlen").alias("v1"),
+                F.sum("__nl").alias("v2"),
+                F.sum("__tok").alias("v3"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    rows = [
+        ("warc", r["grp"], r["n"], float(r["v1"]), float(r["v2"]),
+         float(r["v3"]))
+        for r in roll
+    ]
+    return spark.createDataFrame(
+        rows,
+        "variant string, grp string, n bigint, v1 double, v2 double, "
+        "v3 double",
+    )
+
+
+_WARC_SQL = """
+SELECT 'warc' AS variant, source AS grp, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(source) + CASE WHEN length(trim(text)) > 0
+                 THEN 1 + length(trim(text)) ELSE 0 END) AS DOUBLE) AS v1,
+       CAST(sum(1 + doc_id % 4) AS DOUBLE) AS v2,
+       CAST(count(*) AS DOUBLE) AS v3
+FROM documents GROUP BY source
+"""
+
+
+_PR_ITERS = 6
+_PR_SCALE = 10**12
+_PR_DAMP = (85, 100)
+_PR_DST_OFFSET = 1_000_000
+
+
+def q_pagerank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'pagerank' variant: quantized fixed-point PageRank
+    (operators/graph.py::pagerank_int) over the supplier→customer
+    trade graph (who supplies whom, via lineitem×orders) — the same
+    authority recurrence a web-curation pipeline runs over the host
+    outlink graph from operators/html_extract.py. Every rank is a
+    scaled BIGINT and the recurrence is integer multiply/floor-divide
+    only, so the DuckDB unrolled-CTE oracle reproduces the exact bits
+    across all {iters} rounds. n = the scaled rank itself (hash-exact
+    integer), v1 = rank/scale (one int/int double division —
+    bit-portable), v2 = outdeg, v3 = iteration count."""
+    from ..operators.graph import pagerank_int
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("l_suppkey").cast("bigint").alias("src"),
+        (F.col("o_custkey") + F.lit(_PR_DST_OFFSET))
+        .cast("bigint")
+        .alias("dst"),
+    )
+    pr = pagerank_int(
+        edges, iters=_PR_ITERS, scale=_PR_SCALE, damping=_PR_DAMP
+    )
+    return pr.select(
+        F.lit("pagerank").alias("variant"),
+        F.col("node").cast("string").alias("grp"),
+        F.col("rank").cast("bigint").alias("n"),
+        (F.col("rank") / F.lit(_PR_SCALE)).alias("v1"),
+        F.col("outdeg").cast("double").alias("v2"),
+        F.lit(float(_PR_ITERS)).alias("v3"),
+    )
+
+
+def _pagerank_sql() -> str:
+    num, den = _PR_DAMP
+    parts = [
+        f"""
+WITH e AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+         CAST(o_custkey + {_PR_DST_OFFSET} AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), od AS (
+  SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src
+), nn AS (SELECT count(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, (SELECT {_PR_SCALE} // n FROM nn) AS rank FROM nodes
+)"""
+    ]
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""", r{k} AS (
+  SELECT nd.node,
+         (SELECT ({_PR_SCALE} * {den - num}) // ({den} * n) FROM nn)
+         + COALESCE(s.c, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((r.rank * {num}) // ({den} * od.outdeg)) AS c
+    FROM e JOIN {prev} r ON r.node = e.src JOIN od ON od.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nd.node
+)"""
+        )
+        prev = f"r{k}"
+    parts.append(
+        f"""
+SELECT 'pagerank' AS variant, CAST(r.node AS VARCHAR) AS grp,
+       CAST(r.rank AS BIGINT) AS n,
+       CAST(r.rank AS DOUBLE) / {_PR_SCALE} AS v1,
+       CAST(COALESCE(od.outdeg, 0) AS DOUBLE) AS v2,
+       CAST({_PR_ITERS} AS DOUBLE) AS v3
+FROM {prev} r LEFT JOIN od ON od.node = r.node
+"""
+    )
+    return "".join(parts)
+
+
 def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles + fixed-width histogram + stratified-sample
     audit + sequence-packing audit + token-budget audit +
@@ -859,7 +1073,8 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_pack_stats. variant 'budget': see q_budget_stats. variant
     'span': see q_span_stats. variant 'lm': see q_lm_stats. variant
     'dsir': see q_dsir_stats. variant 'mix': see q_mix_stats.
-    variant 'hh': see q_hh_stats."""
+    variant 'hh': see q_hh_stats. variant 'warc': see q_warc_stats.
+    variant 'pagerank': see q_pagerank_stats."""
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -886,6 +1101,8 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_dsir_stats(spark, sf_dir))
         .unionByName(q_mix_stats(spark, sf_dir))
         .unionByName(q_hh_stats(spark, sf_dir))
+        .unionByName(q_warc_stats(spark, sf_dir))
+        .unionByName(q_pagerank_stats(spark, sf_dir))
     )
 
 
@@ -985,6 +1202,10 @@ UNION ALL
 SELECT * FROM ({{mix_sql}})
 UNION ALL
 SELECT * FROM ({{hh_sql}})
+UNION ALL
+SELECT * FROM ({{warc_sql}})
+UNION ALL
+SELECT * FROM ({{pagerank_sql}})
 """
 
 
@@ -1163,6 +1384,8 @@ _DIST_STATS_SQL = (
     .replace("{dsir_sql}", _DSIR_SQL)
     .replace("{mix_sql}", _mix_sql())
     .replace("{hh_sql}", _HH_SQL)
+    .replace("{warc_sql}", _WARC_SQL)
+    .replace("{pagerank_sql}", _pagerank_sql())
 )
 
 
@@ -1219,6 +1442,8 @@ QUERIES["dist_stats"] = Q(
         "dsir": q_dsir_stats,
         "mix": q_mix_stats,
         "hh": q_hh_stats,
+        "warc": q_warc_stats,
+        "pagerank": q_pagerank_stats,
     },
 )
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)

@@ -335,13 +335,16 @@ def decode_image(payload: bytes) -> np.ndarray | None:
 
     Raises ``NotImplementedError`` for a recognized format whose
     variant is unsupported (arithmetic-coded JPEG, interlaced PNG,
-    16-bit depth) — callers with PIL installed may catch it and fall
-    back. Baseline AND progressive JPEG both decode natively.
+    16-bit depth, lossy VP8 webp) — callers with PIL installed may
+    catch it and fall back. Baseline AND progressive JPEG decode
+    natively; webp lossless (VP8L) decodes natively via
+    ``webp_codec``.
     """
     from .jpeg_codec import decode_jpeg
+    from .webp_codec import decode_webp
 
     for dec in (decode_bmp, decode_ppm, decode_png, decode_gif,
-                decode_jpeg):
+                decode_webp, decode_jpeg):
         img = dec(payload)
         if img is not None:
             return img

@@ -83,7 +83,7 @@ def extract_media_features(
         except NotImplementedError:
             img = None  # recognized but unsupported variant: try PIL
         if img is None:
-            try:  # PIL handles webp/progressive-jpeg/... when installed
+            try:  # PIL handles lossy-webp/exotic variants when installed
                 import io
 
                 from PIL import Image
@@ -243,8 +243,8 @@ def resize_images(
 ) -> DataFrame:
     """Image payloads → fixed-size payloads (binary→binary map).
 
-    ``real_decode=True`` decodes BMP/PPM/PNG/GIF/JPEG with the built-in
-    codecs,
+    ``real_decode=True`` decodes BMP/PPM/PNG/GIF/JPEG/WebP-lossless
+    with the built-in codecs,
     resamples nearest-neighbor in numpy, and re-encodes BMP (PIL would
     add jpeg/webp). The fake path keeps output bytes a deterministic
     function of (payload, width, height) with the declared target
@@ -262,7 +262,8 @@ def resize_images(
                     if img is None:
                         raise NotImplementedError(
                             "NotImplementedError: real resize covers "
-                            "BMP/PPM/PNG/GIF/JPEG payloads; webp needs PIL"
+                            "BMP/PPM/PNG/GIF/JPEG/VP8L payloads; lossy "
+                            "webp needs PIL"
                         )
                     small = mc.resize_nearest(img, width, height)
                     out.append({

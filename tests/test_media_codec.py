@@ -1,8 +1,9 @@
 """Built-in media codecs (operators/media_codec.py, jpeg_codec.py)
 and the real-decode multimodal paths: BMP/PPM/PNG/GIF/JPEG/WAV/BMPS
 round-trips in plain numpy, AVI (MJPG/DIB) and animated-GIF video
-decode, MP4 box-walk metadata; only webp and compressed-video
-DECODE (h264 etc.) still need PIL/ffmpeg."""
+decode, MP4 box-walk metadata; webp lossless decodes natively
+(webp_codec.py), only lossy webp and compressed-video DECODE
+(h264 etc.) still need PIL/ffmpeg."""
 
 from __future__ import annotations
 

@@ -69,6 +69,10 @@ def warc_record_bytes(
         ).encode("ascii") + payload
         block = http
         content_type = "application/http; msgtype=response"
+    elif warc_type == "conversion":
+        # WET layout: extracted text as a plain-text conversion record
+        block = payload
+        content_type = "text/plain"
     else:
         block = payload
         content_type = "application/octet-stream"
@@ -196,6 +200,8 @@ def iter_warc_records(
             if record_types is not None and wtype not in record_types:
                 continue
             status, ctype, body = _split_http(payload)
+            if ctype is None:  # non-HTTP block: WARC-level content type
+                ctype = headers.get("content-type")
             yield {
                 "record_id": headers.get("warc-record-id", ""),
                 "warc_type": wtype,
@@ -317,5 +323,65 @@ def write_warc_files(
             )
 
     return df.select(id_col, uri_col, html_col).mapInPandas(
+        dump, "file string, n_records bigint, n_bytes bigint"
+    )
+
+
+def write_wet_files(
+    df,
+    out_dir: str,
+    *,
+    uri_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    compress: bool = True,
+):
+    """WET sibling of :func:`write_warc_files`: extracted plain text
+    as ``conversion`` records (the CommonCrawl WET layout), one
+    ``part-<pid>.warc.wet.gz`` per partition, manifest rows out.
+    Read back with ``read_warc(..., record_types=('conversion',))``."""
+    import os
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batches):
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        n_rec = 0
+        n_bytes = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                for did, uri, text in zip(
+                    pdf[id_col], pdf[uri_col], pdf[text_col]
+                ):
+                    rec = warc_record_bytes(
+                        record_id=f"conv-{did}",
+                        warc_type="conversion",
+                        target_uri=str(uri),
+                        payload=str(text).encode("utf-8"),
+                    )
+                    out = (
+                        gzip.compress(rec, compresslevel=1)
+                        if compress
+                        else rec
+                    )
+                    f.write(out)
+                    n_rec += 1
+                    n_bytes += len(out)
+        if n_rec == 0:
+            os.remove(path)
+            yield pd.DataFrame(
+                columns=["file", "n_records", "n_bytes"]
+            ).astype({"n_records": "int64", "n_bytes": "int64"})
+        else:
+            yield pd.DataFrame(
+                [(path, n_rec, n_bytes)],
+                columns=["file", "n_records", "n_bytes"],
+            )
+
+    return df.select(id_col, uri_col, text_col).mapInPandas(
         dump, "file string, n_records bigint, n_bytes bigint"
     )

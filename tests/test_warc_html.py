@@ -189,3 +189,96 @@ def test_pagerank_int_duplicate_edges_and_total_mass(spark):
     # symmetric 2-cycle: mass stays balanced and bounded by scale
     assert got[1] == got[2]
     assert sum(got.values()) <= 10**12
+
+
+# ------------------------------------------------- crawl pipeline e2e
+
+
+def test_wet_conversion_roundtrip(spark, tmp_path):
+    from accounting_etl_spark.sources.warc import write_wet_files
+
+    df = spark.createDataFrame(
+        [(i, f"http://h{i % 2}.test/{i}", f"extracted text {i}")
+         for i in range(6)],
+        "doc_id bigint, url string, text string",
+    ).repartition(2)
+    man = write_wet_files(df, str(tmp_path / "wet")).collect()
+    assert sum(r["n_records"] for r in man) == 6
+    back = read_warc(
+        spark, str(tmp_path / "wet"), record_types=("conversion",)
+    ).collect()
+    assert len(back) == 6
+    got = {r["record_id"]: r for r in back}
+    rec = got["<urn:uuid:conv-3>"]
+    assert bytes(rec["payload"]) == b"extracted text 3"
+    assert rec["content_type"] == "text/plain"
+    assert rec["warc_type"] == "conversion"
+    # response-only read sees none of them
+    assert (
+        read_warc(spark, str(tmp_path / "wet")).count() == 0
+    )
+
+
+def test_crawl_pipeline_warc_to_pagerank(spark, tmp_path):
+    """The full crawl stage wired together: templated pages → WARC →
+    distributed scan → HTML extraction → WET text + host outlink
+    graph → integer PageRank. The heavily-linked host must rank
+    first."""
+    from pyspark.sql import functions as F
+
+    from accounting_etl_spark.operators.graph import pagerank_int
+    from accounting_etl_spark.operators.url_ops import url_domain
+    from accounting_etl_spark.sources.warc import (
+        write_warc_files,
+        write_wet_files,
+    )
+
+    # 12 pages on 4 hosts; every page links to hub.test plus one peer
+    rows = []
+    for i in range(12):
+        host = f"site{i % 3}.test"
+        peer = f"site{(i + 1) % 3}.test"
+        html = (
+            f"<html><head><title>p{i}</title></head><body>"
+            f"<p>page {i} body text with words</p>"
+            f"<p>see <a href='http://hub.test/'>hub</a> and "
+            f"<a href='http://{peer}/x'>peer</a></p>"
+            "</body></html>"
+        )
+        rows.append((i, f"http://{host}/p/{i}", html))
+    pages = spark.createDataFrame(
+        rows, "doc_id bigint, url string, html string"
+    ).repartition(3)
+    write_warc_files(pages, str(tmp_path / "crawl")).collect()
+
+    recs = read_warc(spark, str(tmp_path / "crawl")).select(
+        F.regexp_extract("record_id", r"doc-(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "target_uri",
+        F.col("payload").cast("string").alias("html"),
+    )
+    ex = extract_html(recs, html_col="html", base_col="target_uri")
+
+    # WET output of the extracted text
+    wet = write_wet_files(
+        ex.withColumnRenamed("target_uri", "url"),
+        str(tmp_path / "wet"),
+    ).collect()
+    assert sum(r["n_records"] for r in wet) == 12
+
+    # host graph: page host → content-link host
+    edges = (
+        ex.select(
+            url_domain(F.col("target_uri")).alias("src"),
+            F.explode("content_links").alias("link"),
+        )
+        .select("src", url_domain(F.col("link")).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    pr = {
+        r["node"]: r["rank"]
+        for r in pagerank_int(edges, iters=8).collect()
+    }
+    assert set(pr) == {"site0.test", "site1.test", "site2.test", "hub.test"}
+    assert max(pr, key=pr.get) == "hub.test"  # every page links the hub

@@ -1062,6 +1062,98 @@ FROM {prev} r LEFT JOIN od ON od.node = r.node
     return "".join(parts)
 
 
+_KM_K = 4
+_KM_ITERS = 3
+_KM_DIM = 64  # embeddings fixture dimension (schema-pinned)
+
+
+def q_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'kmeans' variant: quantized Lloyd k-means
+    (operators/kmeans.py) over the embeddings table — {_KM_ITERS}
+    assignment rounds in pure integer math, so the DuckDB unrolled
+    oracle reproduces the final clustering bit-for-bit (counts,
+    integer centroid components, member-id sums). grp = cluster id;
+    n = members; v1/v2 = de-offset integer means of the first two
+    components; v3 = Σ vec_id."""
+    from ..operators.kmeans import OFFSET, kmeans_quantized, quantize_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assigned = kmeans_quantized(
+        quantize_vectors(emb), "vec_id", "qv", k=_KM_K, iters=_KM_ITERS
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.element_at("qv", 1)).alias("__s0"),
+            F.sum(F.element_at("qv", 2)).alias("__s1"),
+            F.sum("vec_id").alias("__ids"),
+        )
+        .select(
+            F.lit("kmeans").alias("variant"),
+            F.col("cluster").cast("string").alias("grp"),
+            F.col("__n").cast("bigint").alias("n"),
+            (F.expr("__s0 div __n") - F.lit(OFFSET)).cast("double").alias("v1"),
+            (F.expr("__s1 div __n") - F.lit(OFFSET)).cast("double").alias("v2"),
+            F.col("__ids").cast("double").alias("v3"),
+        )
+    )
+
+
+def _kmeans_sql() -> str:
+    from ..operators.kmeans import OFFSET, SCALE
+
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x ->
+    CAST(floor(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT) + {OFFSET}) AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv
+  FROM q ORDER BY vec_id LIMIT {_KM_K}
+)"""
+    ]
+    for j in range(_KM_ITERS):
+        prev_c = f"c{j}"
+        parts.append(
+            f""", a{j} AS (
+  SELECT v.vec_id, v.qv, (
+     SELECT c.cid FROM {prev_c} c
+     ORDER BY list_sum(list_transform(list_zip(v.qv, c.qv),
+              p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid
+     LIMIT 1) AS cluster
+  FROM q v
+)"""
+        )
+        if j < _KM_ITERS - 1:
+            parts.append(
+                f""", c{j + 1} AS (
+  SELECT cid, list(m ORDER BY i) AS qv FROM (
+    SELECT a.cluster AS cid, t.i, SUM(a.qv[t.i]) // COUNT(*) AS m
+    FROM a{j} a, range(1, {_KM_DIM + 1}) t(i)
+    GROUP BY a.cluster, t.i
+  ) GROUP BY cid
+  UNION ALL
+  SELECT c.cid, c.qv FROM {prev_c} c
+  WHERE c.cid NOT IN (SELECT DISTINCT cluster FROM a{j})
+)"""
+            )
+    parts.append(
+        f"""
+SELECT 'kmeans' AS variant, CAST(cluster AS VARCHAR) AS grp,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(qv[1]) // COUNT(*) - {OFFSET} AS DOUBLE) AS v1,
+       CAST(SUM(qv[2]) // COUNT(*) - {OFFSET} AS DOUBLE) AS v2,
+       CAST(SUM(vec_id) AS DOUBLE) AS v3
+FROM a{_KM_ITERS - 1} GROUP BY cluster
+"""
+    )
+    return "".join(parts)
+
+
 def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles + fixed-width histogram + stratified-sample
     audit + sequence-packing audit + token-budget audit +
@@ -1103,6 +1195,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_hh_stats(spark, sf_dir))
         .unionByName(q_warc_stats(spark, sf_dir))
         .unionByName(q_pagerank_stats(spark, sf_dir))
+        .unionByName(q_kmeans_stats(spark, sf_dir))
     )
 
 
@@ -1206,6 +1299,8 @@ UNION ALL
 SELECT * FROM ({{warc_sql}})
 UNION ALL
 SELECT * FROM ({{pagerank_sql}})
+UNION ALL
+SELECT * FROM ({{kmeans_sql}})
 """
 
 
@@ -1386,6 +1481,7 @@ _DIST_STATS_SQL = (
     .replace("{hh_sql}", _HH_SQL)
     .replace("{warc_sql}", _WARC_SQL)
     .replace("{pagerank_sql}", _pagerank_sql())
+    .replace("{kmeans_sql}", _kmeans_sql())
 )
 
 
@@ -1444,6 +1540,7 @@ QUERIES["dist_stats"] = Q(
         "hh": q_hh_stats,
         "warc": q_warc_stats,
         "pagerank": q_pagerank_stats,
+        "kmeans": q_kmeans_stats,
     },
 )
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)

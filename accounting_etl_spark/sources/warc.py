@@ -139,19 +139,30 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return out
 
 
+def _find_blank_line(blob: bytes, start: int = 0) -> tuple[int, int]:
+    """(position, separator length) of the EARLIEST header-block
+    terminator — CRLFCRLF or bare LFLF, whichever comes first. Taking
+    the first CRLFCRLF unconditionally mis-splits LF-terminated
+    headers whose *payload* contains CRLFCRLF (e.g. an archived HTTP
+    message inside an LF-style WARC record)."""
+    p1 = blob.find(b"\r\n\r\n", start)
+    p2 = blob.find(b"\n\n", start)
+    if p1 < 0 and p2 < 0:
+        return -1, 0
+    if p2 < 0 or (0 <= p1 < p2):
+        return p1, 4
+    return p2, 2
+
+
 def _split_http(payload: bytes) -> tuple[Optional[int], Optional[str], bytes]:
     """Split an archived HTTP/1.1 message into (status, content-type,
     body). Non-HTTP payloads come back (None, None, payload)."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
-    sep = payload.find(b"\r\n\r\n")
-    if sep < 0:
-        sep = payload.find(b"\n\n")
-        body_at = sep + 2
-    else:
-        body_at = sep + 4
+    sep, sep_len = _find_blank_line(payload)
     if sep < 0:
         return None, None, payload
+    body_at = sep + sep_len
     head = payload[:sep]
     first, _, rest = head.partition(b"\n")
     try:
@@ -180,11 +191,7 @@ def iter_warc_records(
             start = member.find(_MAGIC, pos)
             if start < 0:
                 break
-            hdr_end = member.find(b"\r\n\r\n", start)
-            sep_len = 4
-            if hdr_end < 0:
-                hdr_end = member.find(b"\n\n", start)
-                sep_len = 2
+            hdr_end, sep_len = _find_blank_line(member, start)
             if hdr_end < 0:
                 break
             headers = _parse_headers(member[start:hdr_end])

@@ -88,3 +88,60 @@ def filter_blocked_domains(
         "__dom",
         "left_anti",
     ).drop("__dom")
+
+
+def select_crawl_frontier(
+    outlinks: DataFrame,
+    fetched: DataFrame,
+    host_ranks: DataFrame,
+    *,
+    url_col: str = "url",
+    k_per_host: int = 10,
+) -> DataFrame:
+    """Next-crawl frontier: harvested outlinks, canonicalized, minus
+    everything already fetched, budgeted per host by authority.
+
+    The politeness-constrained frontier selection every crawler runs:
+    a per-HOST budget (crawl capacity is per-host, not global) filled
+    in (host rank desc, canonical url) order so high-authority hosts
+    crawl deeper but no host exceeds ``k_per_host``.
+
+    Inputs: ``outlinks`` (the ``content_links`` harvest of
+    ``operators/html_extract.py``), ``fetched`` (urls already
+    archived — the WARC manifest's target set), ``host_ranks``
+    (node, rank) from ``operators/graph.py::pagerank_int`` over the
+    host graph.
+
+    Scale notes: one canonical-key dedup shuffle + one left-anti
+    against fetched (equi-join on the canonical key, AQE-sizable) +
+    an equi-join to the rank table + a per-host window whose
+    partitions are host-sized (never global). No broadcast hints —
+    every side here is corpus-scaled.
+    """
+    cand = (
+        outlinks.select(canonical_url(F.col(url_col)).alias("curl"))
+        .where(F.col("curl").rlike("^https?://"))
+        .groupBy("curl")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+    seen = fetched.select(
+        canonical_url(F.col(url_col)).alias("curl")
+    ).distinct()
+    fresh = cand.join(seen, "curl", "left_anti").withColumn(
+        "host", url_domain(F.col("curl"))
+    )
+    ranked = fresh.join(
+        host_ranks.select(
+            F.col("node").alias("host"), F.col("rank").alias("host_rank")
+        ),
+        "host",
+        "left",
+    ).fillna({"host_rank": 0})
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_refs").desc(), F.col("curl")
+    )
+    return (
+        ranked.withColumn("slot", F.row_number().over(w))
+        .where(F.col("slot") <= k_per_host)
+        .select("host", "host_rank", "curl", "n_refs", "slot")
+    )

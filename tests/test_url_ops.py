@@ -86,3 +86,48 @@ def test_blocklist_is_broadcast_anti_join(spark):
     assert [r["doc_id"] for r in out.collect()] == [2]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_select_crawl_frontier(spark):
+    from pyspark.sql import functions as F
+
+    from accounting_etl_spark.operators.url_ops import (
+        select_crawl_frontier,
+    )
+
+    outlinks = spark.createDataFrame(
+        [
+            # three refs to one hot page + tracking-param variant
+            ("http://a.test/hot",),
+            ("http://a.test/hot?utm_source=x",),
+            ("http://a.test/hot#frag",),
+            ("http://a.test/p1",),
+            ("http://a.test/p2",),
+            ("http://a.test/p3",),
+            ("http://b.test/only",),
+            ("http://a.test/already",),  # fetched → excluded
+            ("/relative/skip",),  # not absolute → excluded
+        ],
+        "url string",
+    )
+    fetched = spark.createDataFrame(
+        [("http://a.test/already?utm_medium=y",)], "url string"
+    )
+    ranks = spark.createDataFrame(
+        [("a.test", 900), ("b.test", 100)], "node string, rank long"
+    )
+    out = select_crawl_frontier(
+        outlinks, fetched, ranks, k_per_host=2
+    ).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    # host a: budget 2, hot page first (3 merged refs)
+    a = sorted(by_host["a.test"], key=lambda r: r["slot"])
+    assert len(a) == 2
+    assert a[0]["curl"] == "http://a.test/hot" and a[0]["n_refs"] == 3
+    assert a[0]["host_rank"] == 900
+    # fetched variant excluded despite differing tracking params
+    assert all(r["curl"] != "http://a.test/already" for r in out)
+    # host b keeps its single candidate
+    assert [r["curl"] for r in by_host["b.test"]] == ["http://b.test/only"]

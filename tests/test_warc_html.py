@@ -282,3 +282,55 @@ def test_crawl_pipeline_warc_to_pagerank(spark, tmp_path):
     }
     assert set(pr) == {"site0.test", "site1.test", "site2.test", "hub.test"}
     assert max(pr, key=pr.get) == "hub.test"  # every page links the hub
+
+
+# ------------------------------------------- foreign-layout robustness
+
+
+def test_foreign_warc_layout_wget_style():
+    """A wget/IA-style archive: warcinfo first, request+response pairs
+    interleaved, LF-only header terminators on one record, mixed
+    header casing, uuid-style record ids — none written by this
+    repo's writer."""
+    info = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"WARC-Record-ID: <urn:uuid:aaaa-bbbb>\r\n"
+        b"WARC-Date: 2026-02-01T00:00:00Z\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 18\r\n\r\n"
+        b"software: wget/1.0\r\n\r\n"
+    )
+    req = (
+        b"WARC/1.0\r\n"
+        b"warc-type: request\r\n"
+        b"WARC-RECORD-ID: <urn:uuid:cccc-dddd>\r\n"
+        b"WARC-Target-URI: http://f.test/page\r\n"
+        b"Content-Type: application/http; msgtype=request\r\n"
+        b"Content-Length: 35\r\n\r\n"
+        b"GET /page HTTP/1.1\r\nHost: f.test\r\n\r\n"
+    )
+    body = b"<html><body><p>foreign page</p></body></html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"content-type: text/html; charset=UTF-8\r\n"
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    resp = (
+        b"WARC/1.0\n"  # LF-only header block: tolerated
+        b"WARC-Type: response\n"
+        b"WARC-Record-ID: <urn:uuid:eeee-ffff>\n"
+        b"WARC-Target-URI: http://f.test/page\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\n\n" + http
+    )
+    blob = info + req + resp
+    out = list(iter_warc_records(blob, record_types=("response",)))
+    assert len(out) == 1
+    r = out[0]
+    assert r["record_id"] == "<urn:uuid:eeee-ffff>"
+    assert r["http_status"] == 200
+    assert r["content_type"].lower().startswith("text/html")
+    assert r["payload"] == body
+    # unfiltered: all three parse, types preserved through case folding
+    types = [x["warc_type"].lower() for x in iter_warc_records(blob)]
+    assert types == ["warcinfo", "request", "response"]

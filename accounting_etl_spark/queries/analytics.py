@@ -911,7 +911,9 @@ def q_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</ul><footer>&copy; 2026 synthetic</footer>"
                   "</body></html>"),
         ).alias("html"),
-    ).repartition(_WARC_PARTS)
+    ).repartition(
+        max(_WARC_PARTS, spark.sparkContext.defaultParallelism)
+    )  # one archive per core: the scan parallelism IS the file count
 
     d = tempfile.mkdtemp(prefix="warc_stats_")
     try:

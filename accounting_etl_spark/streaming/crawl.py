@@ -77,7 +77,11 @@ def crawl_ingest(
 
     Returns the ``DataStreamWriter``; caller sets trigger/checkpoint
     and starts. The per-epoch collect is of MANIFEST rows only
-    (bounded by archives-per-epoch, never records)."""
+    (bounded by archives-per-epoch, never records). The index grows
+    one ``epoch=<id>`` directory per micro-batch — long-running
+    queries should periodically fold old epochs together with
+    ``operators/layout.compact`` (file-count maintenance, exactly the
+    persisted-ANN-index pattern)."""
     from ..operators.html_extract import extract_html
     from ..sources.warc import read_warc
 

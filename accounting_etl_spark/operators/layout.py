@@ -11,10 +11,14 @@ At 100 TB the table LAYOUT is a first-class performance surface:
 - **Range clustering** sorts data into files whose min/max column
   ranges are disjoint, so parquet row-group statistics (and partition-
   level file pruning in table formats) let a filtered scan skip whole
-  files. ``repartitionByRange`` + ``sortWithinPartitions`` is the
-  Spark-native Z-order-lite: one shuffle, and every output file covers
-  a tight key range — verified by reading the parquet footers back in
-  tests.
+  files. ``repartitionByRange`` + ``sortWithinPartitions``: one
+  shuffle, and every output file covers a tight key range — verified
+  by reading the parquet footers back in tests.
+- **Z-order clustering** (:func:`write_zordered`) range-clusters on a
+  Morton bit-interleave of several columns, so file pruning works on
+  EVERY clustered dimension, not just the leading sort column — the
+  layout Delta's ``OPTIMIZE ZORDER BY`` maintains, built from plain
+  shift/and/or Catalyst expressions.
 """
 
 from __future__ import annotations
@@ -76,6 +80,77 @@ def write_clustered(
     (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(dst_path)
+    )
+
+
+def zorder_key(cols: list[Column], *, bits: int = 21) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column into one BIGINT.  ``len(cols) * bits`` must stay ≤ 63.
+
+    Columns must already be NON-NEGATIVE integers on comparable
+    scales — for skewed or continuous columns, bucket to a bounded
+    integer domain first (e.g. ``ntile`` or fixed-width buckets), the
+    same pre-step Delta's ``OPTIMIZE ZORDER BY`` performs with its
+    range-partition ids.  Pure shift/and/or column expressions —
+    whole-stage codegen, no UDF."""
+    d = len(cols)
+    if d * bits > 63:
+        raise ValueError(f"{d} cols x {bits} bits exceeds a signed int64")
+    terms = []
+    for ci, c in enumerate(cols):
+        cc = c.cast("bigint")
+        for b in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(cc, b).bitwiseAND(F.lit(1)),
+                            b * d + ci)
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    dst_path: str,
+    *,
+    cluster_cols: list[str],
+    bits: int = 21,
+    num_files: int | None = None,
+    align: bool = True,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` clustered on the Morton interleave of
+    ``cluster_cols``: every output file covers a compact HYPER-BOX in
+    the multi-column key space, so footer min/max stats prune files
+    for predicates on ANY clustered column — the multi-dimensional
+    generalization of :func:`write_clustered`, which only prunes on
+    its leading sort column.  One shuffle (range partition on the z
+    key); the key itself is dropped before writing.
+
+    With ``align`` (default) the range key is the z value truncated to
+    ``ceil(log2(num_files))`` leading bits — 2^k ALIGNED curve blocks.
+    A range partitioner never splits equal keys across partitions, so
+    every output file is a union of whole blocks and its bounding box
+    stays quadrant-shaped even though the partition boundaries
+    themselves come from sampling (unaligned, a sampled boundary can
+    straddle a high-order curve split and blow a file's box up to the
+    full domain in one dimension)."""
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    z = zorder_key([F.col(c) for c in cluster_cols], bits=bits)
+    key = F.col("__z")
+    if align:
+        shift = max(0, len(cluster_cols) * bits - max(1, (n - 1).bit_length()))
+        key = F.shiftright(F.col("__z"), shift)
+    (
+        df.withColumn("__z", z)
+        .withColumn("__zk", key)
+        .repartitionByRange(n, F.col("__zk"))
+        .sortWithinPartitions("__z")
+        .drop("__z", "__zk")
         .write.mode("overwrite")
         .format(fmt)
         .save(dst_path)

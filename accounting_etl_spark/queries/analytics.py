@@ -1156,6 +1156,101 @@ FROM a{_KM_ITERS - 1} GROUP BY cluster
     return "".join(parts)
 
 
+_LINE_MIN_DOCS = 2
+
+
+def q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'line' variant: line-level corpus dedup
+    (operators/line_dedup.py — RefinedWeb §3.3 / CCNet boilerplate
+    stripping).  The corpus has no line structure, so — the
+    text_metrics pattern — a deterministic lined page is synthesized
+    from (doc_id, ws tokens): a "subscribe" header cycling on
+    doc_id % 3, content lines of doc_id % 5 + 4 words, a per-source
+    "copyright" footer.  Both engines build the identical page; the
+    REAL rule runs over it: any normalized line appearing in ≥
+    {min_docs} distinct documents is stripped from every document.
+    grp packs doc_id with the md5 prefix of the cleaned text, so the
+    hash check pins the exact reassembled document, not just counts.
+    """
+    from ..operators.line_dedup import line_dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    ws = F.split(F.trim(F.col("text")), " ")
+    k = F.col("doc_id") % 5 + 4
+    n_content = F.floor((F.size(ws) + k - 1) / k).cast("int")
+    content = F.transform(
+        F.sequence(F.lit(0), n_content - 1),
+        lambda i: F.array_join(F.slice(ws, i * k + 1, k), " "),
+    )
+    header = F.concat(
+        F.lit("subscribe to the newsletter edition "),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    footer = F.concat(F.lit("copyright "), F.col("source"))
+    lines = F.concat(F.array(header), content, F.array(footer))
+    out = line_dedup(docs, lines, min_docs=_LINE_MIN_DOCS)
+    return out.select(
+        F.lit("line").alias("variant"),
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.substring(F.md5("cleaned_text"), 1, 16),
+        ).alias("grp"),
+        F.col("n_lines").cast("bigint").alias("n"),
+        F.col("n_removed").cast("double").alias("v1"),
+        F.col("n_kept").cast("double").alias("v2"),
+        (F.col("n_removed") / F.col("n_lines")).cast("double").alias("v3"),
+    )
+
+
+_LINE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS ws,
+         doc_id % 5 + 4 AS k
+  FROM documents
+), pages AS (
+  SELECT doc_id,
+    list_concat(
+      list_concat(
+        ['subscribe to the newsletter edition ' || CAST(doc_id % 3 AS VARCHAR)],
+        list_transform(range(0, (len(ws) + k - 1) // k),
+          i -> array_to_string(list_slice(ws, i * k + 1, (i + 1) * k), ' '))),
+      ['copyright ' || source]) AS lines
+  FROM d
+), e AS (
+  SELECT doc_id,
+         unnest(range(1, len(lines) + 1)) AS line_idx,
+         unnest(lines) AS line
+  FROM pages
+), ne AS (
+  SELECT doc_id, line_idx, line,
+         regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS nline
+  FROM e
+), boiler AS (
+  SELECT nline FROM ne GROUP BY nline
+  HAVING count(DISTINCT doc_id) >= {_LINE_MIN_DOCS}
+), flagged AS (
+  SELECT ne.doc_id, ne.line_idx, ne.line,
+         (b.nline IS NOT NULL) AS removed
+  FROM ne LEFT JOIN boiler b USING (nline)
+), per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         count(CASE WHEN removed THEN 1 END) AS n_removed,
+         coalesce(string_agg(CASE WHEN NOT removed THEN line END,
+                             chr(10) ORDER BY line_idx), '') AS cleaned
+  FROM flagged GROUP BY doc_id
+)
+SELECT 'line' AS variant,
+       CAST(doc_id AS VARCHAR) || ':' || substring(md5(cleaned), 1, 16) AS grp,
+       CAST(n_lines AS BIGINT) AS n,
+       CAST(n_removed AS DOUBLE) AS v1,
+       CAST(n_lines - n_removed AS DOUBLE) AS v2,
+       CAST(n_removed AS DOUBLE) / n_lines AS v3
+FROM per_doc
+"""
+
+
 def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles + fixed-width histogram + stratified-sample
     audit + sequence-packing audit + token-budget audit +
@@ -1168,7 +1263,8 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     'span': see q_span_stats. variant 'lm': see q_lm_stats. variant
     'dsir': see q_dsir_stats. variant 'mix': see q_mix_stats.
     variant 'hh': see q_hh_stats. variant 'warc': see q_warc_stats.
-    variant 'pagerank': see q_pagerank_stats."""
+    variant 'pagerank': see q_pagerank_stats. variant 'kmeans': see
+    q_kmeans_stats. variant 'line': see q_line_stats."""
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -1198,6 +1294,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_warc_stats(spark, sf_dir))
         .unionByName(q_pagerank_stats(spark, sf_dir))
         .unionByName(q_kmeans_stats(spark, sf_dir))
+        .unionByName(q_line_stats(spark, sf_dir))
     )
 
 
@@ -1303,6 +1400,8 @@ UNION ALL
 SELECT * FROM ({{pagerank_sql}})
 UNION ALL
 SELECT * FROM ({{kmeans_sql}})
+UNION ALL
+SELECT * FROM ({{line_sql}})
 """
 
 
@@ -1484,6 +1583,7 @@ _DIST_STATS_SQL = (
     .replace("{warc_sql}", _WARC_SQL)
     .replace("{pagerank_sql}", _pagerank_sql())
     .replace("{kmeans_sql}", _kmeans_sql())
+    .replace("{line_sql}", _LINE_SQL)
 )
 
 
@@ -1543,6 +1643,7 @@ QUERIES["dist_stats"] = Q(
         "warc": q_warc_stats,
         "pagerank": q_pagerank_stats,
         "kmeans": q_kmeans_stats,
+        "line": q_line_stats,
     },
 )
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)

@@ -941,7 +941,177 @@ FROM ranked WHERE rank <= {_TFIDF_TOP}
 """
 
 
-QUERIES["tfidf_terms"] = Q(q_tfidf_terms, _TFIDF_SQL)
+# --- BM25 retrieval (Robertson & Spärck Jones; the Okapi ranking
+# function every search stack ships). k1=1.2, b=0.75 — the standard
+# constants — but carried as RATIONALS so the score is one exact
+# integer-product ratio and both engines emit bit-identical doubles:
+#
+#   idf        = (N - df + ½)/(df + ½)        = (2N-2df+1)/(2df+1)
+#   tf-part    = tf(k1+1)/(tf + k1(1-b+b·dl/avgdl))
+#              = 22·tl·tf / (10·tl·tf + 3·tl + 9·dl·N)   [×10·tl]
+#   score      = idf · tf-part   (one double division at the end)
+#
+# (avgdl = tl/N folds in exactly; no log-idf — libm rounding differs
+# across engines and the ranking semantics are identical, the same
+# trade the tf-idf entry makes.) Product bound: 22·tl·tf with tl the
+# corpus token count and tf ≤ dl — overflows int64 only past ~4·10¹⁷
+# token-occurrences, i.e. not at 100 TB of text.
+_BM25_QUERIES: dict[str, list[str]] = {
+    "q1": ["table", "scan", "fast"],
+    "q2": ["join", "key", "hash"],
+    "q3": ["window", "sort", "order"],
+}
+_BM25_TOP = 5
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'bm25' variant: top-{k} documents per retrieval query under
+    exact-rational Okapi BM25.
+
+    Scale shape: the query-term table is tiny and broadcast, so the
+    corpus token stream filters map-side before the (query, term,
+    doc) tf aggregation — the only corpus-sized shuffle.  df and the
+    (N, tl) corpus stats are bounded aggregates (≤ n_query_terms rows
+    and 1 row).  Per-doc term scores fold in ascending sorted order
+    with an explicit 3-term unroll, so float addition order is pinned
+    cross-engine.  The final ranking uses the two-phase top-k
+    (operators/topk.py) — 3 query groups never funnel the corpus into
+    3 window tasks."""
+    from ..operators.topk import topk_per_group_staged
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    ws = F.split(F.trim(F.col("text")), " ")
+    toks = docs.select(
+        "doc_id", F.size(ws).cast("bigint").alias("dl"),
+        F.explode(ws).alias("token"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(ws)).cast("bigint").alias("tl"),
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES.items() for t in terms],
+        "query_id string, term string",
+    )
+    tf = (
+        toks.join(F.broadcast(qt), toks.token == qt.term)
+        .groupBy("query_id", "term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("query_id", "term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n, tl, dfc, tfc, dl = (
+        F.col("n_docs"), F.col("tl"), F.col("df"), F.col("tf"), F.col("dl")
+    )
+    term_score = (
+        ((2 * n - 2 * dfc + 1) * 22 * tl * tfc).cast("double")
+        / ((2 * dfc + 1) * (10 * tl * tfc + 3 * tl + 9 * dl * n))
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), ["query_id", "term"])
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", term_score.alias("s"))
+    )
+    per_doc = (
+        scored.groupBy("query_id", "doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("__ss"))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(F.try_element_at("__ss", F.lit(1)), F.lit(0.0))
+                + F.coalesce(F.try_element_at("__ss", F.lit(2)), F.lit(0.0))
+                + F.coalesce(F.try_element_at("__ss", F.lit(3)), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    top = topk_per_group_staged(
+        per_doc,
+        ["query_id"],
+        [F.desc("score"), F.asc("doc_id")],
+        _BM25_TOP,
+        rank_col="rank",
+    )
+    return top.select(
+        F.lit("bm25").alias("variant"),
+        F.col("query_id").alias("source"),
+        F.col("doc_id").cast("string").alias("token"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "score",
+    )
+
+
+def q_tfidf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf characteristic terms + BM25 retrieval in one
+    union-tagged entry (driver cap). variant 'tfidf': q_tfidf_terms
+    — source/token literal. variant 'bm25': q_bm25_topk — source =
+    query id, token = retrieved doc_id (the generic-column
+    union-tagging convention, README §union-tagging)."""
+    t = q_tfidf_terms(spark, sf_dir).select(
+        F.lit("tfidf").alias("variant"), "source", "token", "rank", "score"
+    )
+    return t.unionByName(q_bm25_topk(spark, sf_dir))
+
+
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, terms in _BM25_QUERIES.items()
+    for t in terms
+)
+
+_BM25_SQL = f"""
+WITH qt(query_id, term) AS (VALUES {_BM25_VALUES}),
+d AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), toks AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS token FROM d
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(ws)) AS BIGINT) AS tl
+  FROM d
+), tf AS (
+  SELECT query_id, term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM toks JOIN qt ON token = term
+  GROUP BY 1, 2, 3, 4
+), dfq AS (
+  SELECT query_id, term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY 1, 2
+), scored AS (
+  SELECT tf.query_id, tf.doc_id,
+         CAST((2*n_docs - 2*df + 1) * 22 * tl * tf.tf AS DOUBLE)
+           / ((2*df + 1) * (10*tl*tf.tf + 3*tl + 9*tf.dl*n_docs)) AS s
+  FROM tf JOIN dfq USING (query_id, term) CROSS JOIN stats
+), per_doc AS (
+  SELECT query_id, doc_id, list_sort(list(s)) AS ss
+  FROM scored GROUP BY 1, 2
+), summed AS (
+  SELECT query_id, doc_id,
+         coalesce(ss[1], 0) + coalesce(ss[2], 0) + coalesce(ss[3], 0) AS score
+  FROM per_doc
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM summed
+)
+SELECT 'bm25' AS variant, query_id AS source,
+       CAST(doc_id AS VARCHAR) AS token,
+       CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= {_BM25_TOP}
+"""
+
+_TFIDF_MERGED_SQL = f"""
+SELECT 'tfidf' AS variant, * FROM ({_TFIDF_SQL})
+UNION ALL
+SELECT * FROM ({_BM25_SQL})
+"""
+
+
+QUERIES["tfidf_terms"] = Q(
+    q_tfidf_merged,
+    _TFIDF_MERGED_SQL,
+    variants={"tfidf": q_tfidf_terms, "bm25": q_bm25_topk},
+)
 
 
 def q_dedup_clusters(

@@ -964,9 +964,9 @@ _BM25_QUERIES: dict[str, list[str]] = {
 _BM25_TOP = 5
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'bm25' variant: top-{k} documents per retrieval query under
-    exact-rational Okapi BM25.
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} (query_id, doc_id, rank, score) under exact-rational
+    Okapi BM25 — shared by the 'bm25' and 'hybrid' variants.
 
     Scale shape: the query-term table is tiny and broadcast, so the
     corpus token stream filters map-side before the (query, term,
@@ -1026,14 +1026,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    top = topk_per_group_staged(
+    return topk_per_group_staged(
         per_doc,
         ["query_id"],
         [F.desc("score"), F.asc("doc_id")],
         _BM25_TOP,
         rank_col="rank",
     )
-    return top.select(
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'bm25' variant: see :func:`_bm25_ranked`."""
+    return _bm25_ranked(spark, sf_dir).select(
         F.lit("bm25").alias("variant"),
         F.col("query_id").alias("source"),
         F.col("doc_id").cast("string").alias("token"),
@@ -1042,16 +1046,97 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'hybrid' variant: lexical-then-semantic retrieval — BM25
+    candidates re-ranked by embedding cosine to the BM25 rank-1 doc
+    (pseudo-relevance feedback: the top lexical hit stands in for the
+    query's embedding, the shape of a production BM25→bi-encoder
+    rerank stack where only the rerank model changes).
+
+    Scale shape: the candidate set is ≤ queries×k rows, so the
+    candidate/anchor pair table BROADCASTS against the exploded
+    embedding stream — the corpus-sized side filters map-side, then a
+    bounded (query, cand, anchor) dot aggregation.  Cosines use the
+    exact decimal-dot contract (queries/similarity.py) so both
+    engines emit bit-identical scores.  Candidates without an
+    embedding row drop out (inner join), documented rerank semantics.
+    """
+    from ..operators.topk import topk_per_group
+
+    cands = _bm25_ranked(spark, sf_dir).select("query_id", "doc_id")
+    anchors = (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("doc_id").alias("anchor_id"))
+    )
+    pairs = cands.join(anchors, "query_id")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("decimal(18,9)").alias("xd"))
+    norms = el.groupBy("vec_id").agg(
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("n2")
+    )
+    cand_el = el.join(
+        F.broadcast(pairs), el.vec_id == pairs.doc_id
+    ).select("query_id", "doc_id", "anchor_id", "i", F.col("xd").alias("xc"))
+    dots = (
+        el.alias("a")
+        .join(
+            F.broadcast(cand_el).alias("c"),
+            (F.col("a.vec_id") == F.col("c.anchor_id"))
+            & (F.col("a.i") == F.col("c.i")),
+        )
+        .groupBy("query_id", "doc_id", "anchor_id")
+        .agg(F.sum(F.col("c.xc") * F.col("a.xd")).cast("double").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            norms.select(
+                F.col("vec_id").alias("doc_id"), F.col("n2").alias("c_n2")
+            ),
+            "doc_id",
+        )
+        .join(
+            norms.select(
+                F.col("vec_id").alias("anchor_id"), F.col("n2").alias("a_n2")
+            ),
+            "anchor_id",
+        )
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt("c_n2") * F.sqrt("a_n2")),
+        )
+    )
+    top = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("doc_id")],
+        _BM25_TOP,
+        rank_col="rank",
+    )
+    return top.select(
+        F.lit("hybrid").alias("variant"),
+        F.col("query_id").alias("source"),
+        F.col("doc_id").cast("string").alias("token"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("cosine").alias("score"),
+    )
+
+
 def q_tfidf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tf-idf characteristic terms + BM25 retrieval in one
-    union-tagged entry (driver cap). variant 'tfidf': q_tfidf_terms
-    — source/token literal. variant 'bm25': q_bm25_topk — source =
-    query id, token = retrieved doc_id (the generic-column
-    union-tagging convention, README §union-tagging)."""
+    """tf-idf characteristic terms + BM25 retrieval + hybrid rerank in
+    one union-tagged entry (driver cap). variant 'tfidf':
+    q_tfidf_terms — source/token literal. variant 'bm25': q_bm25_topk
+    — source = query id, token = retrieved doc_id. variant 'hybrid':
+    q_hybrid_rerank — same grain, score = anchor cosine (the
+    generic-column union-tagging convention, README §union-tagging)."""
     t = q_tfidf_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("variant"), "source", "token", "rank", "score"
     )
-    return t.unionByName(q_bm25_topk(spark, sf_dir))
+    return t.unionByName(q_bm25_topk(spark, sf_dir)).unionByName(
+        q_hybrid_rerank(spark, sf_dir)
+    )
 
 
 _BM25_VALUES = ", ".join(
@@ -1060,7 +1145,7 @@ _BM25_VALUES = ", ".join(
     for t in terms
 )
 
-_BM25_SQL = f"""
+_BM25_RANKED_SQL = f"""
 WITH qt(query_id, term) AS (VALUES {_BM25_VALUES}),
 d AS (
   SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
@@ -1094,23 +1179,77 @@ d AS (
                                ORDER BY score DESC, doc_id ASC) AS rank
   FROM summed
 )
+SELECT query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {_BM25_TOP}
+"""
+
+_BM25_SQL = f"""
 SELECT 'bm25' AS variant, query_id AS source,
        CAST(doc_id AS VARCHAR) AS token,
        CAST(rank AS BIGINT) AS rank, score
-FROM ranked WHERE rank <= {_BM25_TOP}
+FROM ({_BM25_RANKED_SQL})
+"""
+
+_HYBRID_SQL = f"""
+WITH bm AS (
+  SELECT * FROM ({_BM25_RANKED_SQL})
+), pairs AS (
+  SELECT c.query_id, c.doc_id, a.doc_id AS anchor_id
+  FROM bm c JOIN (SELECT query_id, doc_id FROM bm WHERE rank = 1) a
+       USING (query_id)
+), el0 AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding) AS x0
+  FROM embeddings
+), el AS (
+  -- FLOAT widens to DOUBLE before the decimal cast (DuckDB's direct
+  -- FLOAT->DECIMAL path is not correctly rounded — cosine_topk note)
+  SELECT vec_id, i, CAST(CAST(x0 AS DOUBLE) AS DECIMAL(18,9)) AS xd FROM el0
+), norms AS (
+  SELECT vec_id, CAST(CAST(SUM(xd * xd) AS VARCHAR) AS DOUBLE) AS n2
+  FROM el GROUP BY vec_id
+), dots AS (
+  SELECT p.query_id, p.doc_id, p.anchor_id,
+         CAST(CAST(SUM(c.xd * a.xd) AS VARCHAR) AS DOUBLE) AS dot
+  FROM pairs p
+  JOIN el c ON c.vec_id = p.doc_id
+  JOIN el a ON a.vec_id = p.anchor_id AND a.i = c.i
+  GROUP BY 1, 2, 3
+), rescored AS (
+  SELECT d.query_id, d.doc_id,
+         dot / (sqrt(cn.n2) * sqrt(an.n2)) AS cosine,
+         row_number() OVER (
+           PARTITION BY d.query_id
+           ORDER BY dot / (sqrt(cn.n2) * sqrt(an.n2)) DESC, d.doc_id ASC
+         ) AS rank
+  FROM dots d
+  JOIN norms cn ON d.doc_id = cn.vec_id
+  JOIN norms an ON d.anchor_id = an.vec_id
+)
+SELECT 'hybrid' AS variant, query_id AS source,
+       CAST(doc_id AS VARCHAR) AS token,
+       CAST(rank AS BIGINT) AS rank, cosine AS score
+FROM rescored WHERE rank <= {_BM25_TOP}
 """
 
 _TFIDF_MERGED_SQL = f"""
 SELECT 'tfidf' AS variant, * FROM ({_TFIDF_SQL})
 UNION ALL
 SELECT * FROM ({_BM25_SQL})
+UNION ALL
+SELECT * FROM ({_HYBRID_SQL})
 """
 
 
 QUERIES["tfidf_terms"] = Q(
     q_tfidf_merged,
     _TFIDF_MERGED_SQL,
-    variants={"tfidf": q_tfidf_terms, "bm25": q_bm25_topk},
+    variants={
+        "tfidf": q_tfidf_terms,
+        "bm25": q_bm25_topk,
+        "hybrid": q_hybrid_rerank,
+    },
 )
 
 

@@ -95,3 +95,61 @@ def test_staged_topk_matches_one_phase(spark):
         for r in topk_per_group_staged(df, ["g"], order, 7).collect()
     }
     assert one == two and len(one) == 21
+
+
+def test_hybrid_rerank_flips_by_anchor_cosine(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # BM25 order for q1: doc0 > doc1 > doc2 (term density). Embeddings
+    # put doc2 parallel to the anchor doc0 and doc1 orthogonal, so the
+    # hybrid rerank must flip docs 1 and 2.
+    texts = [
+        "table scan fast table scan fast",
+        "table scan row row row row",
+        "table row row row row row row row",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": texts,
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.0, 1.0], [0.5, 0.0]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 0, 0], pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    from accounting_etl_spark.queries.text import (
+        q_bm25_topk,
+        q_hybrid_rerank,
+    )
+
+    bm = {
+        r["rank"]: r["token"]
+        for r in q_bm25_topk(spark, str(tmp_path)).collect()
+        if r["source"] == "q1"
+    }
+    assert bm == {1: "0", 2: "1", 3: "2"}
+    hy = {
+        r["rank"]: (r["token"], r["score"])
+        for r in q_hybrid_rerank(spark, str(tmp_path)).collect()
+        if r["source"] == "q1"
+    }
+    assert hy[1][0] == "0"  # anchor stays first (cosine 1)
+    assert hy[2][0] == "2" and abs(hy[2][1] - 1.0) < 1e-12  # parallel
+    assert hy[3][0] == "1" and abs(hy[3][1]) < 1e-12  # orthogonal

@@ -178,11 +178,76 @@ WHERE NOT EXISTS (
 """
 
 
+def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'rollup' variant: the continuous-rollup invariant as oracle
+    rows.  Events are split into three artificial epochs
+    (``event_id % 3`` — the micro-batch boundaries a stream would
+    produce) and merged one at a time through
+    :func:`streaming.rollup.merge_epoch` into a fresh state dir; the
+    served result must equal the one-shot batch aggregate EXACTLY
+    (decimal partials make the re-merge order-independent), which is
+    what the DuckDB oracle computes.  Two grains from the SAME
+    partials: the rollup grain (10-min bucket × type) and a coarser
+    re-aggregation (type only, ``window_start_s`` NULL) — the serving
+    path that never touches raw data."""
+    import tempfile
+
+    from ..streaming.rollup import merge_epoch, read_rollup, serve
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.expr("(unix_micros(ts) div 600000000) * 600").alias(
+            "window_start_s"
+        ),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        "event_id",
+    )
+    aggs = [("n", "count", "event_id"), ("total", "sum", "v")]
+    state_dir = tempfile.mkdtemp(prefix="etl_rollup_state_")
+    for epoch in range(3):
+        merge_epoch(
+            state_dir,
+            events.filter(F.pmod("event_id", F.lit(3)) == epoch),
+            bucket_col="window_start_s",
+            keys=["event_type"],
+            aggs=aggs,
+            epoch_id=epoch,
+        )
+    rollup = read_rollup(spark, state_dir)
+    fine = serve(rollup, ["window_start_s", "event_type"], aggs).select(
+        F.col("window_start_s").cast("bigint").alias("window_start_s"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    )
+    coarse = serve(rollup, ["event_type"], aggs).select(
+        F.lit(None).cast("bigint").alias("window_start_s"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    )
+    return fine.unionByName(coarse)
+
+
+_ROLLUP_SQL = """
+SELECT CAST(((epoch_ns(ts) // 1000) // 600000000) * 600 AS BIGINT) AS window_start_s,
+       event_type, count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+UNION ALL
+SELECT CAST(NULL AS BIGINT), event_type, count(*),
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+FROM events GROUP BY 2
+"""
+
+
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling + sliding time windows in one union-tagged entry
-    (driver cap: the correctness gate records at most 50 registry
-    entries). variant 'tumble10m' carries the decimal-exact value sum;
-    'slide10m5m' is counts-only (each event lands in 2 windows)."""
+    """Tumbling + sliding time windows + incrementally-maintained
+    rollup in one union-tagged entry (driver cap: the correctness gate
+    records at most 50 registry entries). variant 'tumble10m' carries
+    the decimal-exact value sum; 'slide10m5m' is counts-only (each
+    event lands in 2 windows); 'rollup' replays the epoch-merge state
+    machine and serves two grains from the partials."""
     tumble = q_tumbling_window(spark, sf_dir).select(
         F.lit("tumble10m").alias("variant"),
         F.col("window_start_s").cast("bigint").alias("window_start_s"),
@@ -197,7 +262,10 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.lit(None).cast("double").alias("total"),
     )
-    return tumble.unionByName(slide)
+    roll = q_rollup_serve(spark, sf_dir).select(
+        F.lit("rollup").alias("variant"), "*"
+    )
+    return tumble.unionByName(slide).unionByName(roll)
 
 
 _EVENT_WINDOWS_SQL = f"""
@@ -208,6 +276,10 @@ UNION ALL
 SELECT 'slide10m5m' AS variant, CAST(window_start_s AS BIGINT) AS window_start_s,
        event_type, CAST(n AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS total
 FROM ({_SLIDING_SQL})
+UNION ALL
+SELECT 'rollup' AS variant, window_start_s, event_type,
+       CAST(n AS BIGINT) AS n, total
+FROM ({_ROLLUP_SQL})
 """
 
 
@@ -241,7 +313,11 @@ QUERIES: dict[str, Q] = {
     "event_windows": Q(
         q_event_windows,
         _EVENT_WINDOWS_SQL,
-        variants={"tumble10m": q_tumbling_window, "slide10m5m": q_sliding_window},
+        variants={
+            "tumble10m": q_tumbling_window,
+            "slide10m5m": q_sliding_window,
+            "rollup": q_rollup_serve,
+        },
     ),
     "json_props": Q(q_json_props, _JSON_SQL),
     "asof_join": Q(

@@ -1046,6 +1046,33 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'bm25_index' variant: the SAME retrieval served from a persisted
+    inverted index (operators/inverted_index.py) — build into a fresh
+    temp dir, then query through the bucket-pruned postings scan.  The
+    driver hash pins that index-backed BM25 is bit-identical to the
+    from-raw ranking (same oracle SQL, different variant tag)."""
+    import tempfile
+
+    from ..operators.inverted_index import (
+        build_inverted_index,
+        query_inverted_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="etl_inv_index_") + "/inv"
+    build_inverted_index(
+        spread(load_table(spark, sf_dir, "documents"), "doc_id"), path
+    )
+    top = query_inverted_index(spark, path, _BM25_QUERIES, k=_BM25_TOP)
+    return top.select(
+        F.lit("bm25_index").alias("variant"),
+        F.col("query_id").alias("source"),
+        F.col("doc_id").cast("string").alias("token"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("score").alias("score"),
+    )
+
+
 def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'hybrid' variant: lexical-then-semantic retrieval — BM25
     candidates re-ranked by embedding cosine to the BM25 rank-1 doc
@@ -1125,17 +1152,21 @@ def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tfidf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tf-idf characteristic terms + BM25 retrieval + hybrid rerank in
-    one union-tagged entry (driver cap). variant 'tfidf':
-    q_tfidf_terms — source/token literal. variant 'bm25': q_bm25_topk
-    — source = query id, token = retrieved doc_id. variant 'hybrid':
-    q_hybrid_rerank — same grain, score = anchor cosine (the
+    """tf-idf characteristic terms + BM25 retrieval + hybrid rerank +
+    index-served BM25 in one union-tagged entry (driver cap). variant
+    'tfidf': q_tfidf_terms — source/token literal. variant 'bm25':
+    q_bm25_topk — source = query id, token = retrieved doc_id. variant
+    'hybrid': q_hybrid_rerank — same grain, score = anchor cosine.
+    variant 'bm25_index': q_bm25_index_topk — BM25 served from the
+    persisted inverted index, must hash-match the from-raw scores (the
     generic-column union-tagging convention, README §union-tagging)."""
     t = q_tfidf_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("variant"), "source", "token", "rank", "score"
     )
-    return t.unionByName(q_bm25_topk(spark, sf_dir)).unionByName(
-        q_hybrid_rerank(spark, sf_dir)
+    return (
+        t.unionByName(q_bm25_topk(spark, sf_dir))
+        .unionByName(q_hybrid_rerank(spark, sf_dir))
+        .unionByName(q_bm25_index_topk(spark, sf_dir))
     )
 
 
@@ -1239,6 +1270,11 @@ UNION ALL
 SELECT * FROM ({_BM25_SQL})
 UNION ALL
 SELECT * FROM ({_HYBRID_SQL})
+UNION ALL
+SELECT 'bm25_index' AS variant, query_id AS source,
+       CAST(doc_id AS VARCHAR) AS token,
+       CAST(rank AS BIGINT) AS rank, score
+FROM ({_BM25_RANKED_SQL})
 """
 
 
@@ -1249,6 +1285,7 @@ QUERIES["tfidf_terms"] = Q(
         "tfidf": q_tfidf_terms,
         "bm25": q_bm25_topk,
         "hybrid": q_hybrid_rerank,
+        "bm25_index": q_bm25_index_topk,
     },
 )
 

@@ -278,11 +278,31 @@ def q_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'diff' variant: versioning audit across the SCD1 MERGE — the
+    dim before vs after, through operators/diff.py::snapshot_diff.
+    Generic-column mapping (README §union-tagging): ts1 = change kind,
+    ts2 = comma-joined sorted changed-column names."""
+    from ..operators.diff import snapshot_diff
+
+    dim = FX.vendor_df(spark).withColumn("updated_at", F.col("created_at"))
+    d = snapshot_diff(dim, q_merge_upsert(spark, sf_dir), "vendor")
+    return d.select(
+        F.lit("diff").alias("variant"),
+        "vendor",
+        *_DIM_COLS,
+        F.col("change").alias("ts1"),
+        F.array_join("changed_cols", ",").alias("ts2"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+
+
 def q_upsert_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD1 + SCD2 MERGE semantics in one union-tagged entry (driver
-    cap). variant 'scd1': ts1/ts2 = created_at/updated_at; variant
-    'scd2': ts1/ts2 = valid_from/valid_to (NULL while open) with the
-    is_current flag."""
+    """SCD1 + SCD2 MERGE semantics + the before/after snapshot diff in
+    one union-tagged entry (driver cap). variant 'scd1': ts1/ts2 =
+    created_at/updated_at; variant 'scd2': ts1/ts2 =
+    valid_from/valid_to (NULL while open) with the is_current flag;
+    variant 'diff': ts1 = change kind, ts2 = changed columns."""
     scd1 = q_merge_upsert(spark, sf_dir).select(
         F.lit("scd1").alias("variant"),
         "vendor",
@@ -299,7 +319,7 @@ def q_upsert_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").alias("ts2"),
         "is_current",
     )
-    return scd1.unionByName(scd2)
+    return scd1.unionByName(scd2).unionByName(q_snapshot_diff(spark, sf_dir))
 
 
 _UPSERT_VARIANTS_SQL = f"""
@@ -374,6 +394,38 @@ UNION ALL
 SELECT 'scd2' AS variant, vendor, gl_account, location, program, funder,
        department, valid_from AS ts1, valid_to AS ts2, is_current
 FROM scd2
+UNION ALL
+SELECT 'diff' AS variant, vendor, gl_account, location, program, funder,
+       department, ts1, ts2, CAST(NULL AS BOOLEAN) AS is_current
+FROM (
+  SELECT COALESCE(s.vendor, d.vendor) AS vendor,
+         CASE WHEN s.vendor IS NULL THEN d.gl_account ELSE s.gl_account END AS gl_account,
+         CASE WHEN s.vendor IS NULL THEN d.location ELSE s.location END AS location,
+         CASE WHEN s.vendor IS NULL THEN d.program ELSE s.program END AS program,
+         CASE WHEN s.vendor IS NULL THEN d.funder ELSE s.funder END AS funder,
+         CASE WHEN s.vendor IS NULL THEN d.department ELSE s.department END AS department,
+         CASE WHEN d.vendor IS NULL THEN 'added'
+              WHEN s.vendor IS NULL THEN 'removed'
+              WHEN (d.created_at IS DISTINCT FROM s.created_at)
+                OR (d.department IS DISTINCT FROM s.department)
+                OR (d.funder IS DISTINCT FROM s.funder)
+                OR (d.gl_account IS DISTINCT FROM s.gl_account)
+                OR (d.location IS DISTINCT FROM s.location)
+                OR (d.program IS DISTINCT FROM s.program)
+                OR (d.updated_at IS DISTINCT FROM s.updated_at)
+              THEN 'changed' ELSE 'unchanged' END AS ts1,
+         CASE WHEN d.vendor IS NULL OR s.vendor IS NULL THEN ''
+              ELSE concat_ws(',',
+                CASE WHEN d.created_at IS DISTINCT FROM s.created_at THEN 'created_at' END,
+                CASE WHEN d.department IS DISTINCT FROM s.department THEN 'department' END,
+                CASE WHEN d.funder IS DISTINCT FROM s.funder THEN 'funder' END,
+                CASE WHEN d.gl_account IS DISTINCT FROM s.gl_account THEN 'gl_account' END,
+                CASE WHEN d.location IS DISTINCT FROM s.location THEN 'location' END,
+                CASE WHEN d.program IS DISTINCT FROM s.program THEN 'program' END,
+                CASE WHEN d.updated_at IS DISTINCT FROM s.updated_at THEN 'updated_at' END)
+         END AS ts2
+  FROM dim d FULL OUTER JOIN scd1 s ON d.vendor = s.vendor
+) WHERE ts1 <> 'unchanged'
 """
 
 
@@ -407,7 +459,11 @@ QUERIES: dict[str, Q] = {
     "merge_upsert": Q(
         q_upsert_variants,
         _UPSERT_VARIANTS_SQL,
-        variants={"scd1": q_merge_upsert, "scd2": q_scd2_upsert},
+        variants={
+            "scd1": q_merge_upsert,
+            "scd2": q_scd2_upsert,
+            "diff": q_snapshot_diff,
+        },
     ),
     "excel_projection": Q(q_excel_projection, _EXCEL_SQL),
 }

@@ -1090,11 +1090,13 @@ def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.topk import topk_per_group
 
-    cands = _bm25_ranked(spark, sf_dir).select("query_id", "doc_id")
-    anchors = (
-        _bm25_ranked(spark, sf_dir)
-        .filter(F.col("rank") == 1)
-        .select("query_id", F.col("doc_id").alias("anchor_id"))
+    # one corpus pass: the ranked result is ≤ queries×k rows —
+    # checkpoint it so the candidate and anchor branches both read the
+    # materialized list instead of re-running the BM25 pipeline
+    ranked = stable_checkpoint(_bm25_ranked(spark, sf_dir))
+    cands = ranked.select("query_id", "doc_id")
+    anchors = ranked.filter(F.col("rank") == 1).select(
+        "query_id", F.col("doc_id").alias("anchor_id")
     )
     pairs = cands.join(anchors, "query_id")
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")

@@ -334,6 +334,53 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTRAST_NEG_T = 0.05
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'contrast' variant: contrastive-pair mining, bounded exact
+    form.  Per anchor: the best positive (highest cosine ≥ τ⁺ =
+    {_EMB_DD_THRESHOLD}) and the hardest negative (highest cosine ≤
+    τ⁻ = {_CONTRAST_NEG_T}), ties to the lower candidate id — the
+    training-triplet rule of operators/contrastive.py, which at
+    corpus scale generates candidates from IVF cells instead of
+    all-pairs (unit-asserted equal to brute force at full probe).
+    Output rows: (va=anchor, vb=pair, cosine, keep=is_positive)."""
+    cos, _ = _bounded_cosines(spark, sf_dir)
+    sym = cos.unionByName(
+        cos.select(F.col("vb").alias("va"), F.col("va").alias("vb"), "cosine")
+    )
+
+    def _band_best(cond):
+        return F.max(
+            F.when(
+                cond,
+                F.struct(
+                    F.col("cosine").alias("cosine"),
+                    (-F.col("vb")).alias("neg_id"),
+                ),
+            )
+        )
+
+    best = sym.groupBy("va").agg(
+        _band_best(F.col("cosine") >= _EMB_DD_THRESHOLD).alias("pos"),
+        _band_best(F.col("cosine") <= _CONTRAST_NEG_T).alias("neg"),
+    )
+    pos = best.filter(F.col("pos").isNotNull()).select(
+        "va",
+        (-F.col("pos.neg_id")).alias("vb"),
+        F.col("pos.cosine").alias("cosine"),
+        F.lit(True).alias("keep"),
+    )
+    neg = best.filter(F.col("neg").isNotNull()).select(
+        "va",
+        (-F.col("neg.neg_id")).alias("vb"),
+        F.col("neg.cosine").alias("cosine"),
+        F.lit(False).alias("keep"),
+    )
+    return pos.unionByName(neg)
+
+
 def q_near_dup_embedding_merged(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -344,7 +391,9 @@ def q_near_dup_embedding_merged(
     cluster anchor, cosine to that anchor, keep). variant 'decontam':
     semantic benchmark decontamination — per training vector its
     best-matching eval vector and keep = best cosine under the
-    threshold."""
+    threshold. variant 'contrast': contrastive-pair mining — per
+    anchor the best positive (keep=true) and hardest negative
+    (keep=false)."""
     pairs = q_near_dup_embedding(spark, sf_dir).select(
         F.lit("pairs").alias("variant"),
         "va",
@@ -358,7 +407,10 @@ def q_near_dup_embedding_merged(
     dec = q_semantic_decontam(spark, sf_dir).select(
         F.lit("decontam").alias("variant"), "va", "vb", "cosine", "keep"
     )
-    return pairs.unionByName(sem).unionByName(dec)
+    con = q_contrastive_pairs(spark, sf_dir).select(
+        F.lit("contrast").alias("variant"), "va", "vb", "cosine", "keep"
+    )
+    return pairs.unionByName(sem).unionByName(dec).unionByName(con)
 
 
 # SemDeDup oracle: the same decimal-cosine CTEs, then nearest-anchor
@@ -432,6 +484,32 @@ FROM (
   WHERE va % {_SEM_DECONTAM_MOD} != 0 AND vb % {_SEM_DECONTAM_MOD} = 0
 )
 WHERE rn = 1
+UNION ALL
+SELECT 'contrast' AS variant, va, vb, cosine, TRUE AS keep
+FROM (
+  SELECT va, vb, cosine,
+         row_number() OVER (PARTITION BY va
+                            ORDER BY cosine DESC, vb ASC) AS rn
+  FROM (
+    SELECT va, vb, cosine FROM cosall
+    UNION ALL
+    SELECT vb AS va, va AS vb, cosine FROM cosall
+  )
+  WHERE cosine >= {_EMB_DD_THRESHOLD}
+) WHERE rn = 1
+UNION ALL
+SELECT 'contrast' AS variant, va, vb, cosine, FALSE AS keep
+FROM (
+  SELECT va, vb, cosine,
+         row_number() OVER (PARTITION BY va
+                            ORDER BY cosine DESC, vb ASC) AS rn
+  FROM (
+    SELECT va, vb, cosine FROM cosall
+    UNION ALL
+    SELECT vb AS va, va AS vb, cosine FROM cosall
+  )
+  WHERE cosine <= {_CONTRAST_NEG_T}
+) WHERE rn = 1
 """
 
 
@@ -442,6 +520,7 @@ QUERIES["near_dup_embedding"] = Q(
         "pairs": q_near_dup_embedding,
         "semdedup": q_semdedup,
         "decontam": q_semantic_decontam,
+        "contrast": q_contrastive_pairs,
     },
 )
 

@@ -1,0 +1,153 @@
+"""Entity resolution — blocked record-linkage dedup of one table
+against itself (vendors, authors, customer names), the master-list-
+free counterpart of the two-tier lookup's dim matching (reference
+``matcher.py`` resolves rows AGAINST a vendor dim; this operator
+finds the entities when no dim exists yet).
+
+Classic three-stage shape, each stage scale-bounded:
+
+- **Multi-pass blocking**: every record emits one key per caller
+  expression (pass-tagged so equal strings from different passes
+  never collide); only records sharing a key are ever compared.
+  With keys chosen so an edit within one key region leaves another
+  key intact (e.g. key1 = first two tokens, key2 = last two), every
+  single-edit pair shares >= 1 key — 100% recall for the edits the
+  keys were designed around, and recall loss outside that is an
+  explicit, documented property of the chosen keys (blocking IS part
+  of blocked-ER semantics; the oracle mirrors the same keys).
+- **Bounded pair generation**: per block, records collect into a
+  sorted struct array and expand through the chunked pair explosion
+  (``functions/pairs.py explode_bucket_pairs``) — a hot block (many
+  records named identically) never materializes O(n^2) structs in
+  one row.  A cheap length-difference prune runs before the edit
+  distance (|len a - len b| > max_dist implies lev > max_dist), and
+  the levenshtein itself is threshold-bounded (JVM early-exit band).
+- **Clustering**: matched pairs are edges; the entity label is the
+  component's minimum record id (``operators/graph.py``
+  connected_components — label propagation, rounds bounded by
+  component diameter).  Singletons keep their own id.
+
+Output: (id, name, entity_id, cluster_size, is_canonical) — one row
+per input record, is_canonical marks the minimum-id representative.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.pairs import explode_bucket_pairs
+from .graph import connected_components
+
+
+def match_pairs(
+    records: DataFrame,
+    *,
+    id_col: str = "id",
+    name_col: str = "name",
+    keys: Sequence[Column],
+    max_dist: int = 1,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Candidate generation + verification: (id_a, id_b) with
+    id_a < id_b and levenshtein(name_a, name_b) <= max_dist, over
+    pairs sharing at least one pass-tagged blocking key."""
+    if not keys:
+        raise ValueError("at least one blocking key expression required")
+    tagged = F.array(
+        *[
+            F.concat_ws(":", F.lit(str(i)), k.cast("string"))
+            for i, k in enumerate(keys)
+        ]
+    )
+    # key exprs reference the caller's column names — evaluate them
+    # against the original frame, in the same projection
+    blocked = records.select(
+        F.col(id_col).cast("bigint").alias("__id"),
+        F.col(name_col).alias("__nm"),
+        F.explode(tagged).alias("__blk"),
+    )
+    # posting list per block, sorted by id so chunk expansion yields
+    # ordered (a < b) pairs; structs carry the name so verification
+    # needs no join back
+    postings = (
+        blocked.groupBy("__blk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__id", "__nm"))
+            ).alias("recs")
+        )
+        .filter(F.size("recs") >= 2)
+    )
+    pairs = explode_bucket_pairs(
+        postings,
+        "recs",
+        lambda x, y: F.struct(
+            x["__id"].alias("id_a"),
+            y["__id"].alias("id_b"),
+            x["__nm"].alias("nm_a"),
+            y["__nm"].alias("nm_b"),
+        ),
+        max_block,
+    ).select("p.id_a", "p.id_b", "p.nm_a", "p.nm_b")
+    return (
+        pairs.filter(
+            F.abs(F.length("nm_a") - F.length("nm_b")) <= max_dist
+        )
+        .filter(
+            F.levenshtein("nm_a", "nm_b", max_dist).between(0, max_dist)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def resolve_entities(
+    records: DataFrame,
+    *,
+    id_col: str = "id",
+    name_col: str = "name",
+    keys: Sequence[Column],
+    max_dist: int = 1,
+    max_block: int = 1000,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Blocked entity resolution; see module docstring.
+
+    Returns every input record labeled with its entity:
+    (id, name, entity_id, cluster_size, is_canonical).
+    """
+    edges = match_pairs(
+        records,
+        id_col=id_col,
+        name_col=name_col,
+        keys=keys,
+        max_dist=max_dist,
+        max_block=max_block,
+    )
+    labels = connected_components(
+        edges, src="id_a", dst="id_b", max_iter=max_iter
+    )
+    rec = records.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(name_col).alias("name"),
+    )
+    ent = rec.join(
+        labels, rec["id"] == labels["node"], "left"
+    ).select(
+        "id",
+        "name",
+        F.coalesce(F.col("label"), F.col("id")).alias("entity_id"),
+    )
+    sizes = ent.groupBy("entity_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return ent.join(sizes, "entity_id").select(
+        "id",
+        "name",
+        "entity_id",
+        "cluster_size",
+        (F.col("id") == F.col("entity_id")).alias("is_canonical"),
+    )

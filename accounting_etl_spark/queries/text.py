@@ -1445,6 +1445,66 @@ def q_dedup_clusters_star(
     return q_dedup_clusters(spark, sf_dir, pairs, labels)
 
 
+# entity resolution substrate: two records per part — the composite
+# name and a deterministic one-char-deletion typo (last char of the
+# p_name region), so the corpus has real duplicate-entity structure
+# both engines can derive identically. max_dist 1 links exact dupes,
+# the planted typos, and naturally-adjacent composites (brands one
+# digit-edit apart) — transitively clustered either way.
+_ENTITY_MAX_DIST = 1
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'entity' variant: blocked entity resolution over a vendor-like
+    record table (operators/entity_resolution.py) — the master-list-
+    free counterpart of the two-tier lookup (reference matcher.py
+    resolves against a vendor dim; this finds the entities when none
+    exists). Three-pass token-group blocking: each key concatenates
+    two of the three token groups (name / brand / type), so an edit
+    inside one group always leaves some key intact — single-edit
+    recall is structural, not probabilistic. Edges are threshold
+    levenshtein; labels are CC minima; output one row per record."""
+    from ..operators.entity_resolution import resolve_entities
+
+    part = load_table(spark, sf_dir, "part")
+    base = part.select(
+        F.col("p_partkey").cast("bigint").alias("pk"),
+        F.lower(
+            F.concat_ws(" ", "p_name", "p_brand", "p_type")
+        ).alias("nm"),
+        F.length("p_name").alias("lp"),
+    )
+    recs = base.select(
+        (F.col("pk") * 2).alias("id"), F.col("nm").alias("name")
+    ).unionByName(
+        base.select(
+            (F.col("pk") * 2 + 1).alias("id"),
+            F.expr(
+                "concat(substring(nm, 1, lp - 1),"
+                " substring(nm, lp + 1))"
+            ).alias("name"),
+        )
+    )
+    toks = F.split(F.col("name"), " ")
+    name_part = F.concat_ws(" ", toks[0], toks[1])
+    out = resolve_entities(
+        recs,
+        keys=[
+            F.concat_ws(" ", name_part, toks[3]),  # name+type
+            F.concat_ws(" ", name_part, toks[2]),  # name+brand
+            F.concat_ws(" ", toks[2], toks[3]),  # brand+type
+        ],
+        max_dist=_ENTITY_MAX_DIST,
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("entity_id").cast("bigint").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("is_canonical").alias("keep"),
+        F.col("name"),
+    )
+
+
 def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster labels + the composed curation verdict + the
     cluster-aware split in one union-tagged entry (driver cap: the
@@ -1501,6 +1561,15 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("quality_score"),
         F.lit(None).cast("string").alias("drop_reason"),
     )
+    ent = q_entity_resolution(spark, sf_dir).select(
+        F.lit("entity").alias("variant"),
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "keep",
+        F.lit(None).cast("double").alias("quality_score"),
+        F.col("name").alias("drop_reason"),
+    )
     split = q_cluster_split(spark, sf_dir, pairs, labels).select(
         F.lit("split").alias("variant"),
         "doc_id",
@@ -1511,7 +1580,10 @@ def q_dedup_clusters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("split").alias("drop_reason"),
     )
     return (
-        clusters.unionByName(cur).unionByName(split).unionByName(star)
+        clusters.unionByName(cur)
+        .unionByName(split)
+        .unionByName(star)
+        .unionByName(ent)
     )
 
 
@@ -1613,6 +1685,66 @@ FROM (
 """
 
 
+# blocked entity resolution, mirrored: the SAME record derivation
+# (composite name + deterministic deletion typo), the SAME three
+# pass-tagged two-of-three token-group keys, threshold levenshtein
+# edges, recursive-CTE components. Blocking is part of blocked-ER
+# semantics, so the oracle blocks identically.
+_ENTITY_SQL = f"""
+WITH RECURSIVE ebase AS (
+  SELECT p_partkey AS pk,
+         lower(p_name || ' ' || p_brand || ' ' || p_type) AS nm,
+         length(p_name) AS lp
+  FROM part
+), erec AS (
+  SELECT pk * 2 AS id, nm FROM ebase
+  UNION ALL
+  SELECT pk * 2 + 1, substr(nm, 1, lp - 1) || substr(nm, lp + 1)
+  FROM ebase
+), ekey AS (
+  SELECT id, nm,
+         '0:' || split_part(nm, ' ', 1) || ' ' || split_part(nm, ' ', 2)
+              || ' ' || split_part(nm, ' ', 4) AS blk
+  FROM erec
+  UNION ALL
+  SELECT id, nm,
+         '1:' || split_part(nm, ' ', 1) || ' ' || split_part(nm, ' ', 2)
+              || ' ' || split_part(nm, ' ', 3)
+  FROM erec
+  UNION ALL
+  SELECT id, nm,
+         '2:' || split_part(nm, ' ', 3) || ' ' || split_part(nm, ' ', 4)
+  FROM erec
+), epair AS (
+  SELECT DISTINCT a.id AS u, b.id AS v
+  FROM ekey a JOIN ekey b ON a.blk = b.blk AND a.id < b.id
+  WHERE abs(length(a.nm) - length(b.nm)) <= {_ENTITY_MAX_DIST}
+    AND levenshtein(a.nm, b.nm) <= {_ENTITY_MAX_DIST}
+), eund AS (
+  SELECT u, v FROM epair
+  UNION
+  SELECT v AS u, u AS v FROM epair
+), ereach(u, v) AS (
+  SELECT u, v FROM eund
+  UNION
+  SELECT r.u, d.v FROM ereach r JOIN eund d ON r.v = d.u
+), elab AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS label FROM ereach GROUP BY u
+), eall AS (
+  SELECT e.id, e.nm, COALESCE(l.label, e.id) AS entity_id
+  FROM erec e LEFT JOIN elab l ON e.id = l.node
+), esz AS (
+  SELECT entity_id, count(*) AS cnt FROM eall GROUP BY entity_id
+)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(entity_id AS BIGINT) AS cluster_id,
+       CAST(cnt AS BIGINT) AS cluster_size,
+       id = entity_id AS keep,
+       nm
+FROM eall JOIN esz USING (entity_id)
+"""
+
+
 _CLUSTERS_MERGED_SQL = f"""
 SELECT 'clusters' AS variant, doc_id, cluster_id, cluster_size,
        is_survivor AS keep,
@@ -1633,6 +1765,11 @@ SELECT 'star' AS variant, doc_id, cluster_id, cluster_size,
        CAST(NULL AS DOUBLE) AS quality_score,
        CAST(NULL AS VARCHAR) AS drop_reason
 FROM ({_CLUSTERS_SQL})
+UNION ALL
+SELECT 'entity' AS variant, doc_id, cluster_id, cluster_size, keep,
+       CAST(NULL AS DOUBLE) AS quality_score,
+       nm AS drop_reason
+FROM ({_ENTITY_SQL})
 """
 
 QUERIES["dedup_clusters"] = Q(
@@ -1643,5 +1780,6 @@ QUERIES["dedup_clusters"] = Q(
         "curation": q_curation_verdicts,
         "split": q_cluster_split,
         "star": q_dedup_clusters_star,
+        "entity": q_entity_resolution,
     },
 )

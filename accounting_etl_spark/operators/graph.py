@@ -305,3 +305,129 @@ def pagerank_int(
         if it % 2 == 1 or it == iters - 1:
             ranks = stable_checkpoint(ranks)
     return ranks.join(base, "node").select("node", "rank", "outdeg")
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected edge set: one ``(a, b)`` row per edge
+    with ``a < b``; self-loops dropped, duplicate and reversed
+    duplicate edges collapsed."""
+    return (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Core of :func:`triangle_listing` over a pre-canonicalized
+    edge set ``e`` and its degree table (shared with callers that
+    need both)."""
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    lf = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # the oriented edge is consumed twice (wedge sides + closing
+    # side); checkpoint so the scan/orient subtree runs once
+    oriented = stable_checkpoint(
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lf, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(lf, F.col("b")).otherwise(F.col("a")).alias("d"),
+            F.when(lf, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        )
+    )
+    o1 = oriented.select(
+        F.col("s").alias("u"), F.col("d").alias("x"), F.col("dd").alias("dx")
+    )
+    o2 = oriented.select(
+        F.col("s").alias("u"), F.col("d").alias("y"), F.col("dd").alias("dy")
+    )
+    wedges = o1.join(o2, "u").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    close = oriented.select(F.col("s").alias("x"), F.col("d").alias("y"))
+    return wedges.join(close, ["x", "y"]).select("u", "x", "y")
+
+
+def triangle_listing(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle listing by degree orientation (the MR-era
+    Suri-Vassilvitskii / Cohen formulation — the standard way to
+    bound wedge blow-up on a shuffle engine).
+
+    Community structure is a curation signal (a host/author graph
+    with dense triangles is organic; link farms are triangle-poor
+    for their degree), and the same oriented-wedge machinery powers
+    motif features for graph-side training data.
+
+    Shape:
+
+    1. canonicalize (:func:`_canon_edges`);
+    2. orient every edge from its lower to its higher endpoint in
+       the ``(degree, node)`` total order.  The oriented out-degree
+       of ANY node is then at most ``O(sqrt(2m))`` regardless of how
+       skewed the raw degree distribution is — a celebrity node with
+       10^7 followers has tiny oriented out-degree because almost
+       all its neighbors rank below it.  That bound is what keeps
+       the wedge stage from exploding on power-law graphs;
+    3. wedges: self-join oriented edges on the source with a strict
+       ``(dst_degree, dst)`` order between the two far endpoints
+       (the destination's order key is carried ON the oriented edge
+       row, so no third join against the degree table);
+    4. close: join wedge far-endpoint pairs against the oriented
+       edge set.  Each triangle is emitted EXACTLY once, at its
+       minimum vertex in the total order.
+
+    Two aggregate shuffles (edge distinct, degree) plus two join
+    shuffles (wedge, close); intermediate volume is the optimal
+    ``O(m^{3/2})`` wedge bound.  No broadcasts, no windows, no
+    driver-side state — AQE may still convert small sides at
+    runtime.
+
+    Returns one row per triangle: ``(u, x, y)`` with ``u`` the
+    minimum vertex in the orientation order and ``x``, ``y`` the
+    other two (also orientation-ordered).
+    """
+    e = stable_checkpoint(_canon_edges(edges, src, dst))
+    return _oriented_triangles(e, _degrees(e))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node exact triangle counts + degree: each triangle from
+    :func:`triangle_listing` credits all three of its vertices.
+    Returns ``(node, deg, tri)`` for every node of the canonical
+    edge set (``tri = 0`` for triangle-free nodes) — the inputs of
+    the local clustering coefficient ``2*tri / (deg*(deg-1))``.
+    The canonical edge set and degree table are computed once and
+    shared with the listing.
+    """
+    e = stable_checkpoint(_canon_edges(edges, src, dst))
+    deg = _degrees(e)
+    tri = _oriented_triangles(e, deg)
+    # one explode, not a 3-way unionAll — a union would re-evaluate
+    # the wedge-close join once per branch
+    per_node = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node", "deg", F.coalesce("tri", F.lit(0)).alias("tri")
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.checkpointing import stable_checkpoint
 from ..functions.spread import spread
 from ..sources.tables import load_table
 from . import Q
@@ -1064,6 +1065,112 @@ FROM {prev} r LEFT JOIN od ON od.node = r.node
     return "".join(parts)
 
 
+_TRI_TOP = 25
+_TRI_CC_SCALE = 2_000_000  # folds the 2 of 2*tri/(deg*(deg-1)): v1 = 1e6*cc
+
+
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'tri' variant: exact degree-oriented triangle counting
+    (operators/graph.py::triangle_listing) over the part
+    co-occurrence graph of URGENT orders — two parts are adjacent
+    when some '1-URGENT' order contains both. Triangle density is
+    the organic-vs-link-farm curation signal on a host graph and a
+    motif feature for graph-side training data; the orientation
+    bounds wedge volume at O(m^1.5) however skewed the degrees.
+    All-integer outputs (counts, degrees, floor-scaled clustering
+    coefficient), so the DuckDB twin hash-matches exactly.
+    grp = part id (top-{top} by triangle count, id tie-break),
+    n = per-node triangles, v1 = floor(1e6 * 2*tri/(deg*(deg-1))),
+    v2 = degree, v3 = corpus total triangles (per-node sum / 3)."""
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    lk = li.join(
+        urgent, li["l_orderkey"] == urgent["o_orderkey"]
+    ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    edges = (
+        lk.alias("a")
+        .join(
+            lk.alias("b"),
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+    )
+    # node-sized result consumed twice (top-K + global total):
+    # checkpoint so the wedge-close joins run once
+    counts = stable_checkpoint(triangle_counts(edges))
+    # one global scalar (total triangles), distributed to the top-K
+    # rows via a broadcast 1-row cross join — never a global window
+    total = counts.agg(F.expr("sum(tri) div 3").alias("__tot"))
+    top = counts.orderBy(F.col("tri").desc(), F.col("node").asc()).limit(
+        _TRI_TOP
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        F.lit("tri").alias("variant"),
+        F.col("node").cast("string").alias("grp"),
+        F.col("tri").cast("bigint").alias("n"),
+        F.when(
+            F.col("deg") >= 2,
+            F.expr(f"({_TRI_CC_SCALE} * tri) div (deg * (deg - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("double")
+        .alias("v1"),
+        F.col("deg").cast("double").alias("v2"),
+        F.col("__tot").cast("double").alias("v3"),
+    )
+
+
+_TRI_SQL = f"""
+WITH tli AS (
+  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+), te AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM tli a JOIN tli b ON a.ok = b.ok AND a.pk < b.pk
+), tdeg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM te UNION ALL SELECT b FROM te) GROUP BY node
+), tor AS (
+  SELECT CASE WHEN lf THEN a ELSE b END AS s,
+         CASE WHEN lf THEN b ELSE a END AS d,
+         CASE WHEN lf THEN db ELSE da END AS dd
+  FROM (SELECT te.a, te.b, da.deg AS da, db.deg AS db,
+               (da.deg < db.deg OR (da.deg = db.deg AND te.a < te.b)) AS lf
+        FROM te JOIN tdeg da ON da.node = te.a
+                JOIN tdeg db ON db.node = te.b)
+), ttri AS (
+  SELECT o1.s AS u, o1.d AS x, o2.d AS y
+  FROM tor o1 JOIN tor o2 ON o1.s = o2.s
+       AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.d < o2.d))
+  JOIN tor oc ON oc.s = o1.d AND oc.d = o2.d
+), tpn AS (
+  SELECT node, deg, coalesce(tri, 0) AS tri
+  FROM tdeg LEFT JOIN (
+    SELECT node, count(*) AS tri FROM (
+      SELECT u AS node FROM ttri UNION ALL SELECT x FROM ttri
+      UNION ALL SELECT y FROM ttri) GROUP BY node) tc USING (node)
+)
+SELECT 'tri' AS variant, CAST(node AS VARCHAR) AS grp,
+       CAST(tri AS BIGINT) AS n,
+       CAST(CASE WHEN deg >= 2
+                 THEN ({_TRI_CC_SCALE} * tri) // (deg * (deg - 1))
+                 ELSE 0 END AS DOUBLE) AS v1,
+       CAST(deg AS DOUBLE) AS v2,
+       CAST((SELECT sum(tri) // 3 FROM tpn) AS DOUBLE) AS v3
+FROM tpn
+ORDER BY tri DESC, node ASC LIMIT {_TRI_TOP}
+"""
+
+
 _KM_K = 4
 _KM_ITERS = 3
 _KM_DIM = 64  # embeddings fixture dimension (schema-pinned)
@@ -1264,7 +1371,8 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     'dsir': see q_dsir_stats. variant 'mix': see q_mix_stats.
     variant 'hh': see q_hh_stats. variant 'warc': see q_warc_stats.
     variant 'pagerank': see q_pagerank_stats. variant 'kmeans': see
-    q_kmeans_stats. variant 'line': see q_line_stats."""
+    q_kmeans_stats. variant 'line': see q_line_stats. variant
+    'tri': see q_triangle_stats."""
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -1295,6 +1403,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_pagerank_stats(spark, sf_dir))
         .unionByName(q_kmeans_stats(spark, sf_dir))
         .unionByName(q_line_stats(spark, sf_dir))
+        .unionByName(q_triangle_stats(spark, sf_dir))
     )
 
 
@@ -1402,6 +1511,8 @@ UNION ALL
 SELECT * FROM ({{kmeans_sql}})
 UNION ALL
 SELECT * FROM ({{line_sql}})
+UNION ALL
+SELECT * FROM ({{tri_sql}})
 """
 
 
@@ -1584,6 +1695,7 @@ _DIST_STATS_SQL = (
     .replace("{pagerank_sql}", _pagerank_sql())
     .replace("{kmeans_sql}", _kmeans_sql())
     .replace("{line_sql}", _LINE_SQL)
+    .replace("{tri_sql}", _TRI_SQL)
 )
 
 
@@ -1644,6 +1756,7 @@ QUERIES["dist_stats"] = Q(
         "pagerank": q_pagerank_stats,
         "kmeans": q_kmeans_stats,
         "line": q_line_stats,
+        "tri": q_triangle_stats,
     },
 )
 QUERIES["stats_moments"] = Q(q_stats_moments, _MOMENTS_SQL)

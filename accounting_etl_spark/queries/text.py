@@ -752,14 +752,14 @@ def _jaccard_pairs(postings: DataFrame) -> DataFrame:
     )
 
 
-def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact word-3-shingle Jaccard.
-
-    explode distinct shingles → stop-shingle removal (doc-frequency
-    cutoff; the skew guard that keeps the self-join from exploding on
-    hot shingles at scale) → shingle-key self-join (doc_a < doc_b) →
-    intersection counts → Jaccard filter. This is the exact oracle
-    baseline; the MinHash-LSH scale path is operators/dedup.py.
+def _pair_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate-pair profile for the shingle-overlap family:
+    one row per unordered doc pair sharing >= 1 live shingle, with
+    ``(doc_a, doc_b, inter, na, nb)`` — intersection size and both
+    docs' distinct-shingle counts. Jaccard (resemblance) and
+    containment scores are both pure arithmetic over these three
+    integers, so the expensive shingle self-join runs once for the
+    whole family.
     """
     # small-file scans arrive as ONE partition — spread the CPU-heavy
     # shingling across cores before exploding (no-op once the scan is
@@ -815,13 +815,84 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint = F.broadcast if small else (lambda d: d)
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return pairs.join(hint(na), "doc_a").join(hint(nb), "doc_b")
+
+
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-shingle Jaccard.
+
+    explode distinct shingles → stop-shingle removal (doc-frequency
+    cutoff; the skew guard that keeps the self-join from exploding on
+    hot shingles at scale) → shingle-key self-join (doc_a < doc_b) →
+    intersection counts → Jaccard filter. This is the exact oracle
+    baseline; the MinHash-LSH scale path is operators/dedup.py.
+    """
     return (
-        pairs.join(hint(na), "doc_a")
-        .join(hint(nb), "doc_b")
+        _pair_profile(spark, sf_dir)
         .withColumn("un", (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint"))
         .withColumn("jaccard", F.col("inter").cast("double") / F.col("un"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "inter", "un", "jaccard")
+    )
+
+
+_CONTAIN_THRESHOLD = 0.9
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'contain' variant: shingle containment — ``inter /
+    min(na, nb)`` (Broder's containment of the smaller document in
+    the larger). Catches quote/excerpt/boilerplate-wrapper relations
+    that resemblance misses: a 100-token doc pasted verbatim inside a
+    10000-token doc has Jaccard ~0.01 but containment 1.0. Same
+    profile subtree, pure arithmetic on (inter, na, nb)."""
+    mn = F.least("na", "nb").cast("bigint")
+    return (
+        _pair_profile(spark, sf_dir)
+        .withColumn("denom", mn)
+        .withColumn("score", F.col("inter").cast("double") / F.col("denom"))
+        .filter(F.col("score") >= _CONTAIN_THRESHOLD)
+        .select("doc_a", "doc_b", "inter", "denom", "score")
+    )
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard + containment in one union-tagged entry (driver cap:
+    the correctness gate records at most 50 registry entries).
+    Both scores are computed in ONE pass over the shared pair
+    profile: per candidate pair an array of (variant, denom, score)
+    structs is filtered to the qualifying variants and exploded — the
+    shingle self-join is never evaluated twice. variant 'jaccard':
+    see q_near_dup_jaccard; variant 'contain': see
+    q_containment_pairs."""
+    prof = _pair_profile(spark, sf_dir)
+    inter_d = F.col("inter").cast("double")
+    un = (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint")
+    mn = F.least("na", "nb").cast("bigint")
+    entries = F.array(
+        F.struct(
+            F.lit("jaccard").alias("variant"),
+            un.alias("denom"),
+            (inter_d / un).alias("score"),
+            F.lit(_JACCARD_THRESHOLD).alias("thr"),
+        ),
+        F.struct(
+            F.lit("contain").alias("variant"),
+            mn.alias("denom"),
+            (inter_d / mn).alias("score"),
+            F.lit(_CONTAIN_THRESHOLD).alias("thr"),
+        ),
+    )
+    qual = F.filter(entries, lambda s: s["score"] >= s["thr"])
+    return prof.select(
+        "doc_a", "doc_b", "inter", F.explode(qual).alias("e")
+    ).select(
+        F.col("e.variant").alias("variant"),
+        "doc_a",
+        "doc_b",
+        "inter",
+        F.col("e.denom").alias("denom"),
+        F.col("e.score").alias("score"),
     )
 
 
@@ -855,6 +926,48 @@ WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= {_JACCARD_THRESHOLD
 """
 
 
+_PAIR_PROFILE_SQL = f"""
+WITH ptoks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+), psh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS sh
+    FROM ptoks WHERE len(t) >= 3)
+), pok_sh AS (
+  SELECT sh FROM psh GROUP BY sh HAVING count(*) <= {_MAX_SHINGLE_DF}
+), pshf AS (
+  SELECT s.doc_id, s.sh FROM psh s JOIN pok_sh USING (sh)
+), pcounts AS (
+  SELECT doc_id, count(*) AS n_sh FROM pshf GROUP BY doc_id
+), ppairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM pshf a JOIN pshf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, na.n_sh AS na, nb.n_sh AS nb
+FROM ppairs
+JOIN pcounts na ON doc_a = na.doc_id
+JOIN pcounts nb ON doc_b = nb.doc_id
+"""
+
+_NEAR_DUP_PAIRS_SQL = f"""
+WITH prof AS ({_PAIR_PROFILE_SQL})
+SELECT 'jaccard' AS variant, doc_a, doc_b, inter,
+       CAST(na + nb - inter AS BIGINT) AS denom,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS score
+FROM prof
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {_JACCARD_THRESHOLD}
+UNION ALL
+SELECT 'contain' AS variant, doc_a, doc_b, inter,
+       CAST(least(na, nb) AS BIGINT) AS denom,
+       CAST(inter AS DOUBLE) / least(na, nb) AS score
+FROM prof
+WHERE CAST(inter AS DOUBLE) / least(na, nb) >= {_CONTAIN_THRESHOLD}
+"""
+
+
 QUERIES: dict[str, Q] = {
     "dedup_exact": Q(
         q_dedup_exact_merged,
@@ -862,7 +975,14 @@ QUERIES: dict[str, Q] = {
         variants={"incr": q_dedup_incremental, "url": q_url_dedup},
     ),
     "text_metrics": Q(q_text_metrics, _TEXT_METRICS_SQL),
-    "near_dup_jaccard": Q(q_near_dup_jaccard, _JACCARD_SQL),
+    "near_dup_jaccard": Q(
+        q_near_dup_pairs,
+        _NEAR_DUP_PAIRS_SQL,
+        variants={
+            "jaccard": q_near_dup_jaccard,
+            "contain": q_containment_pairs,
+        },
+    ),
 }
 
 

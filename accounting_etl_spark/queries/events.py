@@ -241,13 +241,99 @@ FROM events GROUP BY 2
 """
 
 
+_ANOM_TOP = 10
+_ANOM_Z_MILLI = 5000  # 5 MADs, in milli-units
+
+
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'anomaly' variant: per-type robust outliers
+    (operators/anomaly.py) — value quantized to integer cents, exact
+    lower median + MAD over the distinct-value histogram (never a
+    per-key row sort), flags at |dev| >= 5 MADs, top-{top} per type
+    by (z, event_id) so the output is bounded and deterministic.
+    window_start_s = the event's epoch second, n = the integer
+    milli-z score, total = the raw value."""
+    from ..operators.anomaly import robust_flags
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    flags = robust_flags(
+        ev, "event_type", "cents", z_milli_threshold=_ANOM_Z_MILLI
+    )
+    from pyspark.sql import Window
+
+    # rank only the flagged subset (bounded), never the raw stream
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("z_milli").desc(), F.col("event_id").asc()
+    )
+    top = flags.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= _ANOM_TOP
+    )
+    return top.select(
+        F.lit("anomaly").alias("variant"),
+        F.unix_timestamp("ts").cast("bigint").alias("window_start_s"),
+        "event_type",
+        F.col("z_milli").cast("bigint").alias("n"),
+        F.col("value").cast("double").alias("total"),
+    )
+
+
+_ANOMALY_SQL = f"""
+WITH av AS (
+  SELECT event_id, ts, event_type, value,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), ahist AS (
+  SELECT event_type, cents, count(*) AS c FROM av GROUP BY 1, 2
+), amed AS (
+  SELECT event_type, min(cents) AS med FROM (
+    SELECT event_type, cents,
+           sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS tot
+    FROM ahist)
+  WHERE cum >= (tot + 1) // 2 GROUP BY event_type
+), adev AS (
+  SELECT av.*, abs(cents - med) AS dev FROM av JOIN amed USING (event_type)
+), adhist AS (
+  SELECT event_type, dev, count(*) AS c FROM adev GROUP BY 1, 2
+), amad AS (
+  SELECT event_type, min(dev) AS mad FROM (
+    SELECT event_type, dev,
+           sum(c) OVER (PARTITION BY event_type ORDER BY dev
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS tot
+    FROM adhist)
+  WHERE cum >= (tot + 1) // 2 GROUP BY event_type
+), ascored AS (
+  SELECT adev.*, (dev * 1000) // greatest(mad, 1) AS z_milli
+  FROM adev JOIN amad USING (event_type)
+), aranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY z_milli DESC, event_id ASC) AS rn
+  FROM ascored WHERE z_milli >= {_ANOM_Z_MILLI}
+)
+SELECT 'anomaly' AS variant,
+       CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS window_start_s,
+       event_type, CAST(z_milli AS BIGINT) AS n,
+       CAST(value AS DOUBLE) AS total
+FROM aranked WHERE rn <= {_ANOM_TOP}
+"""
+
+
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling + sliding time windows + incrementally-maintained
     rollup in one union-tagged entry (driver cap: the correctness gate
     records at most 50 registry entries). variant 'tumble10m' carries
     the decimal-exact value sum; 'slide10m5m' is counts-only (each
     event lands in 2 windows); 'rollup' replays the epoch-merge state
-    machine and serves two grains from the partials."""
+    machine and serves two grains from the partials. variant
+    'anomaly': see q_event_anomalies."""
     tumble = q_tumbling_window(spark, sf_dir).select(
         F.lit("tumble10m").alias("variant"),
         F.col("window_start_s").cast("bigint").alias("window_start_s"),
@@ -265,7 +351,11 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll = q_rollup_serve(spark, sf_dir).select(
         F.lit("rollup").alias("variant"), "*"
     )
-    return tumble.unionByName(slide).unionByName(roll)
+    return (
+        tumble.unionByName(slide)
+        .unionByName(roll)
+        .unionByName(q_event_anomalies(spark, sf_dir))
+    )
 
 
 _EVENT_WINDOWS_SQL = f"""
@@ -280,6 +370,8 @@ UNION ALL
 SELECT 'rollup' AS variant, window_start_s, event_type,
        CAST(n AS BIGINT) AS n, total
 FROM ({_ROLLUP_SQL})
+UNION ALL
+SELECT * FROM ({_ANOMALY_SQL})
 """
 
 
@@ -317,6 +409,7 @@ QUERIES: dict[str, Q] = {
             "tumble10m": q_tumbling_window,
             "slide10m5m": q_sliding_window,
             "rollup": q_rollup_serve,
+            "anomaly": q_event_anomalies,
         },
     ),
     "json_props": Q(q_json_props, _JSON_SQL),

@@ -158,11 +158,30 @@ def merge_epoch(
 
 def read_rollup(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Live rollup state: one partial-aggregate row per (bucket, keys).
-    None before the first merge."""
+    None before the first merge.
+
+    Live buckets are grouped by their epoch directory and each epoch
+    root is read ONCE with a partition-pruning ``__pb IN (...)``
+    filter — one listed root per epoch instead of one root path per
+    bucket (thousands of roots made the scan stage file-listing-bound;
+    pruning reads the identical bytes)."""
     manifest = _read_manifest(state_dir)
     if not manifest["buckets"]:
         return None
-    return spark.read.parquet(*sorted(set(manifest["buckets"].values())))
+    by_epoch: dict[str, list[str]] = {}
+    for b, path in manifest["buckets"].items():
+        by_epoch.setdefault(os.path.dirname(path), []).append(b)
+    parts = []
+    for epoch_dir in sorted(by_epoch):
+        parts.append(
+            spark.read.parquet(epoch_dir)
+            .where(F.col("__pb").isin(sorted(by_epoch[epoch_dir])))
+            .drop("__pb")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def serve(

@@ -146,16 +146,67 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
+_ATTRIB_LOOKBACK_US = 120 * 60 * 1_000_000  # 2-hour touch window
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'attrib_{first,last,linear}' variants: multi-touch attribution
+    (operators/attribution.py) over the event stream — purchases are
+    conversions, every other event type is a touch, lookback 2h.
+    All three models come from ONE candidate join + one ranked pass;
+    credit is exact integer cents (linear remainder to the last
+    touch), so the DuckDB window twin hash-matches. Column mapping
+    into the asof entry: event_id = touch, conv_id = the purchase
+    event, credit_cents = the model's credit; the order columns are
+    NULL here (and conv_id/credit_cents are NULL on the asof rows)."""
+    from ..operators.attribution import attribute_conversions
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = attribute_conversions(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") != "purchase"),
+        on="user_id",
+        conv_id="event_id",
+        conv_time="t_us",
+        value="cents",
+        touch_id="event_id",
+        touch_time="t_us",
+        lookback=_ATTRIB_LOOKBACK_US,
+    )
+    return out.select(
+        F.concat(F.lit("attrib_"), F.col("model")).alias("variant"),
+        F.col("touch_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.col("conv_id").cast("bigint").alias("conv_id"),
+        F.col("credit").cast("bigint").alias("credit_cents"),
+    )
+
+
 def q_asof_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward + nearest as-of joins in one union-tagged entry
-    (driver cap: the correctness gate records at most 50 entries)."""
+    """Backward + nearest as-of joins + multi-touch attribution in
+    one union-tagged entry (driver cap: the correctness gate records
+    at most 50 entries)."""
+    nulls = [
+        F.lit(None).cast("bigint").alias("conv_id"),
+        F.lit(None).cast("bigint").alias("credit_cents"),
+    ]
     back = q_asof_join(spark, sf_dir).select(
-        F.lit("backward").alias("variant"), "*"
+        F.lit("backward").alias("variant"), "*", *nulls
     )
     near = q_asof_nearest(spark, sf_dir).select(
-        F.lit("nearest").alias("variant"), "*"
+        F.lit("nearest").alias("variant"), "*", *nulls
     )
-    return back.unionByName(near)
+    return back.unionByName(near).unionByName(
+        q_attribution(spark, sf_dir)
+    )
 
 
 _ASOF_SQL = """
@@ -393,12 +444,50 @@ FROM events e
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id)
 """
 
+_ATTRIB_SQL = f"""
+WITH aev AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), acand AS (
+  SELECT c.user_id, c.event_id AS conv_id, c.cents,
+         t.event_id AS touch_id,
+         row_number() OVER (PARTITION BY c.event_id
+             ORDER BY t.t_us ASC, t.event_id ASC) AS ra,
+         row_number() OVER (PARTITION BY c.event_id
+             ORDER BY t.t_us DESC, t.event_id DESC) AS rd,
+         count(*) OVER (PARTITION BY c.event_id) AS k
+  FROM aev c JOIN aev t
+    ON c.event_type = 'purchase' AND t.event_type <> 'purchase'
+   AND c.user_id = t.user_id
+   AND t.t_us > c.t_us - {_ATTRIB_LOOKBACK_US} AND t.t_us <= c.t_us
+)
+SELECT 'attrib_first' AS variant, touch_id AS event_id, user_id,
+       CAST(NULL AS BIGINT) AS o_orderkey,
+       CAST(NULL AS DOUBLE) AS o_totalprice,
+       conv_id, cents AS credit_cents
+FROM acand WHERE ra = 1
+UNION ALL
+SELECT 'attrib_last', touch_id, user_id, CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), conv_id, cents
+FROM acand WHERE rd = 1
+UNION ALL
+SELECT 'attrib_linear', touch_id, user_id, CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), conv_id,
+       cents // k + CASE WHEN rd = 1 THEN cents % k ELSE 0 END
+FROM acand
+"""
+
 _ASOF_VARIANTS_SQL = f"""
-SELECT 'backward' AS variant, event_id, user_id, o_orderkey, o_totalprice
+SELECT 'backward' AS variant, event_id, user_id, o_orderkey, o_totalprice,
+       CAST(NULL AS BIGINT) AS conv_id, CAST(NULL AS BIGINT) AS credit_cents
 FROM ({_ASOF_SQL})
 UNION ALL
-SELECT 'nearest' AS variant, event_id, user_id, o_orderkey, o_totalprice
+SELECT 'nearest' AS variant, event_id, user_id, o_orderkey, o_totalprice,
+       CAST(NULL AS BIGINT) AS conv_id, CAST(NULL AS BIGINT) AS credit_cents
 FROM ({_ASOF_NEAREST_SQL})
+UNION ALL
+SELECT * FROM ({_ATTRIB_SQL})
 """
 
 QUERIES: dict[str, Q] = {
@@ -416,7 +505,11 @@ QUERIES: dict[str, Q] = {
     "asof_join": Q(
         q_asof_variants,
         _ASOF_VARIANTS_SQL,
-        variants={"backward": q_asof_join, "nearest": q_asof_nearest},
+        variants={
+            "backward": q_asof_join,
+            "nearest": q_asof_nearest,
+            "attrib": q_attribution,
+        },
     ),
 }
 

@@ -431,3 +431,76 @@ def triangle_counts(
     return deg.join(per_node, "node", "left").select(
         "node", "deg", F.coalesce("tri", F.lit(0)).alias("tri")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iters: int | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling — repeatedly drop
+    nodes of induced degree < k until the fixpoint; what survives is
+    the maximal subgraph where every node keeps >= k neighbors.
+
+    The degree-mass signal orientation can't give: a link farm has
+    high raw degree but hollow k-cores (its neighbors don't survive
+    peeling), while organic communities stay dense under removal —
+    the standard graph-side spam/quality feature next to
+    :func:`triangle_counts` and :func:`pagerank_int`.
+
+    Each round is one degree aggregate + two semi joins (node set →
+    edge endpoints), all shuffled on node id — the same per-round
+    shape as :func:`connected_components`; rounds are bounded by the
+    peel depth (how many removal waves the graph sustains), lineage
+    is truncated per round with ``stable_checkpoint``, and the
+    convergence probe is one scalar count per round.
+
+    ``iters=N`` runs EXACTLY N peeling rounds instead of testing for
+    the fixpoint — the form an unrolled cross-engine twin reproduces
+    bit-for-bit (the driver oracle unrolls the same N rounds as a
+    CTE); ``iters=None`` peels to the true fixpoint (<= ``max_iter``
+    rounds).
+
+    Returns ``(node, deg)`` for surviving nodes, ``deg`` the degree
+    INDUCED by the surviving subgraph after the last round (>= k at
+    the fixpoint; after a fixed ``iters`` it is the current peel
+    state).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = _canon_edges(edges, src, dst)
+    und = stable_checkpoint(
+        e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+    )
+    cur = und
+    n_edges = cur.count()
+    rounds = iters if iters is not None else max_iter
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.where(F.col("__d") >= k).select("u")
+        nxt = stable_checkpoint(
+            cur.join(keep, "u", "left_semi").join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+        )
+        n_next = nxt.count()
+        if iters is None and n_next == n_edges:
+            break
+        cur, n_edges = nxt, n_next
+    surv = cur.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    if iters is None:
+        # at the fixpoint every survivor has induced degree >= k by
+        # construction; the filter also erases the k=1 isolated-node
+        # corner where und was empty from the start
+        surv = surv.where(F.col("deg") >= k)
+    return surv

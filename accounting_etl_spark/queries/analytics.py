@@ -1272,6 +1272,109 @@ _TRI_TOP = 25
 _TRI_CC_SCALE = 2_000_000  # folds the 2 of 2*tri/(deg*(deg-1)): v1 = 1e6*cc
 
 
+def _urgent_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-occurrence graph of URGENT orders: two parts are
+    adjacent when some '1-URGENT' order contains both (src < dst,
+    duplicates collapsed downstream by the graph operators)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    lk = li.join(
+        urgent, li["l_orderkey"] == urgent["o_orderkey"]
+    ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    return (
+        lk.alias("a")
+        .join(
+            lk.alias("b"),
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+    )
+
+
+_KCORE_K = 13
+_KCORE_ITERS = 4  # fixpoint at sf0.01 is reached in round 4
+_KCORE_TOP = 25
+
+
+def q_kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'kcore' variant: k-core peeling (operators/graph.py::k_core)
+    over the URGENT part co-occurrence graph — the degree-mass
+    robustness signal next to 'tri' and 'pagerank' (link farms have
+    hollow cores). Runs EXACTLY {iters} peeling rounds so the DuckDB
+    unrolled-CTE twin reproduces the state bit-for-bit (at sf0.01
+    the fixpoint lands inside the unroll). grp = part id (top-{top}
+    survivors by induced degree, id tie-break), n = induced degree,
+    v1 = k, v2 = rounds, v3 = total survivors."""
+    from ..operators.graph import k_core
+
+    surv = stable_checkpoint(
+        k_core(
+            _urgent_part_edges(spark, sf_dir),
+            _KCORE_K,
+            iters=_KCORE_ITERS,
+        )
+    )
+    total = surv.agg(F.count(F.lit(1)).alias("__tot"))
+    top = surv.orderBy(F.col("deg").desc(), F.col("node").asc()).limit(
+        _KCORE_TOP
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        F.lit("kcore").alias("variant"),
+        F.col("node").cast("string").alias("grp"),
+        F.col("deg").cast("bigint").alias("n"),
+        F.lit(float(_KCORE_K)).alias("v1"),
+        F.lit(float(_KCORE_ITERS)).alias("v2"),
+        F.col("__tot").cast("double").alias("v3"),
+    )
+
+
+def _kcore_sql() -> str:
+    head = f"""
+WITH kli AS (
+  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+), ke AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM kli a JOIN kli b ON a.ok = b.ok AND a.pk < b.pk
+), ku0 AS (
+  SELECT a AS u, b AS v FROM ke UNION ALL SELECT b, a FROM ke
+)"""
+    parts = [head]
+    prev = "ku0"
+    for r in range(1, _KCORE_ITERS + 1):
+        parts.append(
+            f""", kk{r} AS (
+  SELECT u FROM (SELECT u, count(*) AS c FROM {prev} GROUP BY u)
+  WHERE c >= {_KCORE_K}
+), ku{r} AS (
+  SELECT c.u, c.v FROM {prev} c
+  JOIN kk{r} x ON x.u = c.u JOIN kk{r} y ON y.u = c.v
+)"""
+        )
+        prev = f"ku{r}"
+    parts.append(
+        f""", kdeg AS (
+  SELECT u AS node, count(*) AS deg FROM {prev} GROUP BY u
+)
+SELECT 'kcore' AS variant, CAST(node AS VARCHAR) AS grp,
+       CAST(deg AS BIGINT) AS n,
+       CAST({_KCORE_K} AS DOUBLE) AS v1,
+       CAST({_KCORE_ITERS} AS DOUBLE) AS v2,
+       CAST((SELECT count(*) FROM kdeg) AS DOUBLE) AS v3
+FROM kdeg
+ORDER BY deg DESC, node ASC LIMIT {_KCORE_TOP}
+"""
+    )
+    return "".join(parts)
+
+
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'tri' variant: exact degree-oriented triangle counting
     (operators/graph.py::triangle_listing) over the part
@@ -1287,26 +1390,7 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = degree, v3 = corpus total triangles (per-node sum / 3)."""
     from ..operators.graph import triangle_counts
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    urgent = (
-        load_table(spark, sf_dir, "orders")
-        .where(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_orderkey")
-    )
-    lk = li.join(
-        urgent, li["l_orderkey"] == urgent["o_orderkey"]
-    ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    edges = (
-        lk.alias("a")
-        .join(
-            lk.alias("b"),
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-    )
+    edges = _urgent_part_edges(spark, sf_dir)
     # node-sized result consumed twice (top-K + global total):
     # checkpoint so the wedge-close joins run once
     counts = stable_checkpoint(triangle_counts(edges))
@@ -1575,7 +1659,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant 'hh': see q_hh_stats. variant 'warc': see q_warc_stats.
     variant 'pagerank': see q_pagerank_stats. variant 'kmeans': see
     q_kmeans_stats. variant 'line': see q_line_stats. variant
-    'tri': see q_triangle_stats."""
+    'tri': see q_triangle_stats. variant 'kcore': see q_kcore_stats."""
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -1607,6 +1691,7 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_kmeans_stats(spark, sf_dir))
         .unionByName(q_line_stats(spark, sf_dir))
         .unionByName(q_triangle_stats(spark, sf_dir))
+        .unionByName(q_kcore_stats(spark, sf_dir))
     )
 
 
@@ -1716,6 +1801,8 @@ UNION ALL
 SELECT * FROM ({{line_sql}})
 UNION ALL
 SELECT * FROM ({{tri_sql}})
+UNION ALL
+SELECT * FROM ({{kcore_sql}})
 """
 
 
@@ -1899,6 +1986,7 @@ _DIST_STATS_SQL = (
     .replace("{kmeans_sql}", _kmeans_sql())
     .replace("{line_sql}", _LINE_SQL)
     .replace("{tri_sql}", _TRI_SQL)
+    .replace("{kcore_sql}", _kcore_sql())
 )
 
 
@@ -1960,6 +2048,7 @@ QUERIES["dist_stats"] = Q(
         "kmeans": q_kmeans_stats,
         "line": q_line_stats,
         "tri": q_triangle_stats,
+        "kcore": q_kcore_stats,
     },
 )
 _MOMENTS_MERGED_SQL = f"""

@@ -1273,6 +1273,106 @@ def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 25
+_PMI_SCALE = 10**9
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'pmi' variant: collocation mining by integer-scaled lift
+    (operators/collocations.py) — top-{top} adjacent token pairs with
+    support >= {mc}, rank-equivalent to PMI at fixed corpus; bigrams
+    form map-side inside the token array (no positional self-join).
+    Column mapping: source = left token, token = right token,
+    rank = the support count c_xy, score = the scaled lift."""
+    from ..operators.collocations import bigram_lift
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    lifted = bigram_lift(
+        docs, min_count=_PMI_MIN_COUNT, scale=_PMI_SCALE
+    )
+    top = lifted.orderBy(
+        F.col("lift").desc(), F.col("left").asc(), F.col("right").asc()
+    ).limit(_PMI_TOP)
+    return top.select(
+        F.lit("pmi").alias("variant"),
+        F.col("left").alias("source"),
+        F.col("right").alias("token"),
+        F.col("c_xy").cast("bigint").alias("rank"),
+        F.col("lift").cast("double").alias("score"),
+    )
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'drift' variant: pairwise corpus drift between sources
+    (operators/drift.py) — token distributions quantized to integer
+    ppm, exact L1 distance over the dense shared-vocabulary grid
+    (2e6 x total-variation, up to quantization). Column mapping:
+    source/token = the slice pair, rank = tokens whose quantized
+    share differs, score = the integer L1 ppm distance."""
+    from ..operators.drift import l1_drift, token_ppm
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    rows = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+    )
+    out = l1_drift(token_ppm(rows, "source", "token"), "source", "token")
+    return out.select(
+        F.lit("drift").alias("variant"),
+        F.col("grp_a").alias("source"),
+        F.col("grp_b").alias("token"),
+        F.col("n_diff").cast("bigint").alias("rank"),
+        F.col("l1_ppm").cast("double").alias("score"),
+    )
+
+
+_PMI_SQL = f"""
+WITH pt AS (
+  SELECT string_split(trim(text), ' ') AS t FROM documents
+), puc AS (
+  SELECT tok, count(*) AS c FROM (SELECT unnest(t) AS tok FROM pt)
+  GROUP BY tok
+), pbc AS (
+  SELECT l, r, count(*) AS c_xy FROM (
+    SELECT t[i] AS l, t[i + 1] AS r
+    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM pt
+          WHERE len(t) >= 2))
+  GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_COUNT}
+)
+SELECT 'pmi' AS variant, l AS source, r AS token,
+       CAST(c_xy AS BIGINT) AS rank,
+       CAST((c_xy * CAST({_PMI_SCALE} AS BIGINT)) // (cx.c * cy.c)
+            AS DOUBLE) AS score
+FROM pbc JOIN puc cx ON cx.tok = l JOIN puc cy ON cy.tok = r
+ORDER BY score DESC, l ASC, r ASC LIMIT {_PMI_TOP}
+"""
+
+_DRIFT_SQL = """
+WITH dtok AS (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS token
+  FROM documents
+), dtf AS (
+  SELECT source, token, count(*) AS c FROM dtok GROUP BY 1, 2
+), dtot AS (
+  SELECT source, count(*) AS n FROM dtok GROUP BY 1
+), dppm AS (
+  SELECT tf.source, tf.token, (tf.c * 1000000) // t.n AS q
+  FROM dtf tf JOIN dtot t ON tf.source = t.source
+), dgrid AS (
+  SELECT g.source, v.token, coalesce(p.q, 0) AS q
+  FROM (SELECT DISTINCT token FROM dppm) v
+  CROSS JOIN (SELECT DISTINCT source FROM dppm) g
+  LEFT JOIN dppm p ON p.source = g.source AND p.token = v.token
+)
+SELECT 'drift' AS variant, a.source AS source, b.source AS token,
+       CAST(count(CASE WHEN a.q <> b.q THEN 1 END) AS BIGINT) AS rank,
+       CAST(sum(abs(a.q - b.q)) AS DOUBLE) AS score
+FROM dgrid a JOIN dgrid b ON a.token = b.token AND a.source < b.source
+GROUP BY 1, 2, 3
+"""
+
+
 def q_tfidf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf characteristic terms + BM25 retrieval + hybrid rerank +
     index-served BM25 in one union-tagged entry (driver cap). variant
@@ -1281,7 +1381,8 @@ def q_tfidf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     'hybrid': q_hybrid_rerank — same grain, score = anchor cosine.
     variant 'bm25_index': q_bm25_index_topk — BM25 served from the
     persisted inverted index, must hash-match the from-raw scores (the
-    generic-column union-tagging convention, README §union-tagging)."""
+    generic-column union-tagging convention, README §union-tagging).
+    variant 'pmi': q_collocations. variant 'drift': q_source_drift."""
     t = q_tfidf_terms(spark, sf_dir).select(
         F.lit("tfidf").alias("variant"), "source", "token", "rank", "score"
     )
@@ -1289,6 +1390,8 @@ def q_tfidf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.unionByName(q_bm25_topk(spark, sf_dir))
         .unionByName(q_hybrid_rerank(spark, sf_dir))
         .unionByName(q_bm25_index_topk(spark, sf_dir))
+        .unionByName(q_collocations(spark, sf_dir))
+        .unionByName(q_source_drift(spark, sf_dir))
     )
 
 
@@ -1397,6 +1500,10 @@ SELECT 'bm25_index' AS variant, query_id AS source,
        CAST(doc_id AS VARCHAR) AS token,
        CAST(rank AS BIGINT) AS rank, score
 FROM ({_BM25_RANKED_SQL})
+UNION ALL
+SELECT * FROM ({_PMI_SQL})
+UNION ALL
+SELECT * FROM ({_DRIFT_SQL})
 """
 
 
@@ -1408,6 +1515,8 @@ QUERIES["tfidf_terms"] = Q(
         "bm25": q_bm25_topk,
         "hybrid": q_hybrid_rerank,
         "bm25_index": q_bm25_index_topk,
+        "pmi": q_collocations,
+        "drift": q_source_drift,
     },
 )
 

@@ -142,3 +142,49 @@ def scd2_upsert(
         .unionByName(new_versions)
         .unionByName(brand_new)
     )
+
+
+def apply_cdc(
+    log: DataFrame,
+    *,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize the final state of an ordered change log
+    (Debezium/CDC apply): per key the HIGHEST-sequence event wins,
+    and a winning delete tombstone removes the key entirely.
+
+    One aggregation — ``max(struct(seq, op, payload...))`` per key —
+    so the whole apply is a single map-side-combining shuffle (no
+    per-key window sort; a key's log can be arbitrarily long and
+    still reduces incrementally). The struct max compares the
+    sequence first; the caller's contract is a unique sequence per
+    key (Kafka offset, LSN) — if sequences ever tie, the op and
+    payload bytes break the tie deterministically rather than
+    nondeterministically.
+
+    Returns one row per surviving key: ``(key, *payload_cols,
+    seq_col, op_col)`` — the applied state plus the winning event's
+    provenance.
+    """
+    last = (
+        log.groupBy(key)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col),
+                    F.col(op_col),
+                    *[F.col(c) for c in payload_cols],
+                )
+            ).alias("__last")
+        )
+    )
+    return last.where(F.col(f"__last.{op_col}") != delete_op).select(
+        key,
+        *[F.col(f"__last.{c}").alias(c) for c in payload_cols],
+        F.col(f"__last.{seq_col}").alias(seq_col),
+        F.col(f"__last.{op_col}").alias(op_col),
+    )

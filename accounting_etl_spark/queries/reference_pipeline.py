@@ -297,12 +297,67 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_DELETE_VENDOR = "MEGA STORE OUTLET INC"
+_CDC_DDL = (
+    "vendor string, gl_account string, location string, program string, "
+    "funder string, department string"
+)
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'cdc' variant: Debezium-style change-log apply
+    (operators/upsert.py::apply_cdc) — the log replays the dim as
+    seq-1 upserts, the MERGE batch as seq-2 upserts, and one seq-3
+    delete tombstone; the final state must show the updates applied
+    and the deleted vendor gone, in ONE map-side-combining
+    aggregation (no per-key window sort). ts1 = the winning event's
+    sequence, ts2 = its op."""
+    from ..operators.upsert import apply_cdc
+
+    base = (
+        FX.vendor_df(spark)
+        .select("vendor", *_DIM_COLS)
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    upd = (
+        spark.createDataFrame(_UPDATE_ROWS, _CDC_DDL)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = (
+        spark.createDataFrame([(_CDC_DELETE_VENDOR,)], "vendor string")
+        .select(
+            "vendor",
+            *[F.lit(None).cast("string").alias(c) for c in _DIM_COLS],
+        )
+        .withColumn("seq", F.lit(3))
+        .withColumn("op", F.lit("D"))
+    )
+    out = apply_cdc(
+        base.unionByName(upd).unionByName(dele),
+        key="vendor",
+        seq_col="seq",
+        op_col="op",
+        payload_cols=_DIM_COLS,
+    )
+    return out.select(
+        F.lit("cdc").alias("variant"),
+        "vendor",
+        *_DIM_COLS,
+        F.col("seq").cast("string").alias("ts1"),
+        F.col("op").alias("ts2"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+
+
 def q_upsert_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD1 + SCD2 MERGE semantics + the before/after snapshot diff in
-    one union-tagged entry (driver cap). variant 'scd1': ts1/ts2 =
-    created_at/updated_at; variant 'scd2': ts1/ts2 =
-    valid_from/valid_to (NULL while open) with the is_current flag;
-    variant 'diff': ts1 = change kind, ts2 = changed columns."""
+    """SCD1 + SCD2 MERGE semantics + the before/after snapshot diff +
+    the CDC change-log apply in one union-tagged entry (driver cap).
+    variant 'scd1': ts1/ts2 = created_at/updated_at; variant 'scd2':
+    ts1/ts2 = valid_from/valid_to (NULL while open) with the
+    is_current flag; variant 'diff': ts1 = change kind, ts2 = changed
+    columns; variant 'cdc': ts1 = winning seq, ts2 = winning op."""
     scd1 = q_merge_upsert(spark, sf_dir).select(
         F.lit("scd1").alias("variant"),
         "vendor",
@@ -319,7 +374,11 @@ def q_upsert_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").alias("ts2"),
         "is_current",
     )
-    return scd1.unionByName(scd2).unionByName(q_snapshot_diff(spark, sf_dir))
+    return (
+        scd1.unionByName(scd2)
+        .unionByName(q_snapshot_diff(spark, sf_dir))
+        .unionByName(q_cdc_apply(spark, sf_dir))
+    )
 
 
 _UPSERT_VARIANTS_SQL = f"""
@@ -426,6 +485,22 @@ FROM (
          END AS ts2
   FROM dim d FULL OUTER JOIN scd1 s ON d.vendor = s.vendor
 ) WHERE ts1 <> 'unchanged'
+UNION ALL
+SELECT 'cdc' AS variant, vendor, gl_account, location, program, funder,
+       department, CAST(seq AS VARCHAR) AS ts1, op AS ts2,
+       CAST(NULL AS BOOLEAN) AS is_current
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vendor ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT vendor, gl_account, location, program, funder, department,
+           1 AS seq, 'U' AS op
+    FROM vendor_dim
+    UNION ALL
+    SELECT *, 2, 'U' FROM updates
+    UNION ALL
+    SELECT '{_CDC_DELETE_VENDOR}', NULL, NULL, NULL, NULL, NULL, 3, 'D'
+  )
+) WHERE rn = 1 AND op <> 'D'
 """
 
 
@@ -463,6 +538,7 @@ QUERIES: dict[str, Q] = {
             "scd1": q_merge_upsert,
             "scd2": q_scd2_upsert,
             "diff": q_snapshot_diff,
+            "cdc": q_cdc_apply,
         },
     ),
     "excel_projection": Q(q_excel_projection, _EXCEL_SQL),

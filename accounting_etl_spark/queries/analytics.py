@@ -2022,6 +2022,56 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FANOUT_TOP = 10
+
+
+def q_fanout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'fanout' variant: the pre-flight join diagnostic
+    (operators/skew.py) on events x orders over the user key — exact
+    per-key output cardinalities of the equi-join WITHOUT running it
+    (two count aggregates + one key-distinct-sized join). grp = the
+    top-{top} keys by fanout (key tie-break), n = per-key fanout,
+    v1/v2 = side counts, v3 = the join's total output cardinality."""
+    from ..operators.skew import join_fanout_profile
+
+    prof = stable_checkpoint(
+        join_fanout_profile(
+            load_table(spark, sf_dir, "events"),
+            load_table(spark, sf_dir, "orders"),
+            "user_id",
+            "o_custkey",
+        )
+    )
+    total = prof.agg(F.sum("fanout").alias("__tot"))
+    top = prof.orderBy(F.col("fanout").desc(), F.col("key").asc()).limit(
+        _FANOUT_TOP
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        F.lit("fanout").alias("variant"),
+        F.col("key").cast("string").alias("grp"),
+        F.col("fanout").cast("bigint").alias("n"),
+        F.col("n_left").cast("double").alias("v1"),
+        F.col("n_right").cast("double").alias("v2"),
+        F.col("__tot").cast("double").alias("v3"),
+    )
+
+
+def q_salted_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted aggregation + the join-fanout skew profile in
+    one union-tagged entry (driver cap). variant 'salted':
+    grp = returnflag, n = count, v1 = decimal-exact quantity sum,
+    v2/v3 = min/max price. variant 'fanout': see q_fanout_stats."""
+    salted = q_salted_agg(spark, sf_dir).select(
+        F.lit("salted").alias("variant"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_qty").cast("double").alias("v1"),
+        F.col("min_price").cast("double").alias("v2"),
+        F.col("max_price").cast("double").alias("v3"),
+    )
+    return salted.unionByName(q_fanout_stats(spark, sf_dir))
+
+
 _SALTED_SQL = """
 SELECT l_returnflag,
   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
@@ -2029,6 +2079,34 @@ SELECT l_returnflag,
   min(l_extendedprice) AS min_price,
   max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag
+"""
+
+_SALTED_MERGED_SQL = f"""
+SELECT 'salted' AS variant, l_returnflag AS grp, CAST(n AS BIGINT) AS n,
+       CAST(sum_qty AS DOUBLE) AS v1, CAST(min_price AS DOUBLE) AS v2,
+       CAST(max_price AS DOUBLE) AS v3
+FROM ({_SALTED_SQL})
+UNION ALL
+SELECT * FROM (
+SELECT 'fanout' AS variant, CAST(key AS VARCHAR) AS grp,
+       CAST(fanout AS BIGINT) AS n, CAST(n_left AS DOUBLE) AS v1,
+       CAST(n_right AS DOUBLE) AS v2,
+       CAST((SELECT sum(fanout) FROM (
+         SELECT cl.n_left * cr.n_right AS fanout
+         FROM (SELECT user_id AS key, count(*) AS n_left FROM events
+               WHERE user_id IS NOT NULL GROUP BY 1) cl
+         JOIN (SELECT o_custkey AS key, count(*) AS n_right FROM orders
+               WHERE o_custkey IS NOT NULL GROUP BY 1) cr USING (key)
+       )) AS DOUBLE) AS v3
+FROM (
+  SELECT cl.key, cl.n_left, cr.n_right, cl.n_left * cr.n_right AS fanout
+  FROM (SELECT user_id AS key, count(*) AS n_left FROM events
+        WHERE user_id IS NOT NULL GROUP BY 1) cl
+  JOIN (SELECT o_custkey AS key, count(*) AS n_right FROM orders
+        WHERE o_custkey IS NOT NULL GROUP BY 1) cr USING (key)
+)
+ORDER BY n DESC, grp ASC LIMIT {_FANOUT_TOP}
+)
 """
 
 
@@ -2066,4 +2144,8 @@ QUERIES["stats_moments"] = Q(
     _MOMENTS_MERGED_SQL,
     variants={"moments": q_stats_moments, "contracts": q_contract_audit},
 )
-QUERIES["salted_agg"] = Q(q_salted_agg, _SALTED_SQL)
+QUERIES["salted_agg"] = Q(
+    q_salted_merged,
+    _SALTED_MERGED_SQL,
+    variants={"salted": q_salted_agg, "fanout": q_fanout_stats},
+)

@@ -233,6 +233,89 @@ GROUP BY c_custkey, c_name
 """
 
 
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'ivm' variant: counting-algorithm incremental view maintenance
+    (operators/ivm.py). The customer x orders inner-join view starts
+    from partial table states (orders with key % 7 != 0, customers
+    with key % 13 != 0), then one signed delta batch inserts the held
+    back rows AND deletes the orders with key % 11 == 3 — the
+    maintained bag, served as the per-customer aggregate, must equal
+    the DIRECT join of the final table states, which is exactly what
+    the oracle computes. The hash match IS the proof that the delta
+    path reproduces recomputation."""
+    from ..operators.ivm import (
+        MULT,
+        apply_delta,
+        as_bag,
+        bag_union,
+        join_view_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    a_old = orders.where(F.col("o_orderkey") % 7 != 0)
+    b_old = customer.where(F.col("c_custkey") % 13 != 0)
+    da = bag_union(
+        as_bag(orders.where(F.col("o_orderkey") % 7 == 0)),
+        as_bag(a_old.where(F.col("o_orderkey") % 11 == 3), -1),
+    )
+    db = as_bag(customer.where(F.col("c_custkey") % 13 == 0))
+    view_old = as_bag(a_old.join(b_old, "c_custkey"))
+    delta = join_view_delta(
+        as_bag(a_old), da, as_bag(b_old), db, on="c_custkey"
+    )
+    view_new = apply_delta(view_old, delta)
+    return view_new.groupBy("c_custkey", "c_name").agg(
+        F.sum(MULT).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.col(MULT)
+        )
+        .cast("double")
+        .alias("spend"),
+    ).select(
+        F.lit("ivm").alias("variant"),
+        "c_custkey",
+        "c_name",
+        "n_orders",
+        "spend",
+    )
+
+
+def q_outer_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer aggregate + the incrementally-maintained inner-join
+    view in one union-tagged entry (driver cap). variant 'outer':
+    q_outer_join_agg. variant 'ivm': q_ivm_join."""
+    outer = q_outer_join_agg(spark, sf_dir).select(
+        F.lit("outer").alias("variant"),
+        "c_custkey",
+        "c_name",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("spend").cast("double").alias("spend"),
+    )
+    return outer.unionByName(q_ivm_join(spark, sf_dir))
+
+
+_OUTER_MERGED_SQL = f"""
+SELECT 'outer' AS variant, c_custkey, c_name,
+       CAST(n_orders AS BIGINT) AS n_orders, CAST(spend AS DOUBLE) AS spend
+FROM ({_OUTER_SQL})
+UNION ALL
+SELECT 'ivm' AS variant, c_custkey, c_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS spend
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE (o_orderkey % 7 = 0) OR (o_orderkey % 11 <> 3)
+GROUP BY 1, 2, 3
+"""
+
+
 def q_two_tier_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 two-tier vendor lookup (reference database.py:83-126).
 
@@ -651,7 +734,11 @@ def _build_queries() -> dict[str, Q]:
         "flagship_revenue": Q(q_flagship_revenue, _FLAGSHIP_SQL),
         "top_orders": Q(q_top_orders, _TOP_ORDERS_SQL),
         "semi_anti_join": Q(q_semi_anti_join, _SEMI_ANTI_SQL),
-        "outer_join_agg": Q(q_outer_join_agg, _OUTER_SQL),
+        "outer_join_agg": Q(
+            q_outer_merged,
+            _OUTER_MERGED_SQL,
+            variants={"outer": q_outer_join_agg, "ivm": q_ivm_join},
+        ),
         "two_tier_lookup": Q(q_two_tier_lookup, _TWO_TIER_SQL),
         "grouping_multi": Q(q_grouping_multi, _grouping_multi_sql()),
         "distinct_agg": Q(q_distinct_agg, _DISTINCT_SQL),

@@ -119,8 +119,25 @@ def resolve_entities(
     Returns every input record labeled with its entity:
     (id, name, entity_id, cluster_size, is_canonical).
     """
+    rec = records.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(name_col).alias("name"),
+    )
+    # exact-duplicate collapse: byte-identical names are distance-0
+    # pairs by definition, so they are matched FOR FREE by folding
+    # each identical-name group into its min-id representative before
+    # any pairwise work. On duplicate-heavy corpora this is the
+    # difference between pair volume quadratic in the duplication
+    # depth and pair volume linear in the DISTINCT-name count — the
+    # clustering is provably unchanged: edges between identical-name
+    # records are implied by the shared representative, and the
+    # rep-level CC label (min rep id) equals the min record id of the
+    # merged cluster because each rep is already its group's minimum.
+    reps = rec.groupBy("name").agg(F.min("id").alias("rep"))
     edges = match_pairs(
-        records,
+        reps.select(
+            F.col("rep").alias(id_col), F.col("name").alias(name_col)
+        ),
         id_col=id_col,
         name_col=name_col,
         keys=keys,
@@ -130,17 +147,12 @@ def resolve_entities(
     labels = connected_components(
         edges, src="id_a", dst="id_b", max_iter=max_iter
     )
-    rec = records.select(
-        F.col(id_col).cast("bigint").alias("id"),
-        F.col(name_col).alias("name"),
-    )
-    ent = rec.join(
-        labels, rec["id"] == labels["node"], "left"
+    rep_label = reps.join(
+        labels, reps["rep"] == labels["node"], "left"
     ).select(
-        "id",
-        "name",
-        F.coalesce(F.col("label"), F.col("id")).alias("entity_id"),
+        "name", F.coalesce(F.col("label"), F.col("rep")).alias("entity_id")
     )
+    ent = rec.join(rep_label, "name")
     sizes = ent.groupBy("entity_id").agg(
         F.count("*").cast("bigint").alias("cluster_size")
     )

@@ -238,7 +238,7 @@ def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     served result must equal the one-shot batch aggregate EXACTLY
     (decimal partials make the re-merge order-independent), which is
     what the DuckDB oracle computes.  Two grains from the SAME
-    partials: the rollup grain (hourly bucket × type — coarser than the\n    tumble10m variant on purpose: the rollup's job here is the merge\n    machinery, and the hourly grain keeps the per-epoch touched-bucket\n    fan small the way a watermarked stream would) and a coarser
+    partials: the rollup grain (6-hour bucket × type — coarser than the\n    tumble10m variant on purpose: the rollup's job here is the merge\n    machinery, and the hourly grain keeps the per-epoch touched-bucket\n    fan small the way a watermarked stream would) and a coarser
     re-aggregation (type only, ``window_start_s`` NULL) — the serving
     path that never touches raw data."""
     import tempfile
@@ -246,7 +246,7 @@ def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.rollup import merge_epoch, read_rollup, serve
 
     events = load_table(spark, sf_dir, "events").select(
-        F.expr("(unix_micros(ts) div 3600000000) * 3600").alias(
+        F.expr("(unix_micros(ts) div 21600000000) * 21600").alias(
             "window_start_s"
         ),
         "event_type",
@@ -281,7 +281,7 @@ def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROLLUP_SQL = """
-SELECT CAST(((epoch_ns(ts) // 1000) // 3600000000) * 3600 AS BIGINT) AS window_start_s,
+SELECT CAST(((epoch_ns(ts) // 1000) // 21600000000) * 21600 AS BIGINT) AS window_start_s,
        event_type, count(*) AS n,
        CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM events GROUP BY 1, 2

@@ -514,6 +514,90 @@ QUERIES: dict[str, Q] = {
 }
 
 
+_COHORT_MAX_OFFSET = 7  # first-week retention
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'cohort' variant: retention matrix — users grouped by their
+    FIRST-activity day (the cohort), counted on each of the next
+    {d} days they return. Two aggregates and one user-keyed join,
+    all integer-day arithmetic: grp = 'cohort_day|offset_day',
+    n = returning users (the (user, day) grid is distinct by
+    construction, so count(*) IS the distinct-user count)."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("c0"))
+    return (
+        ud.join(cohort, "user_id")
+        .withColumn("offset", F.col("day") - F.col("c0"))
+        .where(F.col("offset") <= _COHORT_MAX_OFFSET)
+        .groupBy("c0", "offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("cohort").alias("variant"),
+            F.concat_ws("|", "c0", "offset").alias("grp"),
+            "n",
+        )
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'transitions' variant: first-order Markov transition counts of
+    the per-user event-type sequence (path/Sankey analysis) — one
+    user-partitioned lag window + one aggregate. grp = 'prev>next'."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("transitions").alias("variant"),
+            F.concat(F.col("prev"), F.lit(">"), F.col("event_type")).alias(
+                "grp"
+            ),
+            "n",
+        )
+    )
+
+
+_COHORT_SQL = f"""
+SELECT 'cohort' AS variant, CAST(c0 AS VARCHAR) || '|' || CAST(
+         day - c0 AS VARCHAR) AS grp,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS c0
+  FROM (SELECT DISTINCT user_id,
+               (epoch_ns(ts) // 1000) // 86400000000 AS day
+        FROM events)
+)
+WHERE day - c0 <= {_COHORT_MAX_OFFSET}
+GROUP BY 1, 2
+"""
+
+_TRANSITIONS_SQL = """
+SELECT 'transitions' AS variant, prev || '>' || event_type AS grp,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel: users who viewed, then clicked within
     48h of their first view, then purchased within 48h of that click (strict event-time ordering + conversion windows, exact

@@ -238,7 +238,8 @@ GROUP BY p_brand
 
 
 def q_subquery_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4-EXISTS + Q16-NOT-IN + Q13-distribution in one union-tagged
+    """Q4-EXISTS + Q16-NOT-IN + Q13-distribution + funnel + cohort
+    retention + Markov transition counts in one union-tagged
     entry (driver cap: the correctness gate records at most 50
     registry entries). All three decorrelate to (group, count) — the
     subquery-planning battery in one driver-checked result."""
@@ -257,17 +258,32 @@ def q_subquery_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("string").alias("grp"),
         F.col("n_customers").cast("bigint").alias("n"),
     )
-    from .events import q_funnel_steps
+    from .events import (
+        q_cohort_retention,
+        q_event_transitions,
+        q_funnel_steps,
+    )
 
     return (
         late.unionByName(not_in)
         .unionByName(dist)
         .unionByName(q_funnel_steps(spark, sf_dir))
+        .unionByName(q_cohort_retention(spark, sf_dir))
+        .unionByName(q_event_transitions(spark, sf_dir))
     )
 
 
+def _events_q(name):
+    def _fn(spark, sf_dir):
+        from . import events
+
+        return getattr(events, name)(spark, sf_dir)
+
+    return _fn
+
+
 def _subquery_counts_sql() -> str:
-    from .events import _FUNNEL_SQL
+    from .events import _COHORT_SQL, _FUNNEL_SQL, _TRANSITIONS_SQL
 
     return f"""
 SELECT 'late_exists' AS variant, o_orderpriority AS grp, CAST(n_late AS BIGINT) AS n
@@ -281,6 +297,10 @@ SELECT 'order_count_dist' AS variant, CAST(n_orders AS VARCHAR) AS grp,
 FROM ({_DISTRIBUTION_SQL})
 UNION ALL
 SELECT variant, grp, n FROM ({_FUNNEL_SQL})
+UNION ALL
+SELECT variant, grp, n FROM ({_COHORT_SQL})
+UNION ALL
+SELECT variant, grp, n FROM ({_TRANSITIONS_SQL})
 """
 
 
@@ -389,7 +409,14 @@ FROM ({_SHARE_SQL})
 
 QUERIES: dict[str, Q] = {
     "top_customer_per_nation": Q(q_top_customer_per_nation, _TOP_CUST_SQL),
-    "subquery_counts": Q(q_subquery_counts, _SUBQUERY_COUNTS_SQL),
+    "subquery_counts": Q(
+        q_subquery_counts,
+        _SUBQUERY_COUNTS_SQL,
+        variants={
+            "cohort": _events_q("q_cohort_retention"),
+            "transitions": _events_q("q_event_transitions"),
+        },
+    ),
     "trade_analytics": Q(q_trade_analytics, _TRADE_SQL),
     "big_orders": Q(q_big_orders, _BIG_ORDERS_SQL),
 }

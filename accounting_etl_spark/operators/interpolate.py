@@ -1,0 +1,79 @@
+"""Linear gap interpolation over keyed integer series — the
+imputation step after a spine join turns a sparse series dense.
+
+Resampling (queries/analytics.py::q_date_spine) leaves NULLs on grid
+points with no observation; downstream models usually want them
+filled. Forward/backward fill are one ``last(ignorenulls)`` window
+each; LINEAR interpolation needs the bracketing observations on both
+sides, computed as the WEIGHTED AVERAGE form
+
+    v = (vp * (xn - x) + vn * (x - xp)) div (xn - xp)
+
+entirely in integer arithmetic (callers quantize, e.g. cents). The
+weighted form keeps the numerator non-negative whenever ``y`` is
+non-negative, which is what makes Spark's ``div`` (truncation
+toward zero) and DuckDB's ``//`` (floor) agree bit-for-bit — the
+operator's contract is therefore a NON-NEGATIVE ``y`` domain;
+offset-shift signed series first (the operators/kmeans.py
+convention).
+
+Shape: two cumulative windows per key (forward and backward pass),
+each carrying BOTH the last observed value and the x it occurred at
+— no self-join against the observation set. Window partitions are
+per-key series, bounded by the spine length (time range / grain),
+not by the corpus: the contract for unbounded series is to segment
+the spine first.
+
+Grid points outside the observed range (before the first / after the
+last observation) stay NULL — extrapolation is a modeling choice the
+operator refuses to make silently.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def linear_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: str,
+    y: str,
+    *,
+    out: str = "filled",
+) -> DataFrame:
+    """Add ``out``: ``y`` where observed, the floor-linear
+    interpolation between the bracketing observations where NULL,
+    NULL outside the observed range. ``x`` and ``y`` must be integer
+    columns; rows must be unique per (keys, x)."""
+    kcols: list[Column] = [F.col(k) for k in keys]
+    fwd = (
+        Window.partitionBy(*kcols)
+        .orderBy(F.col(x).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(*kcols)
+        .orderBy(F.col(x).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_x = F.when(F.col(y).isNotNull(), F.col(x))
+    with_ends = (
+        df.withColumn("__py", F.last(y, ignorenulls=True).over(fwd))
+        .withColumn("__px", F.last(obs_x, ignorenulls=True).over(fwd))
+        .withColumn("__ny", F.last(y, ignorenulls=True).over(bwd))
+        .withColumn("__nx", F.last(obs_x, ignorenulls=True).over(bwd))
+    )
+    interp = F.expr(
+        f"(__py * (__nx - {x}) + __ny * ({x} - __px))"
+        " div (__nx - __px)"
+    )
+    return with_ends.withColumn(
+        out,
+        F.when(F.col(y).isNotNull(), F.col(y)).when(
+            F.col("__py").isNotNull() & F.col("__ny").isNotNull(), interp
+        ),
+    ).drop("__py", "__px", "__ny", "__nx")

@@ -100,6 +100,70 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spine_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'interp' variant: linear imputation over the daily spine
+    (operators/interpolate.py) — daily value totals in integer cents
+    observed only on every third day (dayofmonth % 3 == 1, a
+    simulated sparse sensor), the gaps filled by exact integer
+    weighted-average interpolation. n = the filled cents, total = the
+    observed cents (NULL on interpolated rows) — both engines fill
+    identical bits."""
+    from ..operators.interpolate import linear_fill
+
+    events = load_table(spark, sf_dir, "events")
+    spine = spark.range(31).select(
+        F.col("id").cast("int").alias("x"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+        ).alias("day"),
+    )
+    daily = (
+        events.withColumn(
+            "day",
+            F.expr(
+                "date_from_unix_date(CAST(unix_micros(ts)"
+                " DIV 86400000000 AS INT))"
+            ),
+        )
+        .groupBy("day")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    sparse = (
+        spine.join(daily, "day", "left")
+        .withColumn(
+            "obs",
+            F.when(
+                F.dayofmonth("day") % 3 == 1, F.col("cents")
+            ).cast("bigint"),
+        )
+        .select("day", "x", "obs")
+    )
+    filled = linear_fill(sparse, [], "x", "obs", out="fill")
+    return filled.select(
+        F.lit("interp").alias("variant"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("fill").cast("bigint").alias("n"),
+        F.col("obs").cast("double").alias("total"),
+    )
+
+
+def q_spine_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resample + linear imputation in one
+    union-tagged entry (driver cap). variant 'spine': q_date_spine.
+    variant 'interp': q_spine_interpolated."""
+    spine = q_date_spine(spark, sf_dir).select(
+        F.lit("spine").alias("variant"),
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    )
+    return spine.unionByName(q_spine_interpolated(spark, sf_dir))
+
+
 _DATE_SPINE_SQL = """
 WITH spine AS (
   SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
@@ -112,6 +176,48 @@ WITH spine AS (
 SELECT strftime(s.day, '%Y-%m-%d') AS day,
        COALESCE(d.n, 0) AS n, COALESCE(d.total, 0.0) AS total
 FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+_SPINE_INTERP_SQL = """
+WITH ispine AS (
+  SELECT CAST(x AS INT) AS x,
+         CAST(DATE '2024-01-01' + INTERVAL (x) DAY AS DATE) AS day
+  FROM range(31) t(x)
+), idaily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), isparse AS (
+  SELECT s.day, s.x,
+         CASE WHEN date_part('day', s.day) % 3 = 1 THEN d.cents END AS obs
+  FROM ispine s LEFT JOIN idaily d USING (day)
+), iends AS (
+  SELECT day, x, obs,
+    last_value(obs IGNORE NULLS) OVER fw AS py,
+    last_value(CASE WHEN obs IS NOT NULL THEN x END IGNORE NULLS)
+      OVER fw AS px,
+    last_value(obs IGNORE NULLS) OVER bw AS ny,
+    last_value(CASE WHEN obs IS NOT NULL THEN x END IGNORE NULLS)
+      OVER bw AS nx
+  FROM isparse
+  WINDOW fw AS (ORDER BY x ASC ROWS UNBOUNDED PRECEDING),
+         bw AS (ORDER BY x DESC ROWS UNBOUNDED PRECEDING)
+)
+SELECT 'interp' AS variant, strftime(day, '%Y-%m-%d') AS day,
+       CAST(CASE WHEN obs IS NOT NULL THEN obs
+                 WHEN py IS NOT NULL AND ny IS NOT NULL
+                 THEN (py * (nx - x) + ny * (x - px)) // (nx - px)
+            END AS BIGINT) AS n,
+       CAST(obs AS DOUBLE) AS total
+FROM iends
+"""
+
+_SPINE_MERGED_SQL = f"""
+SELECT 'spine' AS variant, day, CAST(n AS BIGINT) AS n,
+       CAST(total AS DOUBLE) AS total
+FROM ({_DATE_SPINE_SQL})
+UNION ALL
+SELECT * FROM ({_SPINE_INTERP_SQL})
 """
 
 
@@ -147,7 +253,11 @@ FROM orders GROUP BY o_orderpriority
 
 QUERIES: dict[str, Q] = {
     "unpivot_measures": Q(q_unpivot, _UNPIVOT_SQL),
-    "date_spine": Q(q_date_spine, _DATE_SPINE_SQL),
+    "date_spine": Q(
+        q_spine_merged,
+        _SPINE_MERGED_SQL,
+        variants={"spine": q_date_spine, "interp": q_spine_interpolated},
+    ),
 }
 
 

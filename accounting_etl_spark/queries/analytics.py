@@ -754,12 +754,101 @@ FROM (
 """
 
 
+_CHI2_ROWS = ("click", "error", "purchase", "signup", "view")
+_CHI2_COLS = (0, 1)  # user-id parity cohorts
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'chi2' variant: chi-square independence test
+    (operators/stats_tests.py) of event type vs an A/B cohort
+    (user-id parity) — the contingency table is one aggregate pass of
+    conditional counts, the statistic one pinned expression tree over
+    those integers, so the float result is bit-identical across
+    engines. grp = the tested pair, n = total, v1 = chi2, v2 = dof,
+    v3 = Cramér's V."""
+    from ..operators.stats_tests import chi_square_independence
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 2).cast("int")
+    )
+    out = chi_square_independence(
+        ev, "event_type", "cohort", _CHI2_ROWS, _CHI2_COLS
+    )
+    return out.select(
+        F.lit("chi2").alias("variant"),
+        F.lit("event_type x user_parity").alias("grp"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("chi2").cast("double").alias("v1"),
+        F.col("dof").cast("double").alias("v2"),
+        F.col("cramers_v").cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
+    )
+
+
+def _chi2_sql() -> str:
+    """DuckDB twin generated from the SAME cell layout and fold order
+    as operators/stats_tests.py — identical float operation order is
+    what makes the statistic hash-exact."""
+    k, m = len(_CHI2_ROWS), len(_CHI2_COLS)
+    cells = ",\n         ".join(
+        "coalesce(sum(CASE WHEN event_type = '%s' AND cohort = %d "
+        "THEN 1 END), 0) AS o_%d_%d" % (rv, cv, i, j)
+        for i, rv in enumerate(_CHI2_ROWS)
+        for j, cv in enumerate(_CHI2_COLS)
+    )
+    r = [
+        " + ".join(f"o_{i}_{j}" for j in range(m)) for i in range(k)
+    ]
+    c = [
+        " + ".join(f"o_{i}_{j}" for i in range(k)) for j in range(m)
+    ]
+    rdefs = ", ".join(f"{expr} AS r_{i}" for i, expr in enumerate(r))
+    cdefs = ", ".join(f"{expr} AS c_{j}" for j, expr in enumerate(c))
+    ndef = " + ".join(f"r_{i}" for i in range(k))
+    terms = []
+    for i in range(k):
+        for j in range(m):
+            e = (
+                f"(CAST(r_{i} AS DOUBLE) * CAST(c_{j} AS DOUBLE)"
+                " / CAST(n AS DOUBLE))"
+            )
+            o = f"CAST(o_{i}_{j} AS DOUBLE)"
+            terms.append(
+                f"CASE WHEN {e} > 0 THEN ({o} - {e}) * ({o} - {e})"
+                f" / {e} ELSE 0.0 END"
+            )
+    chi2 = " + ".join(terms)
+    mindim = min(k - 1, m - 1)
+    return f"""
+WITH xev AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS cohort FROM events
+), xcells AS (
+  SELECT {cells}
+  FROM xev
+), xtot AS (
+  SELECT *, {rdefs}, {cdefs} FROM xcells
+), xn AS (
+  SELECT *, {ndef} AS n FROM xtot
+)
+SELECT 'chi2' AS variant, 'event_type x user_parity' AS grp,
+       CAST(n AS BIGINT) AS n,
+       CAST({chi2} AS DOUBLE) AS v1,
+       CAST({(k - 1) * (m - 1)} AS DOUBLE) AS v2,
+       CASE WHEN n > 0 AND {mindim} > 0
+            THEN sqrt(({chi2}) / (CAST(n AS DOUBLE) * {float(mindim)}))
+       END AS v3,
+       CAST(NULL AS DOUBLE) AS v4
+FROM xn
+"""
+
+
 def q_moments_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact second moments + data-contract audit in one union-tagged
     entry (driver cap: the correctness gate records at most 50
     registry entries). variant 'moments': see q_stats_moments
     (grp = returnflag, v1..v4 = var/std/cov/corr). variant
-    'contracts': see q_contract_audit."""
+    'contracts': see q_contract_audit. variant 'chi2': see
+    q_chi_square."""
     mom = q_stats_moments(spark, sf_dir).select(
         F.lit("moments").alias("variant"),
         F.col("l_returnflag").alias("grp"),
@@ -769,7 +858,9 @@ def q_moments_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cov_qty_price").cast("double").alias("v3"),
         F.col("corr_qty_price").cast("double").alias("v4"),
     )
-    return mom.unionByName(q_contract_audit(spark, sf_dir))
+    return mom.unionByName(q_contract_audit(spark, sf_dir)).unionByName(
+        q_chi_square(spark, sf_dir)
+    )
 
 
 _MOMENTS_SQL = """
@@ -2247,12 +2338,18 @@ SELECT 'moments' AS variant, l_returnflag AS grp, CAST(n AS BIGINT) AS n,
 FROM ({_MOMENTS_SQL})
 UNION ALL
 SELECT * FROM ({_CONTRACTS_SQL})
+UNION ALL
+SELECT * FROM ({_chi2_sql()})
 """
 
 QUERIES["stats_moments"] = Q(
     q_moments_merged,
     _MOMENTS_MERGED_SQL,
-    variants={"moments": q_stats_moments, "contracts": q_contract_audit},
+    variants={
+        "moments": q_stats_moments,
+        "contracts": q_contract_audit,
+        "chi2": q_chi_square,
+    },
 )
 QUERIES["salted_agg"] = Q(
     q_salted_merged,

@@ -80,6 +80,99 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEG_K = 5
+_NEG_OVERSAMPLE = 4
+_NEG_USERS = 50  # bounded deterministic user subset
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'negsamp' variant: deterministic hash negative sampling
+    (operators/negatives.py) over the customer x part purchase matrix
+    (orders x lineitem) for the first {u} customers — candidates are
+    md5-hash draws mod the part count (a broadcast 1-row scalar, so
+    the domain size never becomes a driver action), positives anti-
+    joined away, up to {k} negatives per user in slot order. Column
+    mapping: q_id = customer, nb_id = part, score = the draw slot."""
+    from ..operators.negatives import sample_negatives
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") <= _NEG_USERS
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pos = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").cast("bigint").alias("user_id"),
+        F.col("l_partkey").cast("bigint").alias("item_id"),
+    )
+    n_items = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    neg = sample_negatives(
+        pos,
+        user_col="user_id",
+        item_col="item_id",
+        n_items=n_items,
+        k=_NEG_K,
+        oversample=_NEG_OVERSAMPLE,
+    )
+    return neg.select(
+        F.lit("negsamp").alias("variant"),
+        F.col("user_id").alias("q_id"),
+        F.col("item_id").alias("nb_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("slot").cast("double").alias("score"),
+    )
+
+
+def q_cosine_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal cosine top-k + deterministic negative sampling
+    in one union-tagged entry (driver cap). variant 'cosine':
+    q_cosine_topk. variant 'negsamp': q_negative_samples."""
+    cos = q_cosine_topk(spark, sf_dir).select(
+        F.lit("cosine").alias("variant"),
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("nb_id").cast("bigint").alias("nb_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("cosine").cast("double").alias("score"),
+    )
+    return cos.unionByName(q_negative_samples(spark, sf_dir))
+
+
+_NEG_SQL = f"""
+WITH npos AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS user_id,
+         CAST(l_partkey AS BIGINT) AS item_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey <= {_NEG_USERS}
+), nusers AS (
+  SELECT DISTINCT user_id FROM npos
+), ncand0 AS (
+  SELECT user_id, CAST(slot AS BIGINT) AS slot,
+         1 + CAST(('0x' || substr(md5('neg' || '|' ||
+               CAST(user_id AS VARCHAR) || '|' ||
+               CAST(slot AS VARCHAR)), 1, 15)) AS BIGINT)
+             % (SELECT count(*) FROM part) AS item_id
+  FROM nusers, range({_NEG_K * _NEG_OVERSAMPLE}) t(slot)
+), ncand AS (
+  SELECT user_id, item_id, min(slot) AS slot
+  FROM ncand0 GROUP BY 1, 2
+), nneg AS (
+  SELECT c.user_id, c.item_id, c.slot,
+         row_number() OVER (PARTITION BY c.user_id
+                            ORDER BY c.slot ASC, c.item_id ASC) AS rank
+  FROM ncand c
+  WHERE NOT EXISTS (SELECT 1 FROM npos p
+                    WHERE p.user_id = c.user_id
+                      AND p.item_id = c.item_id)
+)
+SELECT 'negsamp' AS variant, user_id AS q_id, item_id AS nb_id,
+       CAST(rank AS BIGINT) AS rank, CAST(slot AS DOUBLE) AS score
+FROM nneg WHERE rank <= {_NEG_K}
+"""
+
 _COSINE_SQL = f"""
 WITH el0 AS (
   SELECT vec_id,
@@ -115,7 +208,18 @@ FROM scored WHERE rank <= {_TOP_K}
 
 
 QUERIES: dict[str, Q] = {
-    "cosine_topk": Q(q_cosine_topk, _COSINE_SQL),
+    "cosine_topk": Q(
+        q_cosine_merged,
+        f"""
+SELECT 'cosine' AS variant, CAST(q_id AS BIGINT) AS q_id,
+       CAST(nb_id AS BIGINT) AS nb_id, CAST(rank AS BIGINT) AS rank,
+       CAST(cosine AS DOUBLE) AS score
+FROM ({_COSINE_SQL})
+UNION ALL
+SELECT * FROM ({_NEG_SQL})
+""",
+        variants={"cosine": q_cosine_topk, "negsamp": q_negative_samples},
+    ),
 }
 
 

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "subquery_counts",
     "statement_pipeline",
     "vendor_enrich",
+    "merge_upsert",
+    "date_spine",
 ]
 
 

@@ -310,7 +310,8 @@ _SUBQUERY_COUNTS_SQL = _subquery_counts_sql()
 def q_trade_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 nation-pair volume + Q8 market share in one union-tagged
     entry (driver cap). variant 'pair_volume': supplier×customer
-    nation revenue per ship year; 'asia_share': ASIA's fraction of
+    nation revenue per ship year; 'rules': q_basket_rules
+    (market-basket association rules); 'asia_share': ASIA's fraction of
     yearly revenue (nation columns NULL).
 
     Both variants aggregate the SAME expanded join core
@@ -390,7 +391,83 @@ def q_trade_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_items").cast("bigint").alias("n_items"),
         )
     )
-    return vol.unionByName(share)
+    return vol.unionByName(share).unionByName(
+        q_basket_rules(spark, sf_dir)
+    )
+
+
+_RULES_MIN_SUPPORT = 2
+_RULES_TOP = 20
+_RULES_SCALE = 10**6
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'rules' variant: market-basket association rules
+    (operators/association.py) over orders-as-baskets of parts —
+    top-{t} directed rules by integer-scaled lift (min support
+    {ms}). Column mapping: supp_nation/cust_nation = antecedent /
+    consequent part, yr = confidence per-mille, measure = scaled
+    lift, n_items = the pair's support count."""
+    from ..operators.association import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    rules = association_rules(
+        li,
+        "basket",
+        "item",
+        min_support=_RULES_MIN_SUPPORT,
+        scale=_RULES_SCALE,
+    )
+    top = rules.orderBy(
+        F.col("lift_scaled").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    ).limit(_RULES_TOP)
+    return top.select(
+        F.lit("rules").alias("variant"),
+        F.col("antecedent").cast("string").alias("supp_nation"),
+        F.col("consequent").cast("string").alias("cust_nation"),
+        F.col("conf_milli").cast("int").alias("yr"),
+        F.col("lift_scaled").cast("double").alias("measure"),
+        F.col("c_xy").cast("bigint").alias("n_items"),
+    )
+
+
+_RULES_SQL = f"""
+WITH rbi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), ritems AS (
+  SELECT i AS item, count(*) AS c FROM rbi GROUP BY i
+), rnb AS (
+  SELECT count(DISTINCT b) AS nb FROM rbi
+), rpairs AS (
+  SELECT x.i AS a, y.i AS bb, count(*) AS c_xy
+  FROM rbi x JOIN rbi y ON x.b = y.b AND x.i < y.i
+  GROUP BY 1, 2 HAVING count(*) >= {_RULES_MIN_SUPPORT}
+), rdir AS (
+  SELECT a, bb, c_xy FROM rpairs
+  UNION ALL
+  SELECT bb, a, c_xy FROM rpairs
+), rfull AS (
+  SELECT d.a, d.bb, d.c_xy, ca.c AS c_x, cb.c AS c_y,
+         (d.c_xy * 1000) // ca.c AS conf_milli,
+         (d.c_xy * (SELECT nb FROM rnb)
+          * CAST({_RULES_SCALE} AS BIGINT)) // (ca.c * cb.c)
+           AS lift_scaled
+  FROM rdir d JOIN ritems ca ON ca.item = d.a
+              JOIN ritems cb ON cb.item = d.bb
+)
+SELECT 'rules' AS variant, CAST(a AS VARCHAR) AS supp_nation,
+       CAST(bb AS VARCHAR) AS cust_nation,
+       CAST(conf_milli AS INTEGER) AS yr,
+       CAST(lift_scaled AS DOUBLE) AS measure,
+       CAST(c_xy AS BIGINT) AS n_items
+FROM rfull
+ORDER BY lift_scaled DESC, a ASC, bb ASC LIMIT {_RULES_TOP}
+"""
 
 
 _TRADE_SQL = f"""
@@ -404,6 +481,8 @@ SELECT 'asia_share' AS variant, CAST(NULL AS VARCHAR) AS supp_nation,
        CAST(order_year AS INTEGER) AS yr, CAST(asia_share AS DOUBLE) AS measure,
        CAST(n_items AS BIGINT) AS n_items
 FROM ({_SHARE_SQL})
+UNION ALL
+SELECT * FROM ({_RULES_SQL})
 """
 
 
@@ -417,6 +496,10 @@ QUERIES: dict[str, Q] = {
             "transitions": _events_q("q_event_transitions"),
         },
     ),
-    "trade_analytics": Q(q_trade_analytics, _TRADE_SQL),
+    "trade_analytics": Q(
+        q_trade_analytics,
+        _TRADE_SQL,
+        variants={"rules": q_basket_rules},
+    ),
     "big_orders": Q(q_big_orders, _BIG_ORDERS_SQL),
 }

@@ -110,3 +110,45 @@ def curate_corpus(
         .withColumn("keep", F.col("drop_reason").isNull())
     )
     return verdicts.select("doc_id", "quality_score", "keep", "drop_reason")
+
+
+def dataset_card(docs: DataFrame, verdicts: DataFrame) -> DataFrame:
+    """The dataset card — the one-aggregate summary a curated corpus
+    ships with: per drop-reason document counts, whitespace-token
+    volume, and the kept share in exact parts-per-million.
+
+    ``verdicts`` is :func:`curate_corpus` output; ``docs`` the source
+    it was computed from (joined on ``doc_id`` for token volume).
+    Returns one row per verdict class (``kept`` or the drop reason):
+    ``(verdict, n_docs, n_tokens, docs_ppm, tokens_ppm)`` — ppm
+    shares are integer floor divisions against the corpus totals, so
+    the card is hash-portable like everything else.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias(
+            "__nt"
+        ),
+    )
+    per = (
+        verdicts.join(toks, "doc_id")
+        .groupBy(
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias(
+                "verdict"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("__td"), F.sum("n_tokens").alias("__tt")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "verdict",
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_docs * 1000000) div __td").alias("docs_ppm"),
+        F.expr("(n_tokens * 1000000) div __tt").alias("tokens_ppm"),
+    )

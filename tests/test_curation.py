@@ -162,3 +162,36 @@ def test_split_assign_fractions_and_determinism(spark):
     # deterministic across evaluations
     again = {r["id"]: r["s"] for r in out.collect()}
     assert {r["id"]: r["s"] for r in out.collect()} == again
+
+
+def test_dataset_card_shares_and_totals(spark):
+    from accounting_etl_spark.plans.curation import dataset_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s"),      # kept: 4 tokens
+            (2, "a b", "s"),          # dropped low_quality: 2 tokens
+            (3, "x y z w v u", "s"),  # kept: 6 tokens
+        ],
+        ["doc_id", "text", "source"],
+    )
+    verdicts = spark.createDataFrame(
+        [
+            (1, 0.9, True, None),
+            (2, 0.1, False, "low_quality"),
+            (3, 0.8, True, None),
+        ],
+        "doc_id long, quality_score double, keep boolean, "
+        "drop_reason string",
+    )
+    card = {
+        r.verdict: (r.n_docs, r.n_tokens, r.docs_ppm, r.tokens_ppm)
+        for r in dataset_card(docs, verdicts).collect()
+    }
+    assert card == {
+        "kept": (2, 10, (2 * 10**6) // 3, (10 * 10**6) // 12),
+        "low_quality": (1, 2, 10**6 // 3, (2 * 10**6) // 12),
+    }
+    # shares are exact floors of the corpus totals
+    assert sum(v[0] for v in card.values()) == 3
+    assert sum(v[1] for v in card.values()) == 12

@@ -9,20 +9,33 @@ identical bits: ``confidence_milli = (c_xy * 1000) div c_x`` and
 ``lift_scaled = (c_xy * n_baskets * scale) div (c_x * c_y)`` (lift
 > ``scale`` means positively associated).
 
-Shape: one distinct pass over (basket, item), one item-count
-aggregate, one within-basket self-join for pair counts (fan-out
-bounded by basket size squared — retail baskets are small; for
-web-scale baskets route through the chunked posting-list expansion
-of functions/pairs.py instead), and a min-support filter BEFORE the
-count joins so the rule table never carries the hapax-pair tail.
-The basket total stays a 1-row aggregate cross-joined broadcast —
-never a driver action.
+Scale shape (hot-basket safe):
+
+1. **A-priori prefilter** — a pair can only reach ``c_xy >=
+   min_support`` if BOTH members individually occur in at least
+   ``min_support`` baskets, so infrequent items are semi-joined
+   away BEFORE any pair is generated. Exact: every pruned pair
+   would have failed the support filter anyway.
+2. **Chunked local pair expansion** — baskets collapse to one
+   sorted item array each and ordered pairs are generated through
+   ``functions/pairs.py::explode_bucket_pairs``: the array is cut
+   into ``max_basket_chunk``-sized chunks whose index pairs explode
+   into separate rows first, so a hot basket (a crawler session
+   with 10^5 items) never materializes its n^2 pairs in one row or
+   one shuffle key — per-row memory is O(max_basket_chunk^2).
+3. The basket total stays a 1-row aggregate cross-joined broadcast
+   — never a driver action — and the lift product carries an
+   explicit int64 overflow guard (raise, not silent wrap).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.pairs import explode_bucket_pairs
+
+_I64_MAX = (1 << 63) - 1
 
 
 def association_rules(
@@ -32,6 +45,7 @@ def association_rules(
     *,
     min_support: int = 2,
     scale: int = 10**6,
+    max_basket_chunk: int = 1024,
 ) -> DataFrame:
     """Directed rules over every co-occurring item pair with
     ``c_xy >= min_support``: ``(antecedent, consequent, c_xy, c_x,
@@ -39,6 +53,10 @@ def association_rules(
     unordered pair."""
     if min_support < 1:
         raise ValueError("min_support must be >= 1")
+    if max_basket_chunk < 2:
+        raise ValueError("max_basket_chunk must be >= 2")
+    if not 1 <= scale <= _I64_MAX:
+        raise ValueError("scale must fit in int64")
     b = bi.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
@@ -48,16 +66,30 @@ def association_rules(
     nb = b.select("__b").distinct().agg(
         F.count(F.lit(1)).alias("__nb")
     )
+    # a-priori prefilter: drop items that cannot be a member of any
+    # frequent pair before pair generation ever runs
+    fb = b
+    if min_support > 1:
+        freq = items.where(F.col("c") >= min_support).select(
+            F.col("item").alias("__i")
+        )
+        fb = b.join(freq, "__i", "left_semi")
+    # one sorted item array per basket; contiguous slices of the
+    # sorted array make every chunk-expanded pair already ordered
+    # (a < b), matching the classic x.i < y.i self-join exactly
+    baskets = (
+        fb.groupBy("__b")
+        .agg(F.sort_array(F.collect_set("__i")).alias("__items"))
+        .where(F.size("__items") >= 2)
+    )
     pairs = (
-        b.alias("x")
-        .join(
-            b.alias("y"),
-            (F.col("x.__b") == F.col("y.__b"))
-            & (F.col("x.__i") < F.col("y.__i")),
+        explode_bucket_pairs(
+            baskets,
+            "__items",
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            max_basket_chunk,
         )
-        .groupBy(
-            F.col("x.__i").alias("a"), F.col("y.__i").alias("b")
-        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .where(F.col("c_xy") >= min_support)
     )
@@ -68,6 +100,14 @@ def association_rules(
     )
     ca = items.select(F.col("item").alias("a"), F.col("c").alias("c_x"))
     cb = items.select(F.col("item").alias("b"), F.col("c").alias("c_y"))
+    # lift product c_xy * nb * scale can exceed int64 on large
+    # corpora (c_xy ~ 1e7, nb ~ 1e7, scale 1e6): guard factor by
+    # factor (div never overflows) and raise rather than wrap
+    lift_num_ok = (
+        f"(__nb <= {_I64_MAX} div CAST({int(scale)} AS BIGINT))"
+        f" AND (c_xy <= {_I64_MAX} div"
+        f" (__nb * CAST({int(scale)} AS BIGINT)))"
+    )
     return (
         directed.join(ca, "a")
         .join(cb, "b")
@@ -80,8 +120,11 @@ def association_rules(
             "c_y",
             F.expr("(c_xy * 1000) div c_x").alias("conf_milli"),
             F.expr(
-                f"(c_xy * __nb * CAST({int(scale)} AS BIGINT))"
+                f"CASE WHEN {lift_num_ok} THEN"
+                f" (c_xy * __nb * CAST({int(scale)} AS BIGINT))"
                 " div (c_x * c_y)"
+                " ELSE raise_error('association_rules: lift_scaled"
+                " overflows int64 — reduce scale') END"
             ).alias("lift_scaled"),
         )
     )

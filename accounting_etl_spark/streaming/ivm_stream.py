@@ -97,7 +97,13 @@ def _write_buckets(
     n_buckets: int,
     epoch_dir: str,
     n_touched: int,
-) -> None:
+) -> set[str]:
+    """Write the bucket-partitioned state; return the buckets that
+    actually materialized files. A touched bucket whose new state is
+    EMPTY (retractions cancelled it, or a delta key had no match to
+    carry into this table) writes no ``__pb=`` directory — mapping
+    it in the manifest anyway would point the next epoch's read at a
+    fileless path (UNABLE_TO_INFER_SCHEMA)."""
     # one task per touched bucket: each writes its bucket's single file
     (
         df.withColumn("__pb", _bucket(on, n_buckets))
@@ -106,6 +112,13 @@ def _write_buckets(
         .partitionBy("__pb")
         .parquet(epoch_dir)
     )
+    try:
+        names = os.listdir(epoch_dir)
+    except OSError:
+        names = []
+    return {
+        n[len("__pb=") :] for n in names if n.startswith("__pb=")
+    }
 
 
 def merge_join_view_epoch(
@@ -155,14 +168,19 @@ def merge_join_view_epoch(
         "v": bag_union(v_old, dv),
     }
     for t, df in new_states.items():
-        _write_buckets(
+        written = _write_buckets(
             df, on, n_buckets, os.path.join(epoch_dir, t), len(touched)
         )
-    for t in _TABLES:
+        # touched buckets that wrote rows point at the new epoch;
+        # touched buckets now empty leave the mapping entirely (a
+        # missing bucket reads as empty) — never the stale pointer
         for b in touched:
-            manifest["tables"][t][b] = os.path.join(
-                epoch_dir, t, f"__pb={b}"
-            )
+            if b in written:
+                manifest["tables"][t][b] = os.path.join(
+                    epoch_dir, t, f"__pb={b}"
+                )
+            else:
+                manifest["tables"][t].pop(b, None)
     manifest["epochs"] = manifest["epochs"] + [epoch_id]
     _swap_manifest(state_dir, manifest)
     return True

@@ -120,6 +120,86 @@ def test_empty_epoch_commits_without_writes(spark, tmp_path):
     assert _bag_dict(read_join_view(spark, state)) == before
 
 
+def _bucket_of(spark, k, n):
+    return (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit(k).cast("bigint")), F.lit(n)
+            ).cast("string")
+        )
+        .first()[0]
+    )
+
+
+def test_unmatched_delta_key_across_two_epochs(spark, tmp_path):
+    """ADVICE r5 (medium): an epoch whose delta key has NO match on
+    the other side writes zero rows for the b/v tables of a fresh
+    bucket; the manifest must not point later epochs at those
+    fileless directories (was: UNABLE_TO_INFER_SCHEMA)."""
+    state = str(tmp_path / "state")
+    nb = 64
+    a = spark.createDataFrame([(1, "a1")], ["k", "av"])
+    b = spark.createDataFrame([(1, "b1")], ["k", "bv"])
+    merge_join_view_epoch(
+        state, as_bag(a), as_bag(b), on="k", epoch_id=0, n_buckets=nb
+    )
+    # a key hashing to a bucket B has never touched
+    k2 = next(
+        k
+        for k in range(2, 200)
+        if _bucket_of(spark, k, nb) != _bucket_of(spark, 1, nb)
+    )
+    db = _empty_like(as_bag(b))
+    for epoch in (1, 2):
+        da = as_bag(
+            spark.createDataFrame([(k2, f"a{epoch}")], ["k", "av"])
+        )
+        assert merge_join_view_epoch(
+            state, da, db, on="k", epoch_id=epoch, n_buckets=nb
+        )
+    # k2 never matched: the view is still just key 1
+    assert _bag_dict(read_join_view(spark, state)) == {
+        (1, "a1", "b1"): 1
+    }
+    # ... and a late B-side insert of k2 joins BOTH pending A rows
+    db3 = as_bag(spark.createDataFrame([(k2, "b2")], ["k", "bv"]))
+    da3 = _empty_like(as_bag(a))
+    assert merge_join_view_epoch(
+        state, da3, db3, on="k", epoch_id=3, n_buckets=nb
+    )
+    assert _bag_dict(read_join_view(spark, state)) == {
+        (1, "a1", "b1"): 1,
+        (k2, "a1", "b2"): 1,
+        (k2, "a2", "b2"): 1,
+    }
+
+
+def test_retraction_empties_live_bucket_then_reinserts(spark, tmp_path):
+    """A retraction that cancels every row of a live bucket must
+    drop that bucket from the mapping (not leave the stale pointer),
+    and a later reinsert rebuilds it."""
+    state = str(tmp_path / "state")
+    a = spark.createDataFrame([(1, "a1")], ["k", "av"])
+    b = spark.createDataFrame([(1, "b1")], ["k", "bv"])
+    merge_join_view_epoch(
+        state, as_bag(a), as_bag(b), on="k", epoch_id=0, n_buckets=4
+    )
+    da = as_bag(a, -1)  # cancels the only A row -> a/v buckets empty
+    db = _empty_like(as_bag(b))
+    assert merge_join_view_epoch(
+        state, da, db, on="k", epoch_id=1, n_buckets=4
+    )
+    assert read_join_view(spark, state) is None
+    da2 = as_bag(spark.createDataFrame([(1, "a9")], ["k", "av"]))
+    assert merge_join_view_epoch(
+        state, da2, db, on="k", epoch_id=2, n_buckets=4
+    )
+    assert _bag_dict(read_join_view(spark, state)) == {
+        (1, "a9", "b1"): 1
+    }
+
+
 def test_streaming_wiring_available_now(spark, tmp_path):
     src = str(tmp_path / "src")
     spark.createDataFrame(

@@ -137,7 +137,14 @@ def query_inverted_index(
     it broadcasts and its bucket set drives partition pruning).
     Returns ``(query_id, doc_id, rank, score)`` with scores
     bit-identical to ``q_bm25_topk`` over the same corpus.
+
+    Term lists are deduplicated on entry (the two engines of the
+    parity contract diverge on duplicate query terms: the from-raw
+    path would double-count tf through duplicate qt rows while this
+    path would double-add the term score — unique terms is the
+    contract, enforced identically at both qt construction sites).
     """
+    queries = {qid: sorted(set(ts)) for qid, ts in queries.items()}
     n_buckets = int(
         spark.read.parquet(f"{path}/meta").collect()[0]["n_buckets"]
     )

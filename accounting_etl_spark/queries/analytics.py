@@ -887,7 +887,9 @@ FROM s
 _SAMPLE_RATES = {0: 0.2, 1: 0.4, 2: 0.6, 3: 0.8}
 
 
-def q_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sample_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Deterministic stratified sampling audit over documents: the
     per-source-bucket keep quota a training-data pipeline applies.
     Hash-based (functions/sampling.py) — reproducible across engines,
@@ -896,7 +898,8 @@ def q_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     achieved rate (v3 — exact integer division)."""
     from ..functions.sampling import stratified_keep
 
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     stratum = F.pmod(
         F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(4)
     )
@@ -925,7 +928,9 @@ def q_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_SEQ_LEN = 512
 
 
-def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pack_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Per-sequence packing audit: documents concatenated in doc_id
     order and cut into 512-token training sequences via the
     distributed prefix-sum (operators/packing.py — no single-task
@@ -936,7 +941,8 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are what the hash pins."""
     from ..operators.packing import pack_sequences
 
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), " "))
@@ -965,7 +971,9 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUDGET_FRAC = (1, 2)
 
 
-def q_budget_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_budget_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Token-budget selection audit: keep the highest-quality half of
     the corpus BY TOKENS (operators/budget.py — the distributed
     prefix-sum again, ordered by quality DESC; no single-task global
@@ -978,7 +986,8 @@ def q_budget_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     double ops in the same order, bit-identical across engines."""
     from ..operators.budget import select_token_budget
 
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.col("text")), " ")
     uniq = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
     quality = (
@@ -1018,7 +1027,9 @@ def q_budget_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 5  # fixture-scale span length; Lee et al. use 50 tokens
 
 
-def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_span_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Substring-span dedup audit (operators/span_dedup.py — the
     Lee et al. exact-substring technique as bounded aggregations, no
     suffix array, no pair expansion). Per source: docs with ≥1
@@ -1028,7 +1039,10 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup pins the per-doc window recurrence against DuckDB's."""
     from ..operators.span_dedup import span_dup_metrics
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    if docs is None:
+        docs = spread(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
     m = span_dup_metrics(docs, k=_SPAN_K)
     return (
         m.join(docs.select("doc_id", "source"), "doc_id")
@@ -1051,7 +1065,9 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lm_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Bigram-LM rarity audit (operators/lm_filter.py — the
     CCNet/KenLM perplexity-filter signal as two count tables + two
     equi-joins). Model trained on the even-doc_id half, the odd half
@@ -1062,7 +1078,10 @@ def q_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are float-order-dependent, same policy as trained centroids)."""
     from ..operators.lm_filter import score_perplexity, train_bigram_lm
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    if docs is None:
+        docs = spread(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
     lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
     scored = score_perplexity(
         lm, docs.filter(F.col("doc_id") % 2 == 1)
@@ -1096,7 +1115,9 @@ _MIX_WEIGHTS: dict[int, tuple[int, int]] = {
 }
 
 
-def q_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_mix_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Domain-mixture token budgeting audit (operators/mixture.py —
     per-domain corpus-fraction allocations via the GROUPED distributed
     prefix-sum; DoReMi-style recipe weights). Strata 0/1 get 30% of
@@ -1107,7 +1128,10 @@ def q_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-domain window."""
     from ..operators.mixture import mixture_select
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    if docs is None:
+        docs = spread(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
     stratum = F.pmod(
         F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(4)
     )
@@ -1158,7 +1182,9 @@ def q_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dsir_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dsir_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """DSIR importance-resampling audit (operators/dsir.py — the
     Xie et al. 2023 hashed-n-gram importance estimator with exact
     integer ratios). The stratum-0 sources are the target slice; every
@@ -1169,7 +1195,10 @@ def q_dsir_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget boundary all pin bit-identically against DuckDB."""
     from ..operators.dsir import dsir_select
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    if docs is None:
+        docs = spread(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
     stratum = F.pmod(
         F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(4)
     )
@@ -1204,7 +1233,9 @@ _HH_CAPACITY = 512
 _HH_DEN = 200  # report tokens with count * _HH_DEN >= total
 
 
-def q_hh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hh_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """'hh' variant: heavy hitters over the document token stream
     (operators/heavy_hitters.py) — bounded-state frequent-items
     sketch + exact verification, reported as every token with
@@ -1216,7 +1247,8 @@ def q_hh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     elsewhere in this entry)."""
     from ..operators.heavy_hitters import heavy_hitters
 
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     )
@@ -1256,7 +1288,9 @@ HAVING count(*) * {_HH_DEN} >= max(total)
 _WARC_PARTS = 8
 
 
-def q_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_warc_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """'warc' variant: the crawl-ingestion round-trip audit.
 
     Documents are templated into HTML (pure JVM ``concat`` — nav +
@@ -1280,7 +1314,8 @@ def q_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.html_extract import extract_html
     from ..sources.warc import read_warc, write_warc_files
 
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     esc = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
@@ -1504,7 +1539,9 @@ _KCORE_ITERS = 4  # fixpoint at sf0.01 is reached in round 4
 _KCORE_TOP = 25
 
 
-def q_kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kcore_stats(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """'kcore' variant: k-core peeling (operators/graph.py::k_core)
     over the URGENT part co-occurrence graph — the degree-mass
     robustness signal next to 'tri' and 'pagerank' (link farms have
@@ -1515,12 +1552,10 @@ def q_kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = k, v2 = rounds, v3 = total survivors."""
     from ..operators.graph import k_core
 
+    if edges is None:
+        edges = _urgent_part_edges(spark, sf_dir)
     surv = stable_checkpoint(
-        k_core(
-            _urgent_part_edges(spark, sf_dir),
-            _KCORE_K,
-            iters=_KCORE_ITERS,
-        )
+        k_core(edges, _KCORE_K, iters=_KCORE_ITERS)
     )
     total = surv.agg(F.count(F.lit(1)).alias("__tot"))
     top = surv.orderBy(F.col("deg").desc(), F.col("node").asc()).limit(
@@ -1576,7 +1611,9 @@ ORDER BY deg DESC, node ASC LIMIT {_KCORE_TOP}
     return "".join(parts)
 
 
-def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_triangle_stats(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """'tri' variant: exact degree-oriented triangle counting
     (operators/graph.py::triangle_listing) over the part
     co-occurrence graph of URGENT orders — two parts are adjacent
@@ -1591,7 +1628,8 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = degree, v3 = corpus total triangles (per-node sum / 3)."""
     from ..operators.graph import triangle_counts
 
-    edges = _urgent_part_edges(spark, sf_dir)
+    if edges is None:
+        edges = _urgent_part_edges(spark, sf_dir)
     # node-sized result consumed twice (top-K + global total):
     # checkpoint so the wedge-close joins run once
     counts = stable_checkpoint(triangle_counts(edges))
@@ -1754,7 +1792,9 @@ FROM a{_KM_ITERS - 1} GROUP BY cluster
 _LINE_MIN_DOCS = 2
 
 
-def q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_line_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """'line' variant: line-level corpus dedup
     (operators/line_dedup.py — RefinedWeb §3.3 / CCNet boilerplate
     stripping).  The corpus has no line structure, so — the
@@ -1769,7 +1809,10 @@ def q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.line_dedup import line_dedup
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    if docs is None:
+        docs = spread(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
     ws = F.split(F.trim(F.col("text")), " ")
     k = F.col("doc_id") % 5 + 4
     n_content = F.floor((F.size(ws) + k - 1) / k).cast("int")
@@ -1860,7 +1903,25 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant 'hh': see q_hh_stats. variant 'warc': see q_warc_stats.
     variant 'pagerank': see q_pagerank_stats. variant 'kmeans': see
     q_kmeans_stats. variant 'line': see q_line_stats. variant
-    'tri': see q_triangle_stats. variant 'kcore': see q_kcore_stats."""
+    'tri': see q_triangle_stats. variant 'kcore': see q_kcore_stats.
+
+    Shared-subframe discipline (VERDICT r5): the 16-way union used to
+    re-scan and re-derive documents once per variant and re-run the
+    urgent-basket pair join twice (tri + kcore) — at sf1 the merged
+    entry cost ~2x the sum of its individually-timed variants. The
+    documents frame and the co-occurrence edge list are built ONCE
+    here and persisted (MEMORY_AND_DISK; both are small — docs is the
+    raw table, edges is key-pruned) for every variant to share. No
+    unpersist: the returned frame is lazy, the driver collects after
+    return; the cache is bounded and LRU-evictable."""
+    from pyspark import StorageLevel
+
+    shared_docs = spread(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shared_edges = _urgent_part_edges(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pct = q_percentiles(spark, sf_dir).select(
         F.lit("pct").alias("variant"),
         F.col("o_orderpriority").alias("grp"),
@@ -1879,20 +1940,20 @@ def q_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pct.unionByName(hist)
-        .unionByName(q_sample_stats(spark, sf_dir))
-        .unionByName(q_pack_stats(spark, sf_dir))
-        .unionByName(q_budget_stats(spark, sf_dir))
-        .unionByName(q_span_stats(spark, sf_dir))
-        .unionByName(q_lm_stats(spark, sf_dir))
-        .unionByName(q_dsir_stats(spark, sf_dir))
-        .unionByName(q_mix_stats(spark, sf_dir))
-        .unionByName(q_hh_stats(spark, sf_dir))
-        .unionByName(q_warc_stats(spark, sf_dir))
+        .unionByName(q_sample_stats(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_pack_stats(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_budget_stats(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_span_stats(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_lm_stats(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_dsir_stats(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_mix_stats(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_hh_stats(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_warc_stats(spark, sf_dir, docs=shared_docs))
         .unionByName(q_pagerank_stats(spark, sf_dir))
         .unionByName(q_kmeans_stats(spark, sf_dir))
-        .unionByName(q_line_stats(spark, sf_dir))
-        .unionByName(q_triangle_stats(spark, sf_dir))
-        .unionByName(q_kcore_stats(spark, sf_dir))
+        .unionByName(q_line_stats(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_triangle_stats(spark, sf_dir, edges=shared_edges))
+        .unionByName(q_kcore_stats(spark, sf_dir, edges=shared_edges))
     )
 
 

@@ -135,7 +135,125 @@ FROM stats s JOIN q ON s.vec_id = q.vec_id
 """
 
 
+def _z_interleave_sql(cols: list[str], bits: int) -> str:
+    """DuckDB twin of operators/layout.py::zorder_key — the same
+    bit-interleave spelled as shift/and/or terms."""
+    d = len(cols)
+    terms = [
+        f"((((CAST({c} AS BIGINT)) >> {b}) & 1) << {b * d + ci})"
+        for ci, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return " | ".join(terms)
+
+
+def _z_gather_sql(expr: str, d: int, ci: int, bits: int) -> str:
+    """De-interleave dimension ``ci`` back out of a Morton key."""
+    terms = [
+        f"(((({expr}) >> {b * d + ci}) & 1) << {b})" for b in range(bits)
+    ]
+    return " | ".join(terms)
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'zorder' variant: Morton (Z-order) clustering keys
+    (operators/layout.py::zorder_key) over bounded integer domains of
+    the documents table — the multi-dimensional file-clustering key
+    behind ``write_zordered``. Two shapes: a 2-D 10-bit key (n) and a
+    3-D 8-bit key (first_data_pos), plus the ROUND-TRIP de-interleave
+    of the 2-D key back to its inputs (first5 = 'x|y'), which pins
+    invertibility — both engines must agree bit for bit on every
+    position. Pure shift/and/or expressions, whole-stage codegen."""
+    from ..operators.layout import zorder_key
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source"
+    )
+    x = (F.col("doc_id") % 1024).cast("bigint")
+    y = (F.col("n_chars") % 1024).cast("bigint")
+    z2 = zorder_key([x, y], bits=10)
+    z3 = zorder_key(
+        [
+            (F.col("doc_id") % 256).cast("bigint"),
+            (F.col("n_chars") % 256).cast("bigint"),
+            (F.length("source") % 256).cast("bigint"),
+        ],
+        bits=8,
+    )
+    base = docs.select("doc_id", z2.alias("__z2"), z3.alias("__z3"))
+    # de-interleave the 2-D key (gather even/odd bit positions)
+    xr = F.lit(0).cast("bigint")
+    yr = F.lit(0).cast("bigint")
+    for b in range(10):
+        bit_x = F.shiftright(F.col("__z2"), 2 * b).bitwiseAND(F.lit(1))
+        bit_y = F.shiftright(F.col("__z2"), 2 * b + 1).bitwiseAND(
+            F.lit(1)
+        )
+        xr = xr.bitwiseOR(F.shiftleft(bit_x, b))
+        yr = yr.bitwiseOR(F.shiftleft(bit_y, b))
+    return base.select(
+        F.lit("zorder").alias("variant"),
+        "doc_id",
+        F.col("__z2").cast("bigint").alias("n"),
+        F.concat_ws(
+            "|", xr.cast("string"), yr.cast("string")
+        ).alias("first5"),
+        F.lit(None).cast("string").alias("last3"),
+        F.lit(None).cast("boolean").alias("has_spark"),
+        F.col("__z3").cast("bigint").alias("first_data_pos"),
+        F.lit(None).cast("bigint").alias("n_uniq"),
+        F.col("__z2").cast("string").alias("uniq_sorted"),
+        F.lit(None).cast("string").alias("rev4"),
+        F.lit(None).cast("string").alias("max_token"),
+    )
+
+
+def q_array_battery_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery + z-order clustering keys in one union-tagged
+    entry (driver cap)."""
+    base = q_array_battery(spark, sf_dir).select(
+        F.lit("battery").alias("variant"), "*"
+    )
+    return base.unionByName(q_zorder_keys(spark, sf_dir))
+
+
+_Z2 = _z_interleave_sql(["doc_id % 1024", "n_chars % 1024"], 10)
+_Z3 = _z_interleave_sql(
+    ["doc_id % 256", "n_chars % 256", "length(source) % 256"], 8
+)
+
+_ZORDER_SQL = f"""
+WITH zz AS (
+  SELECT doc_id, CAST({_Z2} AS BIGINT) AS z2, CAST({_Z3} AS BIGINT) AS z3
+  FROM documents
+)
+SELECT 'zorder' AS variant, doc_id, z2 AS n,
+       CAST({_z_gather_sql('z2', 2, 0, 10)} AS VARCHAR) || '|' ||
+       CAST({_z_gather_sql('z2', 2, 1, 10)} AS VARCHAR) AS first5,
+       CAST(NULL AS VARCHAR) AS last3,
+       CAST(NULL AS BOOLEAN) AS has_spark,
+       z3 AS first_data_pos,
+       CAST(NULL AS BIGINT) AS n_uniq,
+       CAST(z2 AS VARCHAR) AS uniq_sorted,
+       CAST(NULL AS VARCHAR) AS rev4,
+       CAST(NULL AS VARCHAR) AS max_token
+FROM zz
+"""
+
+_ARRAY_MERGED_SQL = f"""
+SELECT 'battery' AS variant, * FROM ({_ARRAY_SQL})
+UNION ALL
+SELECT * FROM ({_ZORDER_SQL})
+"""
+
 QUERIES: dict[str, Q] = {
-    "array_battery": Q(q_array_battery, _ARRAY_SQL),
+    "array_battery": Q(
+        q_array_battery_merged,
+        _ARRAY_MERGED_SQL,
+        variants={
+            "battery": q_array_battery,
+            "zorder": q_zorder_keys,
+        },
+    ),
     "vector_stats": Q(q_vector_stats, _VECTOR_SQL),
 }

@@ -190,10 +190,79 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'pit' variant: point-in-time feature join
+    (operators/feature_store.py) — training-set assembly with no
+    future leakage. Labels are the non-purchase events; two feature
+    tables compose sequentially: (1) orders — the newest order at or
+    before the label (payload o_orderkey/o_totalprice, asof_time
+    audited), (2) the user's latest prior purchase event. Column
+    mapping into the asof entry: conv_id = the prior purchase's
+    event_id, credit_cents = label_time − order asof_time in µs (the
+    feature STALENESS the `<prefix>asof_time` contract exists for;
+    NULL when no order predates the label)."""
+    from ..operators.feature_store import FeatureTable, point_in_time_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_type",
+    )
+    labels = ev.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "ord_t"
+        ),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("t_us").alias("p_t"),
+        F.col("event_id").alias("pe"),
+    )
+    out = point_in_time_join(
+        labels,
+        [
+            FeatureTable(
+                orders,
+                time_col="ord_t",
+                payload=["o_orderkey", "o_totalprice"],
+                prefix="ord_",
+                tiebreak=["o_orderkey"],
+            ),
+            FeatureTable(
+                purchases,
+                time_col="p_t",
+                payload=["pe"],
+                prefix="p_",
+                tiebreak=["pe"],
+            ),
+        ],
+        on="user_id",
+        label_time="t_us",
+    )
+    return out.select(
+        F.lit("pit").alias("variant"),
+        "event_id",
+        "user_id",
+        F.col("ord_o_orderkey").alias("o_orderkey"),
+        F.col("ord_o_totalprice").alias("o_totalprice"),
+        F.col("p_pe").cast("bigint").alias("conv_id"),
+        (F.col("t_us") - F.col("ord_asof_time"))
+        .cast("bigint")
+        .alias("credit_cents"),
+    )
+
+
 def q_asof_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward + nearest as-of joins + multi-touch attribution in
-    one union-tagged entry (driver cap: the correctness gate records
-    at most 50 entries)."""
+    """Backward + nearest as-of joins + multi-touch attribution +
+    point-in-time feature join in one union-tagged entry (driver
+    cap: the correctness gate records at most 50 entries)."""
     nulls = [
         F.lit(None).cast("bigint").alias("conv_id"),
         F.lit(None).cast("bigint").alias("credit_cents"),
@@ -204,8 +273,10 @@ def q_asof_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = q_asof_nearest(spark, sf_dir).select(
         F.lit("nearest").alias("variant"), "*", *nulls
     )
-    return back.unionByName(near).unionByName(
-        q_attribution(spark, sf_dir)
+    return (
+        back.unionByName(near)
+        .unionByName(q_attribution(spark, sf_dir))
+        .unionByName(q_pit_features(spark, sf_dir))
     )
 
 
@@ -241,8 +312,7 @@ def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials: the rollup grain (6-hour bucket × type — coarser than the\n    tumble10m variant on purpose: the rollup's job here is the merge\n    machinery, and the hourly grain keeps the per-epoch touched-bucket\n    fan small the way a watermarked stream would) and a coarser
     re-aggregation (type only, ``window_start_s`` NULL) — the serving
     path that never touches raw data."""
-    import tempfile
-
+    from ..session import scratch_dir
     from ..streaming.rollup import merge_epoch, read_rollup, serve
 
     events = load_table(spark, sf_dir, "events").select(
@@ -254,7 +324,11 @@ def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     aggs = [("n", "count", "event_id"), ("total", "sum", "v")]
-    state_dir = tempfile.mkdtemp(prefix="etl_rollup_state_")
+    # per-session path wiped on entry: a fresh manifest every run
+    # (mkdtemp here leaked one orphan state dir per bench run —
+    # ADVICE r5); the served frame reads the state lazily, so the
+    # dir must outlive this call
+    state_dir = scratch_dir(spark, "rollup_state")
     for epoch in range(3):
         merge_epoch(
             state_dir,
@@ -478,6 +552,34 @@ SELECT 'attrib_linear', touch_id, user_id, CAST(NULL AS BIGINT),
 FROM acand
 """
 
+_PIT_SQL = """
+WITH lbl AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us
+  FROM events WHERE event_type <> 'purchase'
+), o1 AS (
+  SELECT l.event_id, o.o_orderkey, o.o_totalprice,
+         epoch_us(o.o_orderdate) AS ot,
+         row_number() OVER (PARTITION BY l.event_id
+             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM lbl l JOIN orders o
+    ON o.o_custkey = l.user_id AND epoch_us(o.o_orderdate) <= l.t_us
+), p1 AS (
+  SELECT l.event_id, p.event_id AS pe,
+         row_number() OVER (PARTITION BY l.event_id
+             ORDER BY (epoch_ns(p.ts) // 1000) DESC, p.event_id DESC) AS rn
+  FROM lbl l JOIN events p
+    ON p.user_id = l.user_id AND p.event_type = 'purchase'
+   AND (epoch_ns(p.ts) // 1000) <= l.t_us
+)
+SELECT 'pit' AS variant, l.event_id, l.user_id,
+       o1.o_orderkey, o1.o_totalprice,
+       CAST(p1.pe AS BIGINT) AS conv_id,
+       CAST(l.t_us - o1.ot AS BIGINT) AS credit_cents
+FROM lbl l
+LEFT JOIN (SELECT * FROM o1 WHERE rn = 1) o1 USING (event_id)
+LEFT JOIN (SELECT * FROM p1 WHERE rn = 1) p1 USING (event_id)
+"""
+
 _ASOF_VARIANTS_SQL = f"""
 SELECT 'backward' AS variant, event_id, user_id, o_orderkey, o_totalprice,
        CAST(NULL AS BIGINT) AS conv_id, CAST(NULL AS BIGINT) AS credit_cents
@@ -488,6 +590,8 @@ SELECT 'nearest' AS variant, event_id, user_id, o_orderkey, o_totalprice,
 FROM ({_ASOF_NEAREST_SQL})
 UNION ALL
 SELECT * FROM ({_ATTRIB_SQL})
+UNION ALL
+SELECT * FROM ({_PIT_SQL})
 """
 
 QUERIES: dict[str, Q] = {
@@ -509,6 +613,7 @@ QUERIES: dict[str, Q] = {
             "backward": q_asof_join,
             "nearest": q_asof_nearest,
             "attrib": q_attribution,
+            "pit": q_pit_features,
         },
     ),
 }

@@ -220,12 +220,109 @@ FROM c
 """
 
 
+_FRONTIER_K_PER_HOST = 2
+# doc_id % 25 == 0 → url already fetched. 25 (not 5): each canonical
+# class is an arithmetic progression of doc_ids with step 102, and
+# 102 ≡ 2 (mod 5) sweeps every residue — % 5 would mark ~every class
+# fetched and leave a 1-row frontier; % 25 keeps ~80% of classes
+# live so the per-host budget window actually selects.
+_FRONTIER_FETCH_MOD = 25
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'frontier' variant: politeness-budgeted crawl-frontier
+    selection (operators/url_ops.py::select_crawl_frontier) — the
+    same six synthesized URL shapes as the 'url' variant stand in for
+    harvested outlinks; docs with ``doc_id % {m} == 0`` are the
+    already-fetched set; host authority is a deterministic synthetic
+    rank (``(k*7) % 13`` per host k). Canonicalize → anti-join
+    fetched → per-host top-{k} by (n_refs desc, url). Column mapping:
+    doc_id = the slot within the host's budget, source/fingerprint =
+    host, content_hash = the canonical url, keep_id = host_rank,
+    n_copies = n_refs. The oracle restates the expected canonical
+    forms independently (the 'url' contract) and replays the
+    selection in SQL."""
+    from ..operators.url_ops import select_crawl_frontier
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 17).cast("string")
+    shape = F.col("doc_id") % 6
+    base = F.concat(F.lit("example"), k, F.lit(".com"))
+    url = (
+        F.when(
+            shape == 0,
+            F.concat(
+                F.lit("HTTP://EXAMPLE"), k, F.lit(".COM:80/path/"), k,
+                F.lit("/?utm_campaign=x&fbclid=abc&z=9&a=1#top"),
+            ),
+        )
+        .when(
+            shape == 1,
+            F.concat(F.lit("http://"), base, F.lit("/path/"), k, F.lit("?a=1&z=9")),
+        )
+        .when(
+            shape == 2,
+            F.concat(F.lit("HTTPS://"), base, F.lit(":443/Sec/"), k),
+        )
+        .when(
+            shape == 3,
+            F.concat(F.lit("not a url "), F.col("doc_id").cast("string")),
+        )
+        .when(
+            shape == 4,
+            F.concat(F.lit("http://"), base, F.lit(":8080/path/"), k),
+        )
+        .otherwise(
+            F.concat(F.lit("http://"), base, F.lit("/path/"), k, F.lit("/?z=9&a=1")),
+        )
+    )
+    outlinks = docs.select(url.alias("url"))
+    fetched = docs.where(
+        F.col("doc_id") % _FRONTIER_FETCH_MOD == 0
+    ).select(url.alias("url"))
+    host_ranks = (
+        docs.select((F.col("doc_id") % 17).alias("__k"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("example"), F.col("__k").cast("string"), F.lit(".com")
+            ).alias("node"),
+            ((F.col("__k") * 7) % 13).cast("bigint").alias("rank"),
+        )
+    )
+    sel = select_crawl_frontier(
+        outlinks,
+        fetched,
+        host_ranks,
+        url_col="url",
+        k_per_host=_FRONTIER_K_PER_HOST,
+    )
+    return sel.select(
+        F.lit("frontier").alias("variant"),
+        F.col("slot").cast("bigint").alias("doc_id"),
+        F.col("host").alias("source"),
+        F.col("curl").alias("content_hash"),
+        F.col("host").alias("fingerprint"),
+        F.lit(None).cast("string").alias("winnow_fp"),
+        F.col("host_rank").cast("bigint").alias("keep_id"),
+        F.col("n_refs").cast("bigint").alias("n_copies"),
+        F.lit(False).alias("is_dup"),
+    )
+
+
+q_crawl_frontier.__doc__ = q_crawl_frontier.__doc__.format(
+    m=_FRONTIER_FETCH_MOD, k=_FRONTIER_K_PER_HOST
+)
+
+
 def q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup + incremental-batch dedup in one union-tagged entry
     (driver cap). variant 'full': q_dedup_exact over every document.
     variant 'incr': q_dedup_incremental — batch docs only, winnow_fp/
     n_copies NULL. variant 'url': q_url_dedup — canonical-URL dedup
-    over synthesized URL shapes, expected-value oracle."""
+    over synthesized URL shapes, expected-value oracle. variant
+    'frontier': q_crawl_frontier — budgeted next-crawl selection over
+    the same URL corpus."""
     full = q_dedup_exact(spark, sf_dir).select(
         F.lit("full").alias("variant"),
         "doc_id",
@@ -237,8 +334,10 @@ def q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_copies").cast("bigint").alias("n_copies"),
         "is_dup",
     )
-    return full.unionByName(q_dedup_incremental(spark, sf_dir)).unionByName(
-        q_url_dedup(spark, sf_dir)
+    return (
+        full.unionByName(q_dedup_incremental(spark, sf_dir))
+        .unionByName(q_url_dedup(spark, sf_dir))
+        .unionByName(q_crawl_frontier(spark, sf_dir))
     )
 
 
@@ -300,12 +399,56 @@ SELECT 'incr' AS variant, b.doc_id, b.source, b.content_hash,
 FROM b LEFT JOIN ci USING (content_hash)
 """
 
+_FRONTIER_SQL = f"""
+WITH fu AS (
+  SELECT doc_id, CAST(doc_id % 17 AS VARCHAR) AS k, doc_id % 6 AS shape
+  FROM documents
+), fc AS (
+  SELECT doc_id,
+         CASE
+           WHEN shape IN (0, 1, 5)
+             THEN 'http://example' || k || '.com/path/' || k || '?a=1&z=9'
+           WHEN shape = 2 THEN 'https://example' || k || '.com/Sec/' || k
+           WHEN shape = 3 THEN NULL
+           ELSE 'http://example' || k || '.com:8080/path/' || k
+         END AS curl,
+         'example' || k || '.com' AS host
+  FROM fu
+), cand AS (
+  SELECT curl, host, count(*) AS n_refs
+  FROM fc WHERE curl IS NOT NULL GROUP BY 1, 2
+), seen AS (
+  SELECT DISTINCT curl FROM fc
+  WHERE curl IS NOT NULL AND doc_id % {_FRONTIER_FETCH_MOD} = 0
+), fresh AS (
+  SELECT * FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.curl = c.curl)
+), hr AS (
+  SELECT DISTINCT 'example' || CAST(doc_id % 17 AS VARCHAR) || '.com' AS host,
+         ((doc_id % 17) * 7) % 13 AS hrank
+  FROM documents
+), sel AS (
+  SELECT f.host, COALESCE(hr.hrank, 0) AS host_rank, f.curl, f.n_refs,
+         row_number() OVER (PARTITION BY f.host
+             ORDER BY f.n_refs DESC, f.curl) AS slot
+  FROM fresh f LEFT JOIN hr ON hr.host = f.host
+)
+SELECT 'frontier' AS variant, CAST(slot AS BIGINT) AS doc_id,
+       host AS source, curl AS content_hash, host AS fingerprint,
+       CAST(NULL AS VARCHAR) AS winnow_fp,
+       CAST(host_rank AS BIGINT) AS keep_id,
+       CAST(n_refs AS BIGINT) AS n_copies, FALSE AS is_dup
+FROM sel WHERE slot <= {_FRONTIER_K_PER_HOST}
+"""
+
 _DEDUP_EXACT_MERGED_SQL = f"""
 SELECT 'full' AS variant, * FROM ({_DEDUP_EXACT_SQL})
 UNION ALL
 SELECT * FROM ({_DEDUP_INCR_SQL})
 UNION ALL
 SELECT * FROM ({_URL_DEDUP_SQL})
+UNION ALL
+SELECT * FROM ({_FRONTIER_SQL})
 """
 
 
@@ -972,7 +1115,11 @@ QUERIES: dict[str, Q] = {
     "dedup_exact": Q(
         q_dedup_exact_merged,
         _DEDUP_EXACT_MERGED_SQL,
-        variants={"incr": q_dedup_incremental, "url": q_url_dedup},
+        variants={
+            "incr": q_dedup_incremental,
+            "url": q_url_dedup,
+            "frontier": q_crawl_frontier,
+        },
     ),
     "text_metrics": Q(q_text_metrics, _TEXT_METRICS_SQL),
     "near_dup_jaccard": Q(
@@ -989,7 +1136,9 @@ QUERIES: dict[str, Q] = {
 _TFIDF_TOP = 5
 
 
-def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_tfidf_terms(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Top-5 characteristic terms per source by a rational tf-idf.
 
     idf is the exact ratio N/df (no log — libm rounding differs
@@ -997,7 +1146,10 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf*N/df as one integer product and one double division, so both
     engines produce bit-identical scores.
     """
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    if docs is None:
+        docs = spread(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
     tok = docs.select(
         "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
     )
@@ -1084,7 +1236,9 @@ _BM25_QUERIES: dict[str, list[str]] = {
 _BM25_TOP = 5
 
 
-def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_ranked(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Top-{k} (query_id, doc_id, rank, score) under exact-rational
     Okapi BM25 — shared by the 'bm25' and 'hybrid' variants.
 
@@ -1099,7 +1253,10 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 window tasks."""
     from ..operators.topk import topk_per_group_staged
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    if docs is None:
+        docs = spread(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
     ws = F.split(F.trim(F.col("text")), " ")
     toks = docs.select(
         "doc_id", F.size(ws).cast("bigint").alias("dl"),
@@ -1109,8 +1266,14 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(ws)).cast("bigint").alias("tl"),
     )
+    # unique terms per query (the inverted-index parity contract —
+    # see operators/inverted_index.py::query_inverted_index)
     qt = spark.createDataFrame(
-        [(qid, t) for qid, terms in _BM25_QUERIES.items() for t in terms],
+        [
+            (qid, t)
+            for qid, terms in _BM25_QUERIES.items()
+            for t in sorted(set(terms))
+        ],
         "query_id string, term string",
     )
     tf = (
@@ -1155,9 +1318,11 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bm25_topk(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """'bm25' variant: see :func:`_bm25_ranked`."""
-    return _bm25_ranked(spark, sf_dir).select(
+    return _bm25_ranked(spark, sf_dir, docs=docs).select(
         F.lit("bm25").alias("variant"),
         F.col("query_id").alias("source"),
         F.col("doc_id").cast("string").alias("token"),
@@ -1166,23 +1331,28 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bm25_index_topk(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """'bm25_index' variant: the SAME retrieval served from a persisted
     inverted index (operators/inverted_index.py) — build into a fresh
     temp dir, then query through the bucket-pruned postings scan.  The
     driver hash pins that index-backed BM25 is bit-identical to the
     from-raw ranking (same oracle SQL, different variant tag)."""
-    import tempfile
-
     from ..operators.inverted_index import (
         build_inverted_index,
         query_inverted_index,
     )
+    from ..session import scratch_dir
 
-    path = tempfile.mkdtemp(prefix="etl_inv_index_") + "/inv"
-    build_inverted_index(
-        spread(load_table(spark, sf_dir, "documents"), "doc_id"), path
-    )
+    # deterministic per-session state, overwritten each invocation
+    # (mkdtemp here leaked one orphan dir per bench run — ADVICE r5);
+    # the returned frame reads the index lazily, so the dir must
+    # outlive this call
+    path = scratch_dir(spark, "inv_index") + "/inv"
+    if docs is None:
+        docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    build_inverted_index(docs, path)
     top = query_inverted_index(spark, path, _BM25_QUERIES, k=_BM25_TOP)
     return top.select(
         F.lit("bm25_index").alias("variant"),
@@ -1193,7 +1363,9 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hybrid_rerank(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """'hybrid' variant: lexical-then-semantic retrieval — BM25
     candidates re-ranked by embedding cosine to the BM25 rank-1 doc
     (pseudo-relevance feedback: the top lexical hit stands in for the
@@ -1213,7 +1385,7 @@ def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one corpus pass: the ranked result is ≤ queries×k rows —
     # checkpoint it so the candidate and anchor branches both read the
     # materialized list instead of re-running the BM25 pipeline
-    ranked = stable_checkpoint(_bm25_ranked(spark, sf_dir))
+    ranked = stable_checkpoint(_bm25_ranked(spark, sf_dir, docs=docs))
     cands = ranked.select("query_id", "doc_id")
     anchors = ranked.filter(F.col("rank") == 1).select(
         "query_id", F.col("doc_id").alias("anchor_id")
@@ -1278,7 +1450,9 @@ _PMI_TOP = 25
 _PMI_SCALE = 10**9
 
 
-def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_collocations(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """'pmi' variant: collocation mining by integer-scaled lift
     (operators/collocations.py) — top-{top} adjacent token pairs with
     support >= {mc}, rank-equivalent to PMI at fixed corpus; bigrams
@@ -1287,7 +1461,10 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = the support count c_xy, score = the scaled lift."""
     from ..operators.collocations import bigram_lift
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    if docs is None:
+        docs = spread(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
     lifted = bigram_lift(
         docs, min_count=_PMI_MIN_COUNT, scale=_PMI_SCALE
     )
@@ -1303,7 +1480,9 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_source_drift(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """'drift' variant: pairwise corpus drift between sources
     (operators/drift.py) — token distributions quantized to integer
     ppm, exact L1 distance over the dense shared-vocabulary grid
@@ -1312,7 +1491,10 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     share differs, score = the integer L1 ppm distance."""
     from ..operators.drift import l1_drift, token_ppm
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    if docs is None:
+        docs = spread(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
     rows = docs.select(
         "source",
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
@@ -1383,15 +1565,24 @@ def q_tfidf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted inverted index, must hash-match the from-raw scores (the
     generic-column union-tagging convention, README §union-tagging).
     variant 'pmi': q_collocations. variant 'drift': q_source_drift."""
-    t = q_tfidf_terms(spark, sf_dir).select(
+    from pyspark import StorageLevel
+
+    # shared-subframe discipline (VERDICT r5): all six variants
+    # tokenize the same documents frame — load and persist it ONCE
+    # for the union (no unpersist: the result is lazy and the cache
+    # is small + LRU-evictable)
+    shared_docs = spread(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    t = q_tfidf_terms(spark, sf_dir, docs=shared_docs).select(
         F.lit("tfidf").alias("variant"), "source", "token", "rank", "score"
     )
     return (
-        t.unionByName(q_bm25_topk(spark, sf_dir))
-        .unionByName(q_hybrid_rerank(spark, sf_dir))
-        .unionByName(q_bm25_index_topk(spark, sf_dir))
-        .unionByName(q_collocations(spark, sf_dir))
-        .unionByName(q_source_drift(spark, sf_dir))
+        t.unionByName(q_bm25_topk(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_hybrid_rerank(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_bm25_index_topk(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_collocations(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_source_drift(spark, sf_dir, docs=shared_docs))
     )
 
 

@@ -55,3 +55,37 @@ def get_spark(app_name: str = "accounting-etl-spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def scratch_dir(spark: SparkSession, name: str) -> str:
+    """Deterministic per-application scratch path for queries that
+    materialize state (persisted index builds, rollup epochs, WARC
+    fixtures) inside a timed run.
+
+    ``mkdtemp`` per invocation leaked one orphan directory per
+    bench/gate run (ADVICE r5); instead state lives at
+    ``$TMPDIR/etl_spark_state/<applicationId>/<name>`` — repeated
+    invocations in one session overwrite in place, and stale
+    directories of OTHER applications are swept best-effort on entry
+    when old enough that their owner is surely gone (age gate: a
+    concurrently-running sibling process keeps its state)."""
+    import shutil
+    import tempfile
+    import time
+
+    root = os.path.join(tempfile.gettempdir(), "etl_spark_state")
+    app = spark.sparkContext.applicationId
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 6 * 3600
+    for entry in os.listdir(root):
+        p = os.path.join(root, entry)
+        try:
+            stale = os.path.getmtime(p) < cutoff
+        except OSError:
+            continue
+        if entry != app and stale:
+            shutil.rmtree(p, ignore_errors=True)
+    path = os.path.join(root, app, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path

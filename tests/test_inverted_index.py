@@ -53,6 +53,24 @@ def test_query_matches_from_raw_bm25(spark, tmp_path):
     assert got == expect and got
 
 
+def test_duplicate_query_terms_dedupe_on_entry(spark, tmp_path):
+    """ADVICE r5: duplicate terms in a query list made the two
+    parity engines diverge (from-raw double-counted tf, the index
+    path double-added the term score). Unique terms is the contract,
+    enforced by dedup at entry — a duplicated list must rank
+    identically to its deduped form."""
+    from accounting_etl_spark.operators.inverted_index import (
+        query_inverted_index,
+    )
+
+    path = _build(spark, tmp_path)
+    dup = {"q1": ["table", "table", "scan", "fast", "scan"]}
+    clean = {"q1": ["table", "scan", "fast"]}
+    got = _ranked(query_inverted_index(spark, path, dup, k=5))
+    expect = _ranked(query_inverted_index(spark, path, clean, k=5))
+    assert got == expect and got
+
+
 def test_term_scan_is_partition_pruned(spark, tmp_path):
     from accounting_etl_spark.operators.inverted_index import (
         query_inverted_index,

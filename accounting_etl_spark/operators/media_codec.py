@@ -643,7 +643,13 @@ def decode_gif_frames(
 # dimensions, frame count, duration, codec fourcc — is a pure box
 # walk (ISO/IEC 14496-12).  probe_mp4 gives the multimodal feature
 # extractor a real ``video`` metadata row for mp4/mov payloads even
-# though sample decode stays gated.
+# though compressed-codec decode stays gated.  MJPEG-in-MP4 ('jpeg'
+# sample entries, the QuickTime/ISO photo-JPEG stream) IS decodable
+# stdlib-side: extract_mp4_samples walks the sample tables
+# (stsd/stts/stsc/stsz/stco — ISO/IEC 14496-12 §8.5-8.7) and
+# decode_mp4 feeds each sample through the baseline JPEG decoder;
+# encode_mp4_mjpeg is the matching minimal muxer so round-trip tests
+# need no fixtures.
 
 
 def probe_mp4(payload: bytes) -> dict | None:
@@ -709,15 +715,259 @@ def probe_mp4(payload: bytes) -> dict | None:
     return meta
 
 
+_BMFF_JPEG_CODECS = {"jpeg", "mjpa", "mjpb", "MJPG", "mjpg", "AVDJ",
+                     "avdj", "dmb1"}
+
+
+def _bmff_boxes(payload: bytes, off: int, end: int):
+    """Yield (kind, body_start, box_end) over an ISO BMFF box run
+    (32-bit, 64-bit largesize, and size-0 to-end forms)."""
+    while off + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, off)
+        kind = payload[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", payload, off + 8)
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < 8 or off + size > end:
+            break
+        yield kind, body, off + size
+        off += size
+
+
+def extract_mp4_samples(
+    payload: bytes,
+) -> tuple[list[bytes], str, int] | None:
+    """ISO BMFF → (video sample byte strings in decode order, codec
+    fourcc, fps); None if not BMFF or no video sample tables.
+
+    Pure spec walk (ISO/IEC 14496-12): stsd gives the codec, stsz the
+    per-sample sizes, stco/co64 the chunk offsets, stsc the
+    sample→chunk runs (entry i covers chunks first_chunk_i ..
+    first_chunk_{i+1}-1), and samples sit back-to-back inside each
+    chunk. fps = mdhd timescale / first stts delta."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    st: dict = {"codec": None, "sizes": None, "fixed": 0,
+                "chunks": None, "stsc": None, "tscale": 0, "delta": 0}
+
+    def walk(off: int, end: int, in_video: bool) -> None:
+        for kind, body, stop in _bmff_boxes(payload, off, end):
+            if kind == b"hdlr":
+                in_video = payload[body + 8 : body + 12] == b"vide"
+            elif kind == b"mdhd":
+                ver = payload[body]
+                st["_mdhd_tscale"] = struct.unpack_from(
+                    ">I", payload, body + (20 if ver == 1 else 12)
+                )[0]
+            elif in_video and kind == b"stsd":
+                st["codec"] = payload[body + 12 : body + 16].decode(
+                    "latin1"
+                )
+                st["tscale"] = st.get("_mdhd_tscale", 0)
+            elif in_video and kind == b"stts":
+                (n_ent,) = struct.unpack_from(">I", payload, body + 4)
+                if n_ent >= 1 and body + 16 <= stop:
+                    st["delta"] = struct.unpack_from(
+                        ">I", payload, body + 12
+                    )[0]
+            elif in_video and kind == b"stsz":
+                # bound every table read by the box end: foreign files
+                # may DECLARE counts their truncated boxes don't carry
+                fixed, count = struct.unpack_from(">II", payload, body + 4)
+                st["fixed"] = fixed
+                if fixed:
+                    st["sizes"] = [fixed] * count
+                elif body + 12 + 4 * count <= stop:
+                    st["sizes"] = list(
+                        struct.unpack_from(f">{count}I", payload, body + 12)
+                    )
+            elif in_video and kind == b"stsc":
+                (n_ent,) = struct.unpack_from(">I", payload, body + 4)
+                if body + 8 + 12 * n_ent <= stop:
+                    st["stsc"] = [
+                        struct.unpack_from(
+                            ">III", payload, body + 8 + 12 * i
+                        )
+                        for i in range(n_ent)
+                    ]
+            elif in_video and kind in (b"stco", b"co64"):
+                (n_ent,) = struct.unpack_from(">I", payload, body + 4)
+                fmt = ">I" if kind == b"stco" else ">Q"
+                width = 4 if kind == b"stco" else 8
+                if body + 8 + width * n_ent <= stop:
+                    st["chunks"] = [
+                        struct.unpack_from(
+                            fmt, payload, body + 8 + width * i
+                        )[0]
+                        for i in range(n_ent)
+                    ]
+            elif kind in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, stop, in_video)
+
+    walk(0, len(payload), False)
+    if not (st["codec"] and st["sizes"] and st["chunks"] and st["stsc"]):
+        return None
+    samples: list[bytes] = []
+    si = 0
+    n_chunks = len(st["chunks"])
+    runs = st["stsc"]
+    for ci in range(1, n_chunks + 1):
+        per = 0
+        for ri, (first, spc, _sdi) in enumerate(runs):
+            last = (
+                runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+            )
+            if first <= ci <= last:
+                per = spc
+                break
+        off = st["chunks"][ci - 1]
+        for _ in range(per):
+            if si >= len(st["sizes"]):
+                break
+            sz = st["sizes"][si]
+            samples.append(payload[off : off + sz])
+            off += sz
+            si += 1
+    fps = (
+        max(1, round(st["tscale"] / st["delta"]))
+        if st["tscale"] and st["delta"]
+        else 30
+    )
+    return samples, st["codec"], fps
+
+
+def decode_mp4(payload: bytes) -> tuple[list[np.ndarray], int] | None:
+    """ISO BMFF → (RGB frames, fps) when the video track is
+    MJPEG-in-MP4 ('jpeg'-family sample entries); None if not BMFF;
+    ``NotImplementedError`` for a recognized BMFF whose codec (avc1/
+    hev1/av01/…) or missing sample tables need ffmpeg."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    got = extract_mp4_samples(payload)
+    if got is None:
+        raise NotImplementedError(
+            "BMFF without extractable video sample tables needs ffmpeg"
+        )
+    samples, codec, fps = got
+    if codec not in _BMFF_JPEG_CODECS:
+        raise NotImplementedError(f"mp4 codec {codec!r} needs ffmpeg")
+    from .jpeg_codec import decode_jpeg
+
+    frames = []
+    for s in samples:
+        img = decode_jpeg(s)
+        if img is None:
+            raise ValueError("mp4 'jpeg' sample is not a JPEG stream")
+        frames.append(img)
+    if not frames:
+        raise ValueError("mp4 video track has zero samples")
+    return frames, fps
+
+
+def _bmff_box(kind: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + kind + body
+
+
+def encode_mp4_mjpeg(
+    frames: list[np.ndarray], fps: int = 30, quality: int = 85
+) -> bytes:
+    """uint8[H,W,3] RGB frames → minimal ISO BMFF mp4 with one
+    photo-JPEG ('jpeg') video track: ftyp + mdat (one chunk per
+    sample — stco carries real absolute offsets) + moov with full
+    stbl sample tables. Timescale = fps, delta = 1."""
+    from .jpeg_codec import encode_jpeg
+
+    h, w, _ = frames[0].shape
+    n = len(frames)
+    jpgs = [encode_jpeg(fr, quality=quality) for fr in frames]
+
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                     + b"isomiso2mp41")
+    mdat_body = b"".join(jpgs)
+    offsets = []
+    off = len(ftyp) + 8  # first sample: after the mdat header
+    for j in jpgs:
+        offsets.append(off)
+        off += len(j)
+
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                         0, 0, 0x40000000)
+    mvhd = _bmff_box(
+        b"mvhd",
+        struct.pack(">I", 0) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", fps, n) + struct.pack(">I", 0x10000)
+        + struct.pack(">H", 0x100) + bytes(2) + bytes(8)
+        + matrix + bytes(24) + struct.pack(">I", 2),
+    )
+    tkhd = _bmff_box(
+        b"tkhd",
+        struct.pack(">I", 3) + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1) + bytes(4) + struct.pack(">I", n)
+        + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _bmff_box(
+        b"mdhd",
+        struct.pack(">IIIII", 0, 0, 0, fps, n)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _bmff_box(
+        b"hdlr",
+        struct.pack(">II", 0, 0) + b"vide" + bytes(12) + b"MJPEG\x00",
+    )
+    vmhd = _bmff_box(b"vmhd", struct.pack(">I", 1)
+                     + struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _bmff_box(
+        b"dref",
+        struct.pack(">II", 0, 1) + _bmff_box(b"url ", struct.pack(">I", 1)),
+    )
+    sample_entry = _bmff_box(
+        b"jpeg",
+        bytes(6) + struct.pack(">H", 1)            # data_ref_index
+        + struct.pack(">HH", 0, 0) + bytes(12)     # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # frame_count
+        + bytes(32)                                 # compressorname
+        + struct.pack(">Hh", 24, -1),               # depth, pre_defined
+    )
+    stsd = _bmff_box(b"stsd", struct.pack(">II", 0, 1) + sample_entry)
+    stts = _bmff_box(b"stts", struct.pack(">IIII", 0, 1, n, 1))
+    stsc = _bmff_box(b"stsc", struct.pack(">II", 0, 1)
+                     + struct.pack(">III", 1, 1, 1))
+    stsz = _bmff_box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n)
+        + b"".join(struct.pack(">I", len(j)) for j in jpgs),
+    )
+    stco = _bmff_box(
+        b"stco",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _bmff_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _bmff_box(b"minf", vmhd + _bmff_box(b"dinf", dref) + stbl)
+    mdia = _bmff_box(b"mdia", mdhd + hdlr + minf)
+    moov = _bmff_box(b"moov", mvhd + _bmff_box(b"trak", tkhd + mdia))
+    return ftyp + _bmff_box(b"mdat", mdat_body) + moov
+
+
 def decode_video(payload: bytes) -> tuple[list[np.ndarray], int] | None:
     """Sniff-and-decode any supported video container → (RGB frames,
-    fps): BMPS (test container), RIFF AVI (MJPG / DIB), animated GIF
-    (≥2 frames; single-frame GIFs stay images). None on unknown
-    magic; ``NotImplementedError`` for recognized-but-unsupported
-    codecs, so callers may fall back to ffmpeg/PIL."""
+    fps): BMPS (test container), RIFF AVI (MJPG / DIB), MJPEG-in-MP4
+    ('jpeg' sample entries), animated GIF (≥2 frames; single-frame
+    GIFs stay images). None on unknown magic;
+    ``NotImplementedError`` for recognized-but-unsupported codecs
+    (avc1/hev1/…, cinepak AVI), so callers may fall back to
+    ffmpeg/PIL or a metadata-only probe."""
     vid = decode_bmps(payload)
     if vid is None:
         vid = decode_avi(payload)
+    if vid is None:
+        vid = decode_mp4(payload)
     if vid is None and payload[:6] in (b"GIF87a", b"GIF89a"):
         gif = decode_gif_frames(payload)
         if gif is not None and len(gif[0]) >= 2:

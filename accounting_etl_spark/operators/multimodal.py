@@ -68,7 +68,14 @@ def extract_media_features(
             "width": None, "height": None, "n_frames": None,
             "sample_rate": None,
         }
-        vid = mc.decode_video(payload)  # BMPS / AVI / animated GIF
+        try:
+            # BMPS / AVI / MJPEG-in-MP4 / animated GIF
+            vid = mc.decode_video(payload)
+        except NotImplementedError:
+            # recognized container, compressed codec (avc1 mp4,
+            # cinepak AVI, …): fall through to the metadata probe —
+            # a feature row with dimensions beats a dead batch
+            vid = None
         if vid is not None:
             frames, _fps = vid
             h, w, _ = frames[0].shape

@@ -640,6 +640,117 @@ def test_multimodal_avi_end_to_end(spark):
     assert got.shape == (6, 8, 3)
 
 
+# ---------------- MJPEG-in-MP4 ----------------------------------------
+
+
+def test_mp4_mjpeg_round_trip():
+    frames = _gradient_frames(5, h=16, w=20)
+    mp4 = mc.encode_mp4_mjpeg(frames, fps=12, quality=90)
+    assert mp4[4:8] == b"ftyp"
+    out = mc.decode_mp4(mp4)
+    assert out is not None
+    dec, fps = out
+    assert fps == 12 and len(dec) == 5
+    for orig, got in zip(frames, dec):
+        assert got.shape == orig.shape
+        err = np.abs(got.astype(int) - orig.astype(int))
+        assert err.mean() < 8 and err.max() < 64
+    # sniffer chain dispatches BMFF too
+    vid = mc.decode_video(mp4)
+    assert vid is not None and len(vid[0]) == 5 and vid[1] == 12
+    # probe agrees with the muxed headers
+    meta = mc.probe_mp4(mp4)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (20, 16, 5)
+    assert meta["codec"] == "jpeg"
+    assert mc.decode_mp4(b"notanmp4xxxx") is None
+
+
+def test_mp4_sample_tables_multi_chunk_layout():
+    """Foreign layout: two samples per chunk + a trailing 1-sample
+    chunk (two stsc runs), exercising the chunk-run walk the minimal
+    muxer never emits."""
+    import struct as st
+
+    frames = _gradient_frames(5, h=8, w=8)
+    mp4 = bytearray(mc.encode_mp4_mjpeg(frames, fps=10, quality=90))
+    got0 = mc.extract_mp4_samples(bytes(mp4))
+    assert got0 is not None
+    samples, codec, fps = got0
+    assert codec == "jpeg" and fps == 10 and len(samples) == 5
+    # rewrite stco (5 per-sample offsets) + stsc (one 1-per-chunk run)
+    # into: chunks at samples 0,2,4 with stsc runs (1,2),(3,1)
+    sizes = [len(s) for s in samples]
+    offs = []
+    off = None
+    # locate current first offset from the existing stco
+    i = bytes(mp4).index(b"stco")
+    (n_ent,) = st.unpack_from(">I", mp4, i + 8)
+    assert n_ent == 5
+    (off,) = st.unpack_from(">I", mp4, i + 12)
+    chunk_offsets = [off, off + sizes[0] + sizes[1],
+                     off + sum(sizes[:4])]
+    new_stco_body = st.pack(">II", 0, 3) + b"".join(
+        st.pack(">I", o) for o in chunk_offsets
+    )
+    new_stco = st.pack(">I", 8 + len(new_stco_body)) + b"stco" + new_stco_body
+    new_stsc_body = st.pack(">II", 0, 2) + st.pack(">III", 1, 2, 1) + st.pack(
+        ">III", 3, 1, 1
+    )
+    new_stsc = st.pack(">I", 8 + len(new_stsc_body)) + b"stsc" + new_stsc_body
+
+    buf = bytes(mp4)
+    j = buf.index(b"stsc")
+    (old_stsc_size,) = st.unpack_from(">I", buf, j - 4)
+    buf = buf[: j - 4] + new_stsc + buf[j - 4 + old_stsc_size :]
+    j = buf.index(b"stco")
+    (old_stco_size,) = st.unpack_from(">I", buf, j - 4)
+    buf = buf[: j - 4] + new_stco + buf[j - 4 + old_stco_size :]
+    # fix enclosing box sizes (stbl/minf/mdia/trak/moov grew/shrank)
+    delta = (len(new_stsc) - old_stsc_size) + (len(new_stco) - old_stco_size)
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        k = buf.index(tag)
+        (sz,) = st.unpack_from(">I", buf, k - 4)
+        buf = buf[: k - 4] + st.pack(">I", sz + delta) + buf[k:]
+
+    got = mc.extract_mp4_samples(buf)
+    assert got is not None
+    samples2, _, _ = got
+    assert samples2 == samples  # identical bytes through the new walk
+    dec, _ = mc.decode_mp4(buf)
+    assert len(dec) == 5
+
+
+def test_mp4_compressed_codec_gated():
+    frames = _gradient_frames(2, h=8, w=8)
+    mp4 = mc.encode_mp4_mjpeg(frames, fps=10)
+    bad = mp4.replace(b"jpeg", b"avc1", 1)  # stsd sample-entry fourcc
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mc.decode_mp4(bad)
+
+
+def test_multimodal_mp4_mjpeg_real_decode(spark):
+    from accounting_etl_spark.operators.multimodal import (
+        extract_media_features,
+        sample_frames,
+    )
+
+    frames = _gradient_frames(7, h=6, w=8)
+    mp4 = mc.encode_mp4_mjpeg(frames, fps=2, quality=90)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(mp4))],
+        "doc_id bigint, modality string, content binary",
+    )
+    feats = extract_media_features(df, real_decode=True).toPandas()
+    assert feats.loc[0, "modality"] == "video"
+    assert feats.loc[0, "n_frames"] == 7
+    assert (feats.loc[0, "width"], feats.loc[0, "height"]) == (8, 6)
+    rows = sample_frames(
+        df, every_n=3, max_frames=2, real_decode=True
+    ).toPandas()
+    assert list(rows["frame_idx"]) == [0, 3]
+    assert list(rows["ts_ms"]) == [0, 1500]  # fps=2 → 3/2 s
+
+
 # ---------------- MP4 metadata probe ----------------------------------
 
 
@@ -674,8 +785,11 @@ def test_probe_mp4():
         "duration_ms": 2000, "codec": "avc1",
     }
     assert mc.probe_mp4(b"notanmp4butlongenough") is None
-    # decode stays gated: not a decodable container
-    assert mc.decode_video(mp4) is None
+    # decode stays gated for compressed codecs / missing sample
+    # tables: recognized container -> NotImplementedError (callers
+    # fall back to the probe), matching the AVI codec-gate contract
+    with pytest.raises(NotImplementedError):
+        mc.decode_video(mp4)
 
 
 def test_multimodal_mp4_metadata_row(spark):

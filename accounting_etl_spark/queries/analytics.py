@@ -842,13 +842,57 @@ FROM xn
 """
 
 
+_KANON_K = 5
+_KANON_L = 2
+
+
+def q_kanon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'kanon' variant: k-anonymity / l-diversity release audit
+    (operators/privacy.py) over customers — quasi-identifiers
+    (nation, market segment, 1000-unit balance band), sensitive
+    attribute ``c_custkey % 7`` (a synthetic category standing in for
+    plan tier). One row per equivalence class: n = class size,
+    v1 = k threshold, v2 = distinct sensitive values, v3 = risky
+    (class smaller than k={k} or fewer than l={l} sensitive values).
+    Class table bounded by the quasi-identifier domain, not the
+    corpus."""
+    from ..operators.privacy import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    audit = k_anonymity_audit(
+        cust,
+        [
+            F.col("c_nationkey").cast("bigint"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint"),
+        ],
+        k=_KANON_K,
+        sensitive=F.pmod(F.col("c_custkey"), F.lit(7)),
+        l_threshold=_KANON_L,
+    )
+    return audit.select(
+        F.lit("kanon").alias("variant"),
+        F.concat_ws("|", "q0", "q1", "q2").alias("grp"),
+        F.col("class_size").cast("bigint").alias("n"),
+        F.lit(float(_KANON_K)).alias("v1"),
+        F.col("n_sensitive").cast("double").alias("v2"),
+        F.col("is_risky").cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
+    )
+
+
+q_kanon_stats.__doc__ = q_kanon_stats.__doc__.format(
+    k=_KANON_K, l=_KANON_L
+)
+
+
 def q_moments_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact second moments + data-contract audit in one union-tagged
     entry (driver cap: the correctness gate records at most 50
     registry entries). variant 'moments': see q_stats_moments
     (grp = returnflag, v1..v4 = var/std/cov/corr). variant
     'contracts': see q_contract_audit. variant 'chi2': see
-    q_chi_square."""
+    q_chi_square. variant 'kanon': see q_kanon_stats."""
     mom = q_stats_moments(spark, sf_dir).select(
         F.lit("moments").alias("variant"),
         F.col("l_returnflag").alias("grp"),
@@ -858,8 +902,10 @@ def q_moments_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cov_qty_price").cast("double").alias("v3"),
         F.col("corr_qty_price").cast("double").alias("v4"),
     )
-    return mom.unionByName(q_contract_audit(spark, sf_dir)).unionByName(
-        q_chi_square(spark, sf_dir)
+    return (
+        mom.unionByName(q_contract_audit(spark, sf_dir))
+        .unionByName(q_chi_square(spark, sf_dir))
+        .unionByName(q_kanon_stats(spark, sf_dir))
     )
 
 
@@ -2391,6 +2437,29 @@ QUERIES["dist_stats"] = Q(
         "kcore": q_kcore_stats,
     },
 )
+_KANON_SQL = f"""
+WITH kc AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS q0, c_mktsegment AS q1,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS q2,
+         c_custkey % 7 AS sens
+  FROM customer
+), kcls AS (
+  SELECT q0, q1, q2, count(*) AS class_size,
+         count(DISTINCT sens) AS n_sensitive
+  FROM kc GROUP BY 1, 2, 3
+)
+SELECT 'kanon' AS variant,
+       CAST(q0 AS VARCHAR) || '|' || q1 || '|' || CAST(q2 AS VARCHAR) AS grp,
+       CAST(class_size AS BIGINT) AS n,
+       CAST({_KANON_K} AS DOUBLE) AS v1,
+       CAST(n_sensitive AS DOUBLE) AS v2,
+       CAST(CASE WHEN class_size < {_KANON_K}
+                   OR n_sensitive < {_KANON_L}
+                 THEN 1 ELSE 0 END AS DOUBLE) AS v3,
+       CAST(NULL AS DOUBLE) AS v4
+FROM kcls
+"""
+
 _MOMENTS_MERGED_SQL = f"""
 SELECT 'moments' AS variant, l_returnflag AS grp, CAST(n AS BIGINT) AS n,
        CAST(var_qty AS DOUBLE) AS v1, CAST(std_qty AS DOUBLE) AS v2,
@@ -2401,6 +2470,8 @@ UNION ALL
 SELECT * FROM ({_CONTRACTS_SQL})
 UNION ALL
 SELECT * FROM ({_chi2_sql()})
+UNION ALL
+SELECT * FROM ({_KANON_SQL})
 """
 
 QUERIES["stats_moments"] = Q(
@@ -2410,6 +2481,7 @@ QUERIES["stats_moments"] = Q(
         "moments": q_stats_moments,
         "contracts": q_contract_audit,
         "chi2": q_chi_square,
+        "kanon": q_kanon_stats,
     },
 )
 QUERIES["salted_agg"] = Q(

@@ -19,6 +19,11 @@ matches take the LAST row under that order (max tiebreak), matching
 the deterministic SQL spec ``row_number() OVER (ORDER BY time DESC,
 tiebreak DESC) = 1``; forward matches symmetrically take the min
 tiebreak; equal backward/forward distance prefers backward.
+
+``tolerance`` (pandas ``merge_asof`` semantics, the feature-store
+max-staleness bound) nullifies a carried match whose time distance
+exceeds the bound — a pure post-carry column test, so the plan shape
+(one shuffle) is unchanged.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ def asof_join(
     payload: list[str],
     tiebreak: list[str] | None = None,
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of join; returns all left columns + right ``payload``.
 
@@ -44,10 +50,14 @@ def asof_join(
     ``unix_micros`` for timestamps — exact integers, no float drift).
     ``direction``: "backward" (right_time <= left_time, the default)
     or "nearest" (minimum |left_time - right_time|, backward wins
-    exact-distance ties).
+    exact-distance ties). ``tolerance``: optional max |left_time -
+    match_time|; a match farther away than this yields NULL payload
+    (the row still returns — left-outer semantics).
     """
     if direction not in ("backward", "nearest"):
         raise ValueError(f"unknown direction: {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be >= 0")
     tb = tiebreak or []
     l_tagged = left.select(
         F.col(on).alias("__k"),
@@ -90,6 +100,7 @@ def asof_join(
     if direction == "backward":
         carried = unioned.select(
             "__is_left",
+            F.col("__t").alias("__lt"),
             *[F.col(c) for c in left.columns],
             back.alias("__match"),
         )
@@ -112,6 +123,7 @@ def asof_join(
         )
         carried = staged.select(
             "__is_left",
+            "__lt",
             *[F.col(c) for c in left.columns],
             F.when(
                 F.col("__f").isNull()
@@ -127,10 +139,18 @@ def asof_join(
             .otherwise(F.col("__f"))
             .alias("__match"),
         )
+    match = F.col("__match")
+    if tolerance is not None:
+        dist = (
+            (F.col("__lt") - match["__rt"])
+            if direction == "backward"
+            else F.abs(F.col("__lt") - match["__rt"])
+        )
+        match = F.when(dist <= F.lit(tolerance), match)
     return (
         carried.filter(F.col("__is_left") == 1)
         .select(
             *[F.col(c) for c in left.columns],
-            *[F.col(f"__match.{c}").alias(c) for c in payload],
+            *[match[c].alias(c) for c in payload],
         )
     )

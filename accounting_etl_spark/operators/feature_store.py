@@ -45,6 +45,7 @@ class FeatureTable:
         payload: Sequence[str],
         prefix: str = "",
         tiebreak: Sequence[str] | None = None,
+        max_staleness: int | None = None,
     ) -> None:
         if not payload:
             raise ValueError("payload must be non-empty")
@@ -55,6 +56,11 @@ class FeatureTable:
         self.payload = list(payload)
         self.prefix = prefix
         self.tiebreak = list(tiebreak or [])
+        # feature-store TTL: a feature row older than this (in the
+        # time column's own units) is treated as absent — serving a
+        # week-old balance as "current" is a correctness bug, not a
+        # staleness footnote
+        self.max_staleness = max_staleness
 
 
 def point_in_time_join(
@@ -91,5 +97,6 @@ def point_in_time_join(
             tiebreak=[f"{ft.prefix}{c}" for c in ft.tiebreak]
             if ft.tiebreak
             else None,
+            tolerance=ft.max_staleness,
         )
     return out

@@ -142,16 +142,23 @@ def main() -> None:
         "tfidf_terms.bm25_index",
         "event_windows.rollup",
     }
+    # the driver's BENCH_r05.json truncates the JSON into a "tail"
+    # string; the builder's own BENCH_r5_local.json holds the full
+    # record — take whichever parses
     prev_keys: set[str] = set()
-    prev_path = Path(__file__).resolve().parent / "BENCH_r05.json"
-    try:
-        prev_keys = {
-            k
-            for k in json.loads(prev_path.read_text())["queries"]
-            if "." in k
-        }
-    except (OSError, ValueError, KeyError):
-        pass
+    here = Path(__file__).resolve().parent
+    for prev_name in ("BENCH_r05.json", "BENCH_r5_local.json"):
+        try:
+            prev_keys = {
+                k
+                for k in json.loads((here / prev_name).read_text())[
+                    "queries"
+                ]
+                if "." in k
+            }
+            break
+        except (OSError, ValueError, KeyError):
+            continue
     comparable = sorted(
         (prev_keys & set(timings)) - CHANGED_THIS_ROUND
     )

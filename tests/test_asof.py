@@ -97,3 +97,44 @@ def test_asof_nearest_tie_prefers_backward(spark):
         direction="nearest",
     )
     assert out.collect()[0]["a"] == "back"
+
+
+def test_asof_tolerance_backward(spark):
+    from accounting_etl_spark.operators.asof import asof_join
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 100)], "k int, t bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, "fresh"), (1, 50, "stale"), (2, 10, "old")],
+        "k int, t bigint, a string",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        payload=["a"], tolerance=10,
+    )
+    got = {(r["k"], r["t"]): r["a"] for r in out.collect()}
+    # t=100 matches 95 (dist 5 <= 10); t=200's best match 95 is 105
+    # away -> NULL but the row survives; k=2's only match is 90 away
+    assert got == {(1, 100): "fresh", (1, 200): None, (2, 100): None}
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="k", left_time="t", right_time="t",
+                  payload=["a"], tolerance=-1)
+
+
+def test_asof_tolerance_nearest(spark):
+    from accounting_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 300)], "k int, t bigint")
+    right = spark.createDataFrame(
+        [(1, 94, "b"), (1, 103, "f")], "k int, t bigint, a string"
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        payload=["a"], direction="nearest", tolerance=5,
+    )
+    got = {r["t"]: r["a"] for r in out.collect()}
+    # t=100: nearest is 103 (dist 3 <= 5); t=300: nearest 103 is 197
+    # away -> NULL payload
+    assert got == {100: "f", 300: None}

@@ -74,3 +74,32 @@ def test_validation(spark):
         FeatureTable(feat, time_col="ft", payload=[])
     with pytest.raises(ValueError):
         FeatureTable(feat, time_col="ft", payload=["v"], tiebreak=["x"])
+
+
+def test_max_staleness_ttl(spark):
+    from accounting_etl_spark.operators.feature_store import (
+        FeatureTable,
+        point_in_time_join,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 100), (1, 500)], "user_id int, t bigint"
+    )
+    bal = spark.createDataFrame(
+        [(1, 90, 42.0)], "user_id int, ft bigint, balance double"
+    )
+    out = point_in_time_join(
+        labels,
+        [
+            FeatureTable(
+                bal, time_col="ft", payload=["balance"],
+                prefix="b_", max_staleness=50,
+            )
+        ],
+        on="user_id",
+        label_time="t",
+    ).collect()
+    got = {r["t"]: (r["b_balance"], r["b_asof_time"]) for r in out}
+    # t=100: feature 10 old -> served with its asof audit time;
+    # t=500: the only feature row is 410 stale -> treated as absent
+    assert got == {100: (42.0, 90), 500: (None, None)}

@@ -103,6 +103,16 @@ def extract_media_features(
                 pass
             except Exception:
                 img = None
+            # PIL absent or failed: lossy-webp dimensions are still a
+            # pure header read (the mp4-probe pattern) — a metadata
+            # row beats an unreadable payload
+            from .webp_codec import probe_webp
+
+            wp = probe_webp(payload)
+            if wp is not None:
+                return {**base, "modality": "image",
+                        "width": wp["width"], "height": wp["height"],
+                        "n_frames": 1}
         if img is not None:
             h, w, _ = img.shape
             return {**base, "modality": "image", "width": w, "height": h,

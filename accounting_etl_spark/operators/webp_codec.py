@@ -530,6 +530,51 @@ def decode_webp(payload: bytes) -> np.ndarray | None:
     raise NotImplementedError("no VP8L/VP8 image chunk found in webp")
 
 
+def probe_webp(payload: bytes) -> dict | None:
+    """RIFF/WEBP → ``{width, height, format}`` from chunk headers
+    alone — no entropy decode, so it covers the lossy 'VP8 ' frames
+    the full decoder gates behind ``NotImplementedError``.
+
+    Dimension sources: lossy keyframes carry 14-bit width/height after
+    the 3-byte frame tag + 0x9D012A start code (RFC 6386 §9.1);
+    lossless carries 14-bit dims after the 0x2F signature; extended
+    'VP8X' files carry a 24-bit canvas size (the authoritative display
+    dims) ahead of the codec chunk."""
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    canvas: tuple[int, int] | None = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8X" and len(body) >= 10:
+            canvas = (
+                1 + int.from_bytes(body[4:7], "little"),
+                1 + int.from_bytes(body[7:10], "little"),
+            )
+        elif tag == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            bits = int.from_bytes(body[1:5], "little")
+            w, h = (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            if canvas:
+                w, h = canvas
+            return {"width": w, "height": h, "format": "vp8l"}
+        elif tag == b"VP8 " and len(body) >= 10:
+            keyframe = (body[0] & 1) == 0
+            if canvas:
+                w, h = canvas
+            elif keyframe and body[3:6] == b"\x9d\x01\x2a":
+                w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+                h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            else:
+                return None
+            return {"width": w, "height": h, "format": "vp8"}
+        pos += 8 + size + (size & 1)
+    if canvas:
+        return {"width": canvas[0], "height": canvas[1], "format": "vp8x"}
+    return None
+
+
 # ------------------------------------------------------------- encoding
 
 

@@ -331,3 +331,73 @@ def test_decode_image_dispatch_includes_webp():
 
     img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     assert (decode_image(encode_webp(img)) == img).all()
+
+
+def _lossy_vp8_header(w, h):
+    import struct as st
+
+    body = (b"\x00\x00\x00"            # frame tag: keyframe
+            + b"\x9d\x01\x2a"          # start code
+            + st.pack("<HH", w, h)
+            + b"\x00" * 16)            # truncated partition (probe-only)
+    chunk = b"VP8 " + st.pack("<I", len(body)) + body
+    riff = b"WEBP" + chunk
+    return b"RIFF" + st.pack("<I", len(riff)) + riff
+
+
+def test_probe_webp_lossy_header():
+    from accounting_etl_spark.operators.webp_codec import (
+        decode_webp,
+        probe_webp,
+    )
+    import pytest
+
+    payload = _lossy_vp8_header(320, 180)
+    # full decode stays gated...
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(payload)
+    # ...but the header probe reads the dims without entropy decode
+    assert probe_webp(payload) == {
+        "width": 320, "height": 180, "format": "vp8"
+    }
+    assert probe_webp(b"RIFFxxxxWAVExxxx") is None
+    assert probe_webp(b"short") is None
+
+
+def test_probe_webp_lossless_and_canvas():
+    import struct as st
+
+    from accounting_etl_spark.operators.webp_codec import (
+        encode_webp,
+        probe_webp,
+    )
+    import numpy as np
+
+    rgb = np.zeros((7, 9, 3), dtype=np.uint8)
+    enc = encode_webp(rgb)
+    assert probe_webp(enc) == {"width": 9, "height": 7, "format": "vp8l"}
+    # VP8X canvas overrides the codec-chunk dims
+    vp8x_body = bytes(4) + (639).to_bytes(3, "little") + (359).to_bytes(
+        3, "little"
+    )
+    vp8x = b"VP8X" + st.pack("<I", len(vp8x_body)) + vp8x_body
+    inner = _lossy_vp8_header(16, 16)
+    riff = b"WEBP" + vp8x + inner[12:]
+    ext = b"RIFF" + st.pack("<I", len(riff)) + riff
+    assert probe_webp(ext) == {
+        "width": 640, "height": 360, "format": "vp8"
+    }
+
+
+def test_multimodal_lossy_webp_metadata_row(spark):
+    from accounting_etl_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    df = spark.createDataFrame(
+        [(3, "image", bytearray(_lossy_vp8_header(320, 180)))],
+        "doc_id bigint, modality string, content binary",
+    )
+    row = extract_media_features(df, real_decode=True).toPandas().iloc[0]
+    assert row["modality"] == "image"
+    assert (row["width"], row["height"], row["n_frames"]) == (320, 180, 1)

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "vendor_enrich",
     "merge_upsert",
     "date_spine",
+    "array_battery",
 ]
 
 

@@ -97,26 +97,53 @@ GROUP BY 1, 2
 """
 
 
-def _asof_inputs(spark: SparkSession, sf_dir: str):
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+def _asof_ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared event projection for every asof-entry variant: id, key,
+    integer event time, type, and integer cents (superset of what
+    each variant needs, so the merged entry can persist it ONCE)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    orders = load_table(spark, sf_dir, "orders").select(
+
+
+def _asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared order projection (entity key + integer time + payload)."""
+    return load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t_us"),
         "o_orderkey",
         "o_totalprice",
     )
+
+
+def _asof_inputs(
+    spark: SparkSession,
+    sf_dir: str,
+    ev: DataFrame | None = None,
+    orders: DataFrame | None = None,
+):
+    events = (ev if ev is not None else _asof_ev(spark, sf_dir)).select(
+        "event_id", "user_id", "t_us"
+    )
+    if orders is None:
+        orders = _asof_orders(spark, sf_dir)
     return events, orders
 
 
-def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_asof_join(
+    spark: SparkSession, sf_dir: str,
+    ev: DataFrame | None = None, orders: DataFrame | None = None,
+) -> DataFrame:
     """Backward as-of join: latest order at/before each event, per user.
 
     Implemented with the union-sort/last-carry operator
     (operators/asof.py) — one shuffle, no range explosion.
     """
-    events, orders = _asof_inputs(spark, sf_dir)
+    events, orders = _asof_inputs(spark, sf_dir, ev, orders)
     joined = asof_join(
         events,
         orders,
@@ -129,10 +156,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
-def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_asof_nearest(
+    spark: SparkSession, sf_dir: str,
+    ev: DataFrame | None = None, orders: DataFrame | None = None,
+) -> DataFrame:
     """Nearest-in-time as-of join: the closest order in either
     direction per event (backward wins exact-distance ties)."""
-    events, orders = _asof_inputs(spark, sf_dir)
+    events, orders = _asof_inputs(spark, sf_dir, ev, orders)
     joined = asof_join(
         events,
         orders,
@@ -149,7 +179,9 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ATTRIB_LOOKBACK_US = 120 * 60 * 1_000_000  # 2-hour touch window
 
 
-def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_attribution(
+    spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
+) -> DataFrame:
     """'attrib_{first,last,linear}' variants: multi-touch attribution
     (operators/attribution.py) over the event stream — purchases are
     conversions, every other event type is a touch, lookback 2h.
@@ -161,13 +193,8 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL here (and conv_id/credit_cents are NULL on the asof rows)."""
     from ..operators.attribution import attribute_conversions
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.unix_micros("ts").alias("t_us"),
-        "event_type",
-        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
+    if ev is None:
+        ev = _asof_ev(spark, sf_dir)
     out = attribute_conversions(
         ev.where(F.col("event_type") == "purchase"),
         ev.where(F.col("event_type") != "purchase"),
@@ -190,7 +217,10 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pit_features(
+    spark: SparkSession, sf_dir: str,
+    ev: DataFrame | None = None, orders: DataFrame | None = None,
+) -> DataFrame:
     """'pit' variant: point-in-time feature join
     (operators/feature_store.py) — training-set assembly with no
     future leakage. Labels are the non-purchase events; two feature
@@ -203,20 +233,16 @@ def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL when no order predates the label)."""
     from ..operators.feature_store import FeatureTable, point_in_time_join
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.unix_micros("ts").alias("t_us"),
-        "event_type",
-    )
+    if ev is None:
+        ev = _asof_ev(spark, sf_dir)
     labels = ev.where(F.col("event_type") != "purchase").select(
         "event_id", "user_id", "t_us"
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
-            "ord_t"
-        ),
+    if orders is None:
+        orders = _asof_orders(spark, sf_dir)
+    orders = orders.select(
+        "user_id",
+        F.col("t_us").alias("ord_t"),
         "o_orderkey",
         "o_totalprice",
     )
@@ -262,21 +288,32 @@ def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward + nearest as-of joins + multi-touch attribution +
     point-in-time feature join in one union-tagged entry (driver
-    cap: the correctness gate records at most 50 entries)."""
+    cap: the correctness gate records at most 50 entries).
+
+    Shared-subframe discipline: all four variants project the same
+    events/orders tables — built ONCE here and persisted for the
+    union (the sf1 ratio of entry wall to variant sum was 3.4x before
+    this; the frames are projections, small and LRU-evictable)."""
+    from pyspark import StorageLevel
+
+    ev = _asof_ev(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    orders = _asof_orders(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nulls = [
         F.lit(None).cast("bigint").alias("conv_id"),
         F.lit(None).cast("bigint").alias("credit_cents"),
     ]
-    back = q_asof_join(spark, sf_dir).select(
+    back = q_asof_join(spark, sf_dir, ev, orders).select(
         F.lit("backward").alias("variant"), "*", *nulls
     )
-    near = q_asof_nearest(spark, sf_dir).select(
+    near = q_asof_nearest(spark, sf_dir, ev, orders).select(
         F.lit("nearest").alias("variant"), "*", *nulls
     )
     return (
         back.unionByName(near)
-        .unionByName(q_attribution(spark, sf_dir))
-        .unionByName(q_pit_features(spark, sf_dir))
+        .unionByName(q_attribution(spark, sf_dir, ev))
+        .unionByName(q_pit_features(spark, sf_dir, ev, orders))
     )
 
 

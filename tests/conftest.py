@@ -20,6 +20,19 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache(request):
+    """Hermetic plans: the merged union builders persist shared
+    subframes, and Spark's CacheManager substitutes InMemoryRelation
+    into any later IDENTICAL analyzed plan session-wide — a prior
+    test's cache would silently replace the scans plan-asserting
+    tests inspect. Clear the cache before every test that uses the
+    session (cheap; within-test persists are unaffected)."""
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()
+    yield
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

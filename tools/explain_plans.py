@@ -25,6 +25,10 @@ def main() -> None:
     names = sys.argv[1:] or [n for n in BENCH_QUERIES if n in qs]
     sf_dir = "/root/testdata/sf0.001"
     for name in names:
+        # each query's INTRINSIC plan: a previous query's persisted
+        # shared subframes would otherwise substitute InMemoryRelation
+        # into identical analyzed subplans session-wide
+        spark.catalog.clearCache()
         print(f"\n{'=' * 72}\n{name}\n{'=' * 72}")
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

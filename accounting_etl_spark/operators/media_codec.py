@@ -11,8 +11,8 @@ fully stubbed:
 - **PPM** (binary P6): decode → RGB array.
 - **PNG** (ISO/IEC 15948): zlib is in the stdlib, so full decode of
   8-bit gray / gray+alpha / RGB / RGBA / palette images with all five
-  scanline filters (None/Sub/Up/Average/Paeth), plus encode (RGB,
-  filter 0). Adam7 interlace raises ``NotImplementedError``.
+  scanline filters (None/Sub/Up/Average/Paeth) including Adam7
+  progressive interlace, plus encode (RGB, filter 0, optional Adam7).
 - **GIF** (87a/89a): stdlib-only LZW decode of the first frame,
   global/local color tables, interlaced row order.
 - **JPEG** (baseline + progressive, via :mod:`.jpeg_codec`): numpy
@@ -139,15 +139,30 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(rgb: np.ndarray) -> bytes:
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def encode_png(rgb: np.ndarray, *, interlace: bool = False) -> bytes:
     """uint8[H,W,3] RGB → PNG bytes (color type 2, bit depth 8,
-    filter 0 on every scanline)."""
+    filter 0 on every scanline; optional Adam7 interlacing — each
+    pass is an independently-filtered sub-image, PNG spec §8.2)."""
     import zlib
 
     h, w, c = rgb.shape
     assert c == 3 and rgb.dtype == np.uint8
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = rgb[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            parts += [b"\x00" + sub[y].tobytes() for y in range(len(sub))]
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -198,7 +213,8 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 
 def decode_png(payload: bytes) -> np.ndarray | None:
     """PNG → uint8[H,W,3] RGB (alpha dropped, palette expanded);
-    None if the signature doesn't match. 8-bit depth, no interlace."""
+    None if the signature doesn't match. 8-bit depth; progressive
+    (Adam7) interlacing de-interlaces natively."""
     import zlib
 
     if not payload.startswith(_PNG_SIG):
@@ -220,14 +236,27 @@ def decode_png(payload: bytes) -> np.ndarray | None:
             idat += body
         elif tag == b"IEND":
             break
-    if depth != 8 or interlace != 0:
+    if depth != 8:
         raise NotImplementedError(
-            f"PNG bit depth {depth} / interlace {interlace} not supported "
-            "(8-bit non-interlaced only)"
+            f"PNG bit depth {depth} not supported (8-bit only)"
         )
     ch = _PNG_CHANNELS[ctype]
-    recon = _png_unfilter(zlib.decompress(bytes(idat)), h, w * ch, ch)
-    px = recon.reshape(h, w, ch)
+    data = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        px = _png_unfilter(data, h, w * ch, ch).reshape(h, w, ch)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered
+        px = np.zeros((h, w, ch), np.uint8)
+        off2 = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * ch
+            n = ph * (stride + 1)
+            sub = _png_unfilter(data[off2 : off2 + n], ph, stride, ch)
+            off2 += n
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
     if ctype == 3:  # palette lookup
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         return pal[px[:, :, 0]].copy()

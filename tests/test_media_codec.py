@@ -314,19 +314,57 @@ def test_png_gray_palette_rgba():
     assert np.array_equal(out, rgba[:, :, :3])
 
 
-def test_png_interlace_raises():
+def test_png_adam7_interlace_round_trip():
+    """Progressive (Adam7) PNG decodes natively: 7 independently
+    filtered sub-images scattered back onto the canvas — exact
+    round trip, including odd dimensions where late passes carry
+    the remainder rows/columns."""
+    for h, w in [(3, 4), (8, 8), (13, 17), (1, 1), (2, 9)]:
+        img = _img(h, w, seed=h * 31 + w)
+        enc = mc.encode_png(img, interlace=True)
+        assert np.array_equal(mc.decode_png(enc), img), (h, w)
+        # interlaced and sequential encodes agree pixel-for-pixel
+        assert np.array_equal(
+            mc.decode_png(mc.encode_png(img)), mc.decode_png(enc)
+        )
+
+
+def test_png_adam7_with_filters():
+    """Adam7 passes whose scanlines use Sub/Up filters (a foreign
+    encoder's choice) unfilter per pass, not across passes."""
     import struct as st
     import zlib
 
-    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    img = _img(6, 6, seed=42)
+    parts = []
+    for x0, y0, xs, ys in mc._ADAM7:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for y in range(len(sub)):
+            line = sub[y].tobytes()
+            if y == 0:
+                # Sub filter on the first row of each pass
+                arr = np.frombuffer(line, np.uint8).astype(np.int16)
+                d = arr.copy()
+                d[3:] = (arr[3:] - arr[:-3]) & 0xFF
+                parts.append(b"\x01" + d.astype(np.uint8).tobytes())
+            else:
+                # Up filter against the previous row of the SAME pass
+                prev = sub[y - 1].tobytes()
+                a = np.frombuffer(line, np.uint8).astype(np.int16)
+                b = np.frombuffer(prev, np.uint8).astype(np.int16)
+                parts.append(
+                    b"\x02" + ((a - b) & 0xFF).astype(np.uint8).tobytes()
+                )
+    ihdr = st.pack(">IIBBBBB", 6, 6, 8, 2, 0, 0, 1)
     payload = (
         mc._PNG_SIG
         + mc._png_chunk(b"IHDR", ihdr)
-        + mc._png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + mc._png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
         + mc._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="interlace"):
-        mc.decode_png(payload)
+    assert np.array_equal(mc.decode_png(payload), img)
 
 
 # ---------------- GIF ------------------------------------------------

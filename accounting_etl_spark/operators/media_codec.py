@@ -213,8 +213,9 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 
 def decode_png(payload: bytes) -> np.ndarray | None:
     """PNG → uint8[H,W,3] RGB (alpha dropped, palette expanded);
-    None if the signature doesn't match. 8-bit depth; progressive
-    (Adam7) interlacing de-interlaces natively."""
+    None if the signature doesn't match. 8- and 16-bit depth (16-bit
+    samples downconvert to their high byte, the standard 16→8 map);
+    progressive (Adam7) interlacing de-interlaces natively."""
     import zlib
 
     if not payload.startswith(_PNG_SIG):
@@ -236,27 +237,34 @@ def decode_png(payload: bytes) -> np.ndarray | None:
             idat += body
         elif tag == b"IEND":
             break
-    if depth != 8:
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
         raise NotImplementedError(
-            f"PNG bit depth {depth} not supported (8-bit only)"
+            f"PNG bit depth {depth} / color type {ctype} not supported "
+            "(8- and 16-bit, palette 8-bit only)"
         )
     ch = _PNG_CHANNELS[ctype]
+    sw = depth // 8  # sample width in bytes; filters act bytewise
+    bpp = ch * sw    # with bpp = bytes per whole pixel (spec §9)
     data = zlib.decompress(bytes(idat))
     if interlace == 0:
-        px = _png_unfilter(data, h, w * ch, ch).reshape(h, w, ch)
+        raw8 = _png_unfilter(data, h, w * bpp, bpp).reshape(
+            h, w, ch, sw
+        )
     else:  # Adam7: 7 independently-filtered sub-images, scattered
-        px = np.zeros((h, w, ch), np.uint8)
+        raw8 = np.zeros((h, w, ch, sw), np.uint8)
         off2 = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = (w - x0 + xs - 1) // xs
             ph = (h - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue
-            stride = pw * ch
+            stride = pw * bpp
             n = ph * (stride + 1)
-            sub = _png_unfilter(data[off2 : off2 + n], ph, stride, ch)
+            sub = _png_unfilter(data[off2 : off2 + n], ph, stride, bpp)
             off2 += n
-            px[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
+            raw8[y0::ys, x0::xs] = sub.reshape(ph, pw, ch, sw)
+    # 16-bit samples are big-endian: index 0 is the high byte
+    px = raw8[:, :, :, 0]
     if ctype == 3:  # palette lookup
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         return pal[px[:, :, 0]].copy()

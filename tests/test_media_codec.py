@@ -842,3 +842,72 @@ def test_multimodal_mp4_metadata_row(spark):
     row = extract_media_features(df, real_decode=True).toPandas().iloc[0]
     assert row["modality"] == "video"
     assert (row["width"], row["height"], row["n_frames"]) == (320, 240, 75)
+
+
+def test_png_16bit_depth_high_byte():
+    """16-bit PNGs decode by taking each big-endian sample's high
+    byte (the standard 16->8 map); filters operate bytewise with
+    bpp = bytes per whole pixel."""
+    import struct as st
+    import zlib
+
+    img = _img(5, 7, seed=11)
+    img16 = (img.astype(np.uint16) << 8) | 0x42  # low byte is noise
+    # sequential, filter 0
+    raw = b"".join(
+        b"\x00" + img16[y].astype(">u2").tobytes() for y in range(5)
+    )
+    ihdr = st.pack(">IIBBBBB", 7, 5, 16, 2, 0, 0, 0)
+    payload = (
+        mc._PNG_SIG
+        + mc._png_chunk(b"IHDR", ihdr)
+        + mc._png_chunk(b"IDAT", zlib.compress(raw))
+        + mc._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mc.decode_png(payload), img)
+    # Sub filter with the 6-byte pixel stride (bpp = 6 for 16-bit RGB)
+    rows = []
+    for y in range(5):
+        line = np.frombuffer(
+            img16[y].astype(">u2").tobytes(), np.uint8
+        ).astype(np.int16)
+        d = line.copy()
+        d[6:] = (line[6:] - line[:-6]) & 0xFF
+        rows.append(b"\x01" + d.astype(np.uint8).tobytes())
+    payload2 = (
+        mc._PNG_SIG
+        + mc._png_chunk(b"IHDR", ihdr)
+        + mc._png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + mc._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mc.decode_png(payload2), img)
+    # 16-bit gray, Adam7
+    g16 = (img[:, :, :1].astype(np.uint16) << 8)
+    parts = []
+    for x0, y0, xs, ys in mc._ADAM7:
+        sub = g16[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        parts += [
+            b"\x00" + sub[y].astype(">u2").tobytes()
+            for y in range(len(sub))
+        ]
+    ihdr_g = st.pack(">IIBBBBB", 7, 5, 16, 0, 0, 0, 1)
+    payload3 = (
+        mc._PNG_SIG
+        + mc._png_chunk(b"IHDR", ihdr_g)
+        + mc._png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + mc._png_chunk(b"IEND", b"")
+    )
+    want = np.repeat(img[:, :, :1], 3, axis=2)
+    assert np.array_equal(mc.decode_png(payload3), want)
+    # unsupported combos still gated
+    with pytest.raises(NotImplementedError):
+        mc.decode_png(
+            mc._PNG_SIG
+            + mc._png_chunk(
+                b"IHDR", st.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+            )
+            + mc._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + mc._png_chunk(b"IEND", b"")
+        )

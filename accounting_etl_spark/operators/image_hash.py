@@ -1,0 +1,171 @@
+"""Perceptual image hashing + near-duplicate image dedup.
+
+The image-side twin of the text near-dup stack: re-encoded, resized,
+or slightly-recompressed copies of the same picture (the dominant
+duplication mode in crawled image corpora) hash to equal or
+near-equal 64-bit perceptual signatures, so dedup reduces to the
+SAME Hamming-banded posting-list machinery SimHash uses
+(operators/dedup.py — pigeonhole banding, chunk-pair rows,
+``bit_count(xor)`` verify).
+
+Hashes (both classic, e.g. the pHash/dHash family described in the
+imagehash literature):
+
+- **dHash** (difference hash): grayscale → 9×8 nearest resize → each
+  bit is "left pixel < right pixel" per row. Robust to global
+  brightness/contrast shifts and mild compression noise.
+- **aHash** (average hash): 8×8 grayscale, bit = pixel ≥ mean.
+
+Scale shape: ONE Arrow ``mapInPandas`` pass decodes payload bytes
+through the built-in codecs and emits (id, dhash, ahash) — bytes
+never leave the executor, undecodable payloads yield NULL hashes and
+drop out of pairing. Everything after the hash column is JVM-side:
+banding is an in-row explode, posting lists bound per-row memory via
+the chunk-pair expansion, and the Hamming verify is
+``bit_count(xor)`` in codegen. Guarantee: with 4 × 16-bit bands any
+pair within Hamming distance 3 shares at least one exact band.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.pairs import explode_bucket_pairs
+
+# integer ITU-R BT.601 luma milli-weights
+_LUMA = (299, 587, 114)
+
+
+def _gray(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[:, :, i].astype(np.uint32) for i in range(3))
+    return ((r * _LUMA[0] + g * _LUMA[1] + b * _LUMA[2]) // 1000).astype(
+        np.uint8
+    )
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash of a uint8[H,W,3] RGB image."""
+    from .media_codec import resize_nearest
+
+    g = _gray(resize_nearest(img, 9, 8))
+    bits = (g[:, :-1] < g[:, 1:]).reshape(-1)
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out - (1 << 64) if out >= 1 << 63 else out  # signed int64
+
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average hash of a uint8[H,W,3] RGB image."""
+    from .media_codec import resize_nearest
+
+    g = _gray(resize_nearest(img, 8, 8))
+    bits = (g >= g.mean()).reshape(-1)
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def image_hashes(
+    df: DataFrame, *, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, dhash, ahash) per row — one Arrow pass, payload bytes
+    stay on the executor; undecodable/unrecognized payloads get NULL
+    hashes (callers drop or audit them)."""
+    import pandas as pd
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import media_codec as mc
+
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                d = a = None
+                try:
+                    img = mc.decode_image(bytes(content))
+                except NotImplementedError:
+                    img = None
+                if img is not None:
+                    d, a = dhash64(img), ahash64(img)
+                rows.append((int(rid), d, a))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "dhash", "ahash"]
+            ).astype({"dhash": "Int64", "ahash": "Int64"})
+
+    return df.select(id_col, content_col).mapInPandas(
+        _hash, schema=f"{id_col} bigint, dhash bigint, ahash bigint"
+    )
+
+
+def near_dup_image_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup image pairs (id_a, id_b, hamming) with distance <=
+    ``max_hamming`` over a 64-bit perceptual hash column — the
+    SimHash pigeonhole-banded posting-list plan verbatim: any pair
+    within distance chunks-1 shares an exact 16-bit chunk, pair
+    expansion is chunk-pair rows (O(max_bucket²) per row), the
+    verify is one codegen ``bit_count(xor)``."""
+    if not 1 <= chunks <= 64 or 64 % chunks:
+        raise ValueError("chunks must divide 64")
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    sig = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    )
+    chunked = sig.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("__h"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("__id", "__h", "cv.chunk", "cv.val")
+    postings = (
+        chunked.groupBy("chunk", "val")
+        .agg(
+            F.sort_array(F.collect_set(F.struct("__id", "__h"))).alias("xs")
+        )
+        .filter(F.size("xs") >= 2)
+    )
+    return (
+        explode_bucket_pairs(
+            postings,
+            "xs",
+            lambda x, y: F.struct(
+                x["__id"].alias("id_a"),
+                y["__id"].alias("id_b"),
+                F.bit_count(x["__h"].bitwiseXOR(y["__h"]))
+                .cast("int")
+                .alias("hamming"),
+            ),
+            max_bucket,
+        )
+        .filter(F.col("p.hamming") <= max_hamming)
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        )
+        .agg(F.first("p.hamming").alias("hamming"))
+    )

@@ -72,12 +72,62 @@ def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(docs, id_col="doc_id", text_col="text")
 
 
+def _render_doc_bmps(docs: DataFrame) -> DataFrame:
+    """Deterministic 16×16 BMP per document from its text bytes (the
+    binary shim for driver data — real pipelines land image payloads
+    via binaryFile): duplicate/near-dup texts become identical/
+    near-identical images, so the perceptual-hash dedup has real
+    duplicate structure to find."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.media_codec import encode_bmp
+
+        n = 16 * 16 * 3
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                src = np.frombuffer(
+                    str(text).encode("utf-8"), np.uint8
+                )
+                arr = (
+                    np.tile(src, -(-n // src.size))[:n]
+                    if src.size
+                    else np.zeros(n, np.uint8)
+                )
+                rows.append(
+                    (int(did), encode_bmp(arr.reshape(16, 16, 3)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _render, schema="doc_id bigint, content binary"
+    )
+
+
+def q_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'image' variant: perceptual-hash image near-dups
+    (operators/image_hash.py) — dHash over per-doc rendered BMPs,
+    SimHash-style pigeonhole banding, Hamming <= 3 verify. Rows-only
+    (the hash is a decode-dependent UDF); exact-recall-vs-brute-force
+    is unit-tested."""
+    from ..operators.image_hash import image_hashes, near_dup_image_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = image_hashes(_render_doc_bmps(docs))
+    return near_dup_image_pairs(hashes, max_hamming=3)
+
+
 def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH + SimHash candidate generators in one union-tagged
-    entry (driver cap: the correctness gate records at most 50
-    registry entries). variant 'minhash' has no distance column;
-    'simhash' carries the Hamming distance. Both banded equi-joins —
-    no all-pairs stage (operators/dedup.py)."""
+    """MinHash-LSH + SimHash + perceptual-image-hash candidate
+    generators in one union-tagged entry (driver cap: the correctness
+    gate records at most 50 registry entries). variant 'minhash' has
+    no distance column; 'simhash' and 'image' carry the Hamming
+    distance. All banded equi-joins — no all-pairs stage
+    (operators/dedup.py, operators/image_hash.py)."""
     mh = q_near_dup_minhash(spark, sf_dir).select(
         F.lit("minhash").alias("variant"),
         "id_a",
@@ -90,7 +140,13 @@ def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("hamming").cast("int").alias("hamming"),
     )
-    return mh.unionByName(sh)
+    im = q_near_dup_images(spark, sf_dir).select(
+        F.lit("image").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+    return mh.unionByName(sh).unionByName(im)
 
 
 QUERIES: dict[str, Q] = {
@@ -99,6 +155,10 @@ QUERIES: dict[str, Q] = {
     "near_dup_hash": Q(
         q_near_dup_hash,
         None,
-        variants={"minhash": q_near_dup_minhash, "simhash": q_near_dup_simhash},
+        variants={
+            "minhash": q_near_dup_minhash,
+            "simhash": q_near_dup_simhash,
+            "image": q_near_dup_images,
+        },
     ),
 }

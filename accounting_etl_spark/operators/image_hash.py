@@ -104,7 +104,7 @@ def image_hashes(
     )
 
 
-def near_dup_image_pairs(
+def hamming_banded_pairs(
     hashes: DataFrame,
     *,
     id_col: str = "doc_id",
@@ -113,8 +113,9 @@ def near_dup_image_pairs(
     chunks: int = 4,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """Near-dup image pairs (id_a, id_b, hamming) with distance <=
-    ``max_hamming`` over a 64-bit perceptual hash column — the
+    """Near-dup pairs (id_a, id_b, hamming) with distance <=
+    ``max_hamming`` over ANY 64-bit signature column (perceptual
+    image hash here, acoustic fingerprint in audio_hash.py) — the
     SimHash pigeonhole-banded posting-list plan verbatim: any pair
     within distance chunks-1 shares an exact 16-bit chunk, pair
     expansion is chunk-pair rows (O(max_bucket²) per row), the
@@ -169,3 +170,7 @@ def near_dup_image_pairs(
         )
         .agg(F.first("p.hamming").alias("hamming"))
     )
+
+
+# image-named alias of the generic banded pairing
+near_dup_image_pairs = hamming_banded_pairs

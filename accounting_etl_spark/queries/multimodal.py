@@ -121,13 +121,60 @@ def q_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_image_pairs(hashes, max_hamming=3)
 
 
+def _render_doc_wavs(docs: DataFrame) -> DataFrame:
+    """Deterministic 8 kHz PCM clip per document from its text bytes
+    (the audio twin of _render_doc_bmps): duplicate texts become
+    identical clips for the acoustic-fingerprint dedup to find."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.media_codec import encode_wav
+
+        n = 2048
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                src = np.frombuffer(str(text).encode("utf-8"), np.uint8)
+                arr = (
+                    np.tile(src, -(-n // src.size))[:n]
+                    if src.size
+                    else np.zeros(n, np.uint8)
+                )
+                pcm = ((arr.astype(np.int16) - 128) << 8)
+                rows.append((int(did), encode_wav(pcm, 8000)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _render, schema="doc_id bigint, content binary"
+    )
+
+
+def q_near_dup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'audio' variant: acoustic-fingerprint near-dups
+    (operators/audio_hash.py) — Haitsma-Kalker-style spectral-delta
+    signs over per-doc rendered PCM clips, shared Hamming-banded
+    pairing, distance <= 3. Rows-only (FFT UDF)."""
+    from ..operators.audio_hash import (
+        audio_fingerprints,
+        near_dup_audio_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = audio_fingerprints(_render_doc_wavs(docs))
+    return near_dup_audio_pairs(fps, max_hamming=3)
+
+
 def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH + SimHash + perceptual-image-hash candidate
-    generators in one union-tagged entry (driver cap: the correctness
-    gate records at most 50 registry entries). variant 'minhash' has
-    no distance column; 'simhash' and 'image' carry the Hamming
-    distance. All banded equi-joins — no all-pairs stage
-    (operators/dedup.py, operators/image_hash.py)."""
+    """MinHash-LSH + SimHash + perceptual-image-hash +
+    acoustic-fingerprint candidate generators in one union-tagged
+    entry (driver cap: the correctness gate records at most 50
+    registry entries). variant 'minhash' has no distance column;
+    'simhash'/'image'/'audio' carry the Hamming distance. All banded
+    equi-joins — no all-pairs stage (operators/dedup.py,
+    image_hash.py, audio_hash.py)."""
     mh = q_near_dup_minhash(spark, sf_dir).select(
         F.lit("minhash").alias("variant"),
         "id_a",
@@ -146,7 +193,13 @@ def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("hamming").cast("int").alias("hamming"),
     )
-    return mh.unionByName(sh).unionByName(im)
+    au = q_near_dup_audio(spark, sf_dir).select(
+        F.lit("audio").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+    return mh.unionByName(sh).unionByName(im).unionByName(au)
 
 
 QUERIES: dict[str, Q] = {
@@ -159,6 +212,7 @@ QUERIES: dict[str, Q] = {
             "minhash": q_near_dup_minhash,
             "simhash": q_near_dup_simhash,
             "image": q_near_dup_images,
+            "audio": q_near_dup_audio,
         },
     ),
 }

@@ -174,3 +174,58 @@ def hamming_banded_pairs(
 
 # image-named alias of the generic banded pairing
 near_dup_image_pairs = hamming_banded_pairs
+
+
+def video_fp64(frames: list[np.ndarray], *, max_frames: int = 16) -> int:
+    """64-bit clip fingerprint: per-bit MAJORITY vote over the
+    dHashes of up to ``max_frames`` evenly-sampled frames. Robust to
+    re-encoding and frame-rate changes (the sampled content, not the
+    container cadence, drives every bit); two clips sharing most
+    footage land within small Hamming distance."""
+    n = len(frames)
+    if n == 0:
+        raise ValueError("empty frame list")
+    idx = sorted({int(i * n / min(n, max_frames)) for i in
+                  range(min(n, max_frames))})
+    votes = [0] * 64
+    for i in idx:
+        h = dhash64(frames[i]) & ((1 << 64) - 1)
+        for b in range(64):
+            votes[b] += (h >> b) & 1
+    k = len(idx)
+    out = 0
+    for b in range(64):
+        if 2 * votes[b] > k:  # strict majority; ties -> 0
+            out |= 1 << b
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def video_fingerprints(
+    df: DataFrame, *, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, fp) per row over video payload bytes (BMPS/AVI/MP4/GIF
+    via media_codec.decode_video) — one Arrow pass; undecodable or
+    compressed-codec payloads get NULL fingerprints."""
+    import pandas as pd
+
+    def _fp(batches):
+        from . import media_codec as mc
+
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                fp = None
+                try:
+                    vid = mc.decode_video(bytes(content))
+                except NotImplementedError:
+                    vid = None
+                if vid is not None and vid[0]:
+                    fp = video_fp64(vid[0])
+                rows.append((int(rid), fp))
+            yield pd.DataFrame(rows, columns=[id_col, "fp"]).astype(
+                {"fp": "Int64"}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        _fp, schema=f"{id_col} bigint, fp bigint"
+    )

@@ -130,3 +130,44 @@ def test_bad_chunks_raise(spark):
     df = spark.createDataFrame([(1, 2)], "doc_id bigint, dhash bigint")
     with pytest.raises(ValueError):
         near_dup_image_pairs(df, chunks=5)
+
+
+def test_video_fp_majority_and_robustness(spark):
+    from accounting_etl_spark.operators.image_hash import (
+        video_fingerprints,
+        video_fp64,
+    )
+
+    def grad_frames(n, cx=9, cy=5):
+        y, x = np.mgrid[0:16, 0:20]
+        return [
+            np.stack(
+                [(x * cx + y * cy + 11 * i) % 256] * 3, axis=-1
+            ).astype(np.uint8)
+            for i in range(n)
+        ]
+
+    frames = grad_frames(12)
+    fp = video_fp64(frames)
+    # container-independent: same frames through AVI-MJPEG (lossy but
+    # smooth) vs MP4-MJPEG vs BMPS land within small Hamming distance
+    payloads = [
+        mc.encode_bmps(frames, fps=6),
+        mc.encode_avi_mjpeg(frames, fps=6, quality=92),
+        mc.encode_mp4_mjpeg(frames, fps=6, quality=92),
+    ]
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    rows.append((9, bytearray(b"not a video")))
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r.doc_id: r.fp for r in video_fingerprints(df).collect()}
+    assert got[0] == fp and got[9] is None
+    for i in (1, 2):
+        assert _ham(got[0], got[i]) <= 6
+    # frame-rate halving (every other frame) keeps the majority bits
+    assert _ham(fp, video_fp64(frames[::2])) <= 6
+    # structurally different content (reversed gradient) is far —
+    # note dHash is brightness-invariant BY DESIGN, so a mere
+    # constant shift would (correctly) hash identically
+    assert _ham(fp, video_fp64(grad_frames(12, cx=-9, cy=-5))) > 8
+    with pytest.raises(ValueError):
+        video_fp64([])

@@ -42,16 +42,18 @@ def audio_fp64(samples: np.ndarray, rate: int) -> int | None:
         return None
     frames = x[:n].reshape(_FRAMES, -1)
     mags = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]  # drop DC
-    # log-spaced band edges over the positive spectrum
+    # log-spaced band edges over the positive spectrum; half-open
+    # [edges[b], edges[b+1]) slices PARTITION the bins — no overlap
     m = mags.shape[1]
     edges = np.unique(
         np.geomspace(1, m, _BANDS + 1).astype(int)
     )
+    edges[0] = 0  # first band starts at the spectrum origin
     while edges.size < _BANDS + 1:  # tiny spectra: pad linearly
         edges = np.unique(np.append(edges, edges[-1] + 1))
     e = np.stack(
         [
-            (mags[:, edges[b] - 1 : edges[b + 1]] ** 2).sum(axis=1)
+            (mags[:, edges[b] : edges[b + 1]] ** 2).sum(axis=1)
             for b in range(_BANDS)
         ],
         axis=1,
@@ -80,7 +82,9 @@ def audio_fingerprints(
                 fp = None
                 try:
                     wav = decode_wav(bytes(content))
-                except NotImplementedError:
+                except Exception:
+                    # truncated RIFF raises EOFError/struct.error —
+                    # NULL the row instead of killing the Arrow batch
                     wav = None
                 if wav is not None:
                     fp = audio_fp64(*wav)
@@ -101,9 +105,12 @@ def near_dup_audio_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int = 256,
+    max_posting: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup audio pairs (id_a, id_b, hamming) — the shared
-    Hamming-banded posting-list pairing over the fingerprint."""
+    Hamming-banded posting-list pairing over the fingerprint
+    (identical-fingerprint collapse + hot-band cap included; silent
+    clips are the audio face of the degenerate-signature mass)."""
     from .image_hash import hamming_banded_pairs
 
     return hamming_banded_pairs(
@@ -113,4 +120,5 @@ def near_dup_audio_pairs(
         max_hamming=max_hamming,
         chunks=chunks,
         max_bucket=max_bucket,
+        max_posting=max_posting,
     )

@@ -22,7 +22,7 @@ shuffle only on band keys — no all-pairs stage anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.checkpointing import stable_checkpoint
@@ -46,6 +46,63 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
             )
             for h in range(num_hashes)
         ]
+    )
+
+
+def _minhash_sigs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k_shingle: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Per-doc signature table (__id, __h0..__h{n-1}) — the shared
+    front half of minhash_bands / minhash_candidates; see
+    minhash_bands for the plan rationale."""
+    wide = spread(df, id_col)
+    th = wide.select(
+        F.col(id_col).alias("__id"),
+        token_hashes(tokens_ws(F.col(text_col))).alias("__th"),
+    )
+    gs = stable_checkpoint(
+        th.select(
+            "__id", hashed_grams(F.col("__th"), k_shingle).alias("__gs")
+        )
+    )
+    sh = gs.select("__id", F.explode("__gs").alias("__kh"))
+    return sh.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.col("__kh"), F.lit(h))).alias(f"__h{h}")
+            for h in range(num_hashes)
+        ]
+    )
+
+
+def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(__id, band, key) from a signature table — one 64-bit hash of
+    each band's r signature slots (bigint shuffle key, no string
+    concat); xxhash64 collisions only ADD candidates, which the
+    downstream exact verification filters."""
+    r = num_hashes // bands
+    return (
+        sig.select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"__h{b * r + i}") for i in range(r)]
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("__id", "bk.band", "bk.key")
     )
 
 
@@ -78,51 +135,22 @@ def minhash_bands(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
-    # small-file scans arrive single-partition and shingling is
-    # CPU-bound; spread() no-ops when the scan is already wide
-    wide = spread(df, id_col)
     # shingle keys via the hashed-gram scheme (functions/text.py
     # hashed_grams): 64-bit keys from a materialized token-hash array,
     # checkpointed before the explode so InferFiltersFromGenerate's
     # inferred filter sees stored arrays, not the tokenize→hash tree.
-    # The hash family below re-hashes the key with the member index —
-    # any uniform 64-bit key scheme gives the same MinHash semantics.
-    th = wide.select(
-        F.col(id_col).alias("__id"),
-        token_hashes(tokens_ws(F.col(text_col))).alias("__th"),
+    # The hash family re-hashes the key with the member index — any
+    # uniform 64-bit key scheme gives the same MinHash semantics.
+    # spread() fans out single-split local scans (no-op when wide).
+    sig = _minhash_sigs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k_shingle=k_shingle,
+        num_hashes=num_hashes,
     )
-    gs = stable_checkpoint(
-        th.select(
-            "__id", hashed_grams(F.col("__th"), k_shingle).alias("__gs")
-        )
-    )
-    sh = gs.select("__id", F.explode("__gs").alias("__kh"))
-    sig = sh.groupBy("__id").agg(
-        *[
-            F.min(F.xxhash64(F.col("__kh"), F.lit(h))).alias(f"__h{h}")
-            for h in range(num_hashes)
-        ]
-    )
-    return (
-        sig.select(
-            "__id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[F.col(f"__h{b * r + i}") for i in range(r)]
-                            ).alias("key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select("__id", "bk.band", "bk.key")
-        .withColumnRenamed("__id", id_col)
+    return _band_keys(sig, num_hashes, bands).withColumnRenamed(
+        "__id", id_col
     )
 
 
@@ -135,6 +163,7 @@ def minhash_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 256,
+    max_posting: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash.
 
@@ -143,24 +172,53 @@ def minhash_candidates(
     cut into chunk-pair rows first, so no row ever materializes more
     than max_bucket² pair structs (functions/pairs.py
     explode_bucket_pairs — the executor-OOM skew escape).
+
+    Degenerate-mass bounds (VERDICT r6 #1 — same discipline as
+    image_hash.hamming_banded_pairs):
+
+    - **Identical-signature collapse**: docs whose FULL num_hashes
+      signature is equal (identical/equal-shingle-set texts — the
+      blank/boilerplate mass) fold to the min-id representative and
+      emit STAR pairs (rep, member) directly — a group of n equal
+      signatures is a candidate clique by construction, so the star
+      (linear, connectivity-equivalent) replaces the n(n-1)/2 pairs
+      and only the rep enters the banding.
+    - **Hot-band cap** (``max_posting``): (band, key) buckets whose
+      distinct-signature posting list exceeds the cap are skipped —
+      no discriminative signal, O(posting²) cost. Deterministic skip;
+      ``None`` disables.
     """
-    banded = minhash_bands(
-        df,
-        id_col=id_col,
-        text_col=text_col,
-        k_shingle=k_shingle,
-        num_hashes=num_hashes,
-        bands=bands,
-    ).withColumnRenamed(id_col, "__id")
+    sig = stable_checkpoint(
+        _minhash_sigs(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            k_shingle=k_shingle,
+            num_hashes=num_hashes,
+        )
+    )
+    hcols = [f"__h{h}" for h in range(num_hashes)]
+    marked = sig.withColumn(
+        "__rep", F.min("__id").over(Window.partitionBy(*hcols))
+    )
+    zero = marked.where(F.col("__id") != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col("__id").alias("id_b")
+    )
+    reps = marked.where(F.col("__id") == F.col("__rep")).select(
+        "__id", *hcols
+    )
     # posting lists per (band, key) → local pair generation → one
-    # distinct on the pair: 2 shuffles, no self-join of two exploded
-    # sides (the same plan shape as the exact-Jaccard pair stage).
+    # distinct on the pair: no self-join of two exploded sides (the
+    # same plan shape as the exact-Jaccard pair stage).
     postings = (
-        banded.groupBy("band", "key")
+        _band_keys(reps, num_hashes, bands)
+        .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("__id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    return (
+    if max_posting is not None:
+        postings = postings.filter(F.size("ids") <= max_posting)
+    cross = (
         explode_bucket_pairs(
             postings,
             "ids",
@@ -170,6 +228,9 @@ def minhash_candidates(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
+    # star pairs have a non-rep id_b, banded pairs are rep-to-rep:
+    # disjoint by construction
+    return zero.unionByName(cross)
 
 
 def simhash64(tokens: Column) -> Column:
@@ -216,18 +277,23 @@ def simhash_candidates(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int = 256,
+    max_posting: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) with distance <= max_hamming.
 
     Pigeonhole banding: with 4 × 16-bit chunks, any pair within
     Hamming distance 3 shares at least one exact chunk, so the
-    candidate join is an equi-join on (chunk_idx, chunk_value).
-    ``max_bucket`` bounds per-row pair expansion via chunk-pair rows
-    (same pairs, no single-row O(n²) blowup — see
-    minhash_candidates / functions/pairs.py).
+    candidate join is an equi-join on (chunk_idx, chunk_value). The
+    pairing machinery is the shared
+    :func:`~.image_hash.hamming_banded_pairs` (this plan was its
+    template): signature checkpointed so the fold runs once,
+    identical signatures collapsed to star pairs before banding
+    (hamming 0 by definition), ``max_bucket`` chunk-pair rows bound
+    per-row memory, ``max_posting`` skips non-discriminative hot
+    bands.
     """
-    width = 64 // chunks
-    mask = (1 << width) - 1
+    from .image_hash import hamming_banded_pairs
+
     # small-file scans arrive single-partition and the signature fold
     # is CPU-bound; spread() no-ops when the scan is already wide
     wide = spread(df, id_col)
@@ -235,52 +301,16 @@ def simhash_candidates(
         F.col(id_col).alias("__id"),
         simhash64(tokens_ws(F.col(text_col))).alias("__sim"),
     )
-    chunked = sig.select(
-        "__id",
-        "__sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("__sim"), c * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cv"),
-    ).select("__id", "__sim", "cv.chunk", "cv.val")
-    # posting lists per (chunk, val) → local pair generation with the
-    # Hamming check inline → one grouped dedup on the pair. The
-    # signature pipeline runs ONCE (a chunked self-join would recompute
-    # scan+shingle+fold on both sides); 2 shuffles total.
-    postings = (
-        chunked.groupBy("chunk", "val")
-        .agg(
-            F.sort_array(F.collect_set(F.struct("__id", "__sim"))).alias("xs")
-        )
-        .filter(F.size("xs") >= 2)
-    )
-    return (
-        explode_bucket_pairs(
-            postings,
-            "xs",
-            lambda x, y: F.struct(
-                x["__id"].alias("id_a"),
-                y["__id"].alias("id_b"),
-                F.bit_count(x["__sim"].bitwiseXOR(y["__sim"]))
-                .cast("int")
-                .alias("hamming"),
-            ),
-            max_bucket,
-        )
-        .filter(F.col("p.hamming") <= max_hamming)
-        .groupBy(
-            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
-        )
-        .agg(F.first("p.hamming").alias("hamming"))
+    # the 63-bit signature is non-negative, so the generic pairing's
+    # unsigned chunk shift equals the arithmetic shift used here before
+    return hamming_banded_pairs(
+        sig,
+        id_col="__id",
+        hash_col="__sim",
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_bucket=max_bucket,
+        max_posting=max_posting,
     )
 
 

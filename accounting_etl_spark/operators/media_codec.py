@@ -698,37 +698,26 @@ def probe_mp4(payload: bytes) -> dict | None:
                   "width": None, "height": None, "n_frames": None,
                   "duration_ms": None, "codec": None}
 
-    def boxes(off: int, end: int):
-        while off + 8 <= end:
-            (size,) = struct.unpack_from(">I", payload, off)
-            kind = payload[off + 4 : off + 8]
-            body = off + 8
-            if size == 1:  # 64-bit largesize
-                (size,) = struct.unpack_from(">Q", payload, off + 8)
-                body = off + 16
-            elif size == 0:  # to end of file
-                size = end - off
-            if size < 8 or off + size > end:
-                break
-            yield kind, body, off + size
-            off += size
-
     def walk(off: int, end: int, in_video_trak: bool) -> None:
-        for kind, body, stop in boxes(off, end):
-            if kind == b"mvhd":
+        # every header read below is bounded by the enclosing box end
+        # (the stsz/stsc/stco discipline): foreign/truncated BMFF must
+        # yield a partial probe, not struct.error/IndexError
+        for kind, body, stop in _bmff_boxes(payload, off, end):
+            if kind == b"mvhd" and body < stop:
                 ver = payload[body]
-                if ver == 1:
+                if ver == 1 and body + 32 <= stop:
                     tscale, dur = struct.unpack_from(
                         ">IQ", payload, body + 20
                     )
-                else:
+                elif ver == 0 and body + 20 <= stop:
                     tscale, dur = struct.unpack_from(
                         ">II", payload, body + 12
                     )
+                else:
+                    continue
                 if tscale:
                     meta["duration_ms"] = dur * 1000 // tscale
-            elif kind == b"tkhd":
-                ver = payload[body]
+            elif kind == b"tkhd" and stop - 8 >= body:
                 # width/height: last 8 bytes, 16.16 fixed point
                 w16, h16 = struct.unpack_from(">II", payload, stop - 8)
                 if w16 and h16:
@@ -741,7 +730,7 @@ def probe_mp4(payload: bytes) -> dict | None:
                 meta["codec"] = payload[body + 12 : body + 16].decode(
                     "latin1"
                 )
-            elif kind == b"stsz" and in_video_trak:
+            elif kind == b"stsz" and in_video_trak and body + 12 <= stop:
                 _, _, count = struct.unpack_from(">III", payload, body)
                 meta["n_frames"] = count
             elif kind in (b"moov", b"trak", b"mdia", b"minf",
@@ -764,6 +753,8 @@ def _bmff_boxes(payload: bytes, off: int, end: int):
         kind = payload[off + 4 : off + 8]
         body = off + 8
         if size == 1:
+            if off + 16 > end:  # truncated largesize header
+                break
             (size,) = struct.unpack_from(">Q", payload, off + 8)
             body = off + 16
         elif size == 0:
@@ -792,36 +783,46 @@ def extract_mp4_samples(
 
     def walk(off: int, end: int, in_video: bool) -> None:
         for kind, body, stop in _bmff_boxes(payload, off, end):
+            # every header read is bounded by the enclosing box end
+            # (not just the tables): foreign files may truncate
+            # mid-header, and that must mean "no sample tables", not
+            # struct.error/IndexError escaping the codec
             if kind == b"hdlr":
                 in_video = payload[body + 8 : body + 12] == b"vide"
-            elif kind == b"mdhd":
+            elif kind == b"mdhd" and body < stop:
                 ver = payload[body]
-                st["_mdhd_tscale"] = struct.unpack_from(
-                    ">I", payload, body + (20 if ver == 1 else 12)
-                )[0]
+                at = body + (20 if ver == 1 else 12)
+                if at + 4 <= stop:
+                    st["_mdhd_tscale"] = struct.unpack_from(
+                        ">I", payload, at
+                    )[0]
             elif in_video and kind == b"stsd":
                 st["codec"] = payload[body + 12 : body + 16].decode(
                     "latin1"
                 )
                 st["tscale"] = st.get("_mdhd_tscale", 0)
-            elif in_video and kind == b"stts":
+            elif in_video and kind == b"stts" and body + 8 <= stop:
                 (n_ent,) = struct.unpack_from(">I", payload, body + 4)
                 if n_ent >= 1 and body + 16 <= stop:
                     st["delta"] = struct.unpack_from(
                         ">I", payload, body + 12
                     )[0]
-            elif in_video and kind == b"stsz":
+            elif in_video and kind == b"stsz" and body + 12 <= stop:
                 # bound every table read by the box end: foreign files
                 # may DECLARE counts their truncated boxes don't carry
                 fixed, count = struct.unpack_from(">II", payload, body + 4)
                 st["fixed"] = fixed
                 if fixed:
-                    st["sizes"] = [fixed] * count
+                    # a declared count can't exceed one byte/sample of
+                    # actual payload — cap the allocation a hostile
+                    # header could otherwise demand
+                    if count <= len(payload):
+                        st["sizes"] = [fixed] * count
                 elif body + 12 + 4 * count <= stop:
                     st["sizes"] = list(
                         struct.unpack_from(f">{count}I", payload, body + 12)
                     )
-            elif in_video and kind == b"stsc":
+            elif in_video and kind == b"stsc" and body + 8 <= stop:
                 (n_ent,) = struct.unpack_from(">I", payload, body + 4)
                 if body + 8 + 12 * n_ent <= stop:
                     st["stsc"] = [
@@ -830,7 +831,7 @@ def extract_mp4_samples(
                         )
                         for i in range(n_ent)
                     ]
-            elif in_video and kind in (b"stco", b"co64"):
+            elif in_video and kind in (b"stco", b"co64") and body + 8 <= stop:
                 (n_ent,) = struct.unpack_from(">I", payload, body + 4)
                 fmt = ">I" if kind == b"stco" else ">Q"
                 width = 4 if kind == b"stco" else 8

@@ -71,10 +71,12 @@ def extract_media_features(
         try:
             # BMPS / AVI / MJPEG-in-MP4 / animated GIF
             vid = mc.decode_video(payload)
-        except NotImplementedError:
+        except Exception:
             # recognized container, compressed codec (avc1 mp4,
-            # cinepak AVI, …): fall through to the metadata probe —
-            # a feature row with dimensions beats a dead batch
+            # cinepak AVI, …) raises NotImplementedError; CORRUPT
+            # payloads raise whatever the codec hit (ValueError,
+            # struct.error, …). Either way fall through to the
+            # metadata probe — a feature row beats a dead batch
             vid = None
         if vid is not None:
             frames, _fps = vid
@@ -87,8 +89,11 @@ def extract_media_features(
                     "height": mp4["height"], "n_frames": mp4["n_frames"]}
         try:
             img = mc.decode_image(payload)
-        except NotImplementedError:
-            img = None  # recognized but unsupported variant: try PIL
+        except Exception:
+            # recognized-but-unsupported variant raises
+            # NotImplementedError; corrupt streams raise zlib.error/
+            # struct.error/... — both fall to the PIL/probe ladder
+            img = None
         if img is None:
             try:  # PIL handles lossy-webp/exotic variants when installed
                 import io
@@ -117,7 +122,10 @@ def extract_media_features(
             h, w, _ = img.shape
             return {**base, "modality": "image", "width": w, "height": h,
                     "n_frames": 1}
-        aud = mc.decode_wav(payload)
+        try:
+            aud = mc.decode_wav(payload)
+        except Exception:  # truncated RIFF: EOFError/struct.error
+            aud = None
         if aud is not None:
             samples, rate = aud
             return {**base, "modality": "audio", "sample_rate": rate,

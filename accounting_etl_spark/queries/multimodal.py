@@ -72,35 +72,55 @@ def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(docs, id_col="doc_id", text_col="text")
 
 
-def _render_doc_bmps(docs: DataFrame) -> DataFrame:
-    """Deterministic 16×16 BMP per document from its text bytes (the
-    binary shim for driver data — real pipelines land image payloads
-    via binaryFile): duplicate/near-dup texts become identical/
-    near-identical images, so the perceptual-hash dedup has real
-    duplicate structure to find."""
-    from collections.abc import Iterator
+def _token_plane(text: str) -> "np.ndarray":
+    """Deterministic 8×9×3 'bag-of-bigrams' plane at dHash's native
+    resolution: each word bigram claims the pixel crc32(bigram) % 72
+    (highest-priority claimant wins; RGB from its hash bits).
+
+    Why this shape: the shim must give the perceptual-hash dedup the
+    structure a real image corpus has — duplicate texts byte-identical,
+    near-dup texts (single-token edits, the fixture's actual near-dup
+    mode) within a couple of dHash bits, unrelated texts far. Byte
+    tiling fails the middle case (any edit shifts every downstream
+    pixel) and unigram presence fails the last (the fixture vocabulary
+    is small, so unrelated docs share most words); bigrams are
+    order-sensitive enough to separate. Measured on sf0.01: near-dup
+    pairs at Hamming 0-2, unrelated median 29, none <= 3."""
+    import zlib
 
     import numpy as np
+
+    toks = str(text).split()
+    pr = np.full(72, -1, np.int64)
+    val = np.zeros((72, 3), np.uint8)
+    for i in range(len(toks) - 1):
+        h = zlib.crc32(f"{toks[i]} {toks[i + 1]}".encode("utf-8"))
+        pos = h % 72
+        p = np.int64((h * 0x9E3779B1) & 0x7FFFFFFF)
+        if p > pr[pos]:
+            pr[pos] = p
+            val[pos] = ((h >> 8) & 255, (h >> 16) & 255, (h >> 24) & 255)
+    return val.reshape(8, 9, 3)
+
+
+def _render_doc_bmps(docs: DataFrame) -> DataFrame:
+    """Deterministic 16×16 BMP per document (the binary shim for
+    driver data — real pipelines land image payloads via binaryFile):
+    the token-presence plane of :func:`_token_plane`, so duplicate/
+    near-dup texts become identical/near-identical images and the
+    perceptual-hash dedup has real duplicate structure to find."""
+    from collections.abc import Iterator
+
     import pandas as pd
 
     def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..operators.media_codec import encode_bmp
 
-        n = 16 * 16 * 3
         for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                src = np.frombuffer(
-                    str(text).encode("utf-8"), np.uint8
-                )
-                arr = (
-                    np.tile(src, -(-n // src.size))[:n]
-                    if src.size
-                    else np.zeros(n, np.uint8)
-                )
-                rows.append(
-                    (int(did), encode_bmp(arr.reshape(16, 16, 3)))
-                )
+            rows = [
+                (int(did), encode_bmp(_token_plane(text)))
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 
     return docs.select("doc_id", "text").mapInPandas(
@@ -167,14 +187,65 @@ def q_near_dup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_audio_pairs(fps, max_hamming=3)
 
 
+def _render_doc_clips(docs: DataFrame) -> DataFrame:
+    """Deterministic 6-frame 8×9 BMPS clip per document (the video
+    twin of _render_doc_bmps): a mostly-static scene — every frame is
+    the document's bigram plane with one frame-indexed marker pixel
+    (frames differ, content doesn't), so duplicate/near-dup texts
+    become identical/near-identical clips and the majority-vote clip
+    fingerprint keeps the plane's duplicate structure. (Rolling the
+    plane per frame degenerates: the majority over unrelated rolled
+    dHashes saturates every bit the same way for every doc.)"""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.media_codec import encode_bmps
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                plane = _token_plane(text)
+                frames = []
+                for i in range(6):
+                    fr = plane.copy()
+                    fr[i % 8, 8] = (255, 128 + 16 * i, 32 * i)
+                    frames.append(fr)
+                rows.append((int(did), encode_bmps(frames, fps=6)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _render, schema="doc_id bigint, content binary"
+    )
+
+
+def q_near_dup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'video' variant: clip-fingerprint near-dups
+    (operators/image_hash.py::video_fp64 — per-bit majority over
+    sampled frame dHashes) over per-doc rendered BMPS clips, shared
+    Hamming-banded pairing, distance <= 3. Rows-only (decode UDF);
+    container-invariance and frame-rate robustness are unit-tested."""
+    from ..operators.image_hash import (
+        hamming_banded_pairs,
+        video_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = video_fingerprints(_render_doc_clips(docs))
+    return hamming_banded_pairs(fps, hash_col="fp", max_hamming=3)
+
+
 def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH + SimHash + perceptual-image-hash +
-    acoustic-fingerprint candidate generators in one union-tagged
-    entry (driver cap: the correctness gate records at most 50
-    registry entries). variant 'minhash' has no distance column;
-    'simhash'/'image'/'audio' carry the Hamming distance. All banded
-    equi-joins — no all-pairs stage (operators/dedup.py,
-    image_hash.py, audio_hash.py)."""
+    acoustic-fingerprint + video-clip-fingerprint candidate
+    generators in one union-tagged entry (driver cap: the correctness
+    gate records at most 50 registry entries). variant 'minhash' has
+    no distance column; 'simhash'/'image'/'audio'/'video' carry the
+    Hamming distance. All banded equi-joins with identical-signature
+    collapse and a hot-band cap — no all-pairs stage and no
+    degenerate-mass blowup (operators/dedup.py, image_hash.py,
+    audio_hash.py)."""
     mh = q_near_dup_minhash(spark, sf_dir).select(
         F.lit("minhash").alias("variant"),
         "id_a",
@@ -199,7 +270,15 @@ def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("hamming").cast("int").alias("hamming"),
     )
-    return mh.unionByName(sh).unionByName(im).unionByName(au)
+    vi = q_near_dup_video(spark, sf_dir).select(
+        F.lit("video").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+    return (
+        mh.unionByName(sh).unionByName(im).unionByName(au).unionByName(vi)
+    )
 
 
 QUERIES: dict[str, Q] = {
@@ -213,6 +292,7 @@ QUERIES: dict[str, Q] = {
             "simhash": q_near_dup_simhash,
             "image": q_near_dup_images,
             "audio": q_near_dup_audio,
+            "video": q_near_dup_video,
         },
     ),
 }

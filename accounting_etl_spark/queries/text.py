@@ -1363,6 +1363,53 @@ def q_bm25_index_topk(
     )
 
 
+def q_bm25_index_build(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Bench-only 'bm25_index_build' slot (VERDICT r6 #2 split): the
+    persisted-index BUILD alone — wipe, tokenize, bucket, write —
+    returning the one-row index meta so the timing covers exactly the
+    build side. Not a driver entry; the parity proof stays the
+    combined 'bm25_index' variant."""
+    from ..operators.inverted_index import build_inverted_index
+    from ..session import scratch_dir
+
+    path = scratch_dir(spark, "inv_index") + "/inv"
+    if docs is None:
+        docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    build_inverted_index(docs, path)
+    return spark.read.parquet(f"{path}/meta")
+
+
+def q_bm25_index_serve(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Bench-only 'bm25_index_serve' slot: query the index the build
+    twin left behind (building once if absent — the bench's best-of-N
+    then times the pure serve path on later passes)."""
+    from ..operators.inverted_index import (
+        build_inverted_index,
+        query_inverted_index,
+    )
+    from ..session import scratch_path
+
+    path = scratch_path(spark, "inv_index") + "/inv"
+    import os as _os
+
+    if not _os.path.exists(f"{path}/meta"):
+        if docs is None:
+            docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        build_inverted_index(docs, path)
+    top = query_inverted_index(spark, path, _BM25_QUERIES, k=_BM25_TOP)
+    return top.select(
+        F.lit("bm25_index").alias("variant"),
+        F.col("query_id").alias("source"),
+        F.col("doc_id").cast("string").alias("token"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("score").alias("score"),
+    )
+
+
 def q_hybrid_rerank(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
@@ -1706,6 +1753,10 @@ QUERIES["tfidf_terms"] = Q(
         "bm25": q_bm25_topk,
         "hybrid": q_hybrid_rerank,
         "bm25_index": q_bm25_index_topk,
+        # bench-only split of the combined bm25_index timing (VERDICT
+        # r6 #2): build and serve move independently round-over-round
+        "bm25_index_build": q_bm25_index_build,
+        "bm25_index_serve": q_bm25_index_serve,
         "pmi": q_collocations,
         "drift": q_source_drift,
     },

@@ -78,14 +78,44 @@ def scratch_dir(spark: SparkSession, name: str) -> str:
     os.makedirs(root, exist_ok=True)
     cutoff = time.time() - 6 * 3600
     for entry in os.listdir(root):
+        if entry == app:
+            continue
         p = os.path.join(root, entry)
         try:
-            stale = os.path.getmtime(p) < cutoff
+            # writes land nested under <app>/<name>/ without bumping
+            # the app root's mtime, so a >6h-running sibling would
+            # look stale at the root: gate on the NEWEST mtime found
+            # anywhere under the entry (ADVICE r6)
+            newest = os.path.getmtime(p)
+            for dirpath, _dirs, files in os.walk(p):
+                newest = max(newest, os.path.getmtime(dirpath))
+                for f in files:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, f))
+                    )
         except OSError:
             continue
-        if entry != app and stale:
+        if newest < cutoff:
             shutil.rmtree(p, ignore_errors=True)
     path = os.path.join(root, app, name)
     shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    # keep our own liveness visible at the root for cheap checks
+    try:
+        os.utime(os.path.join(root, app))
+    except OSError:
+        pass
+    return path
+
+
+def scratch_path(spark: SparkSession, name: str) -> str:
+    """The :func:`scratch_dir` location WITHOUT wiping it — for
+    callers that want to reuse state a prior invocation built in this
+    session (e.g. the bench's index-serve timing reading the index
+    its build twin wrote). Creates parents; never deletes."""
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "etl_spark_state")
+    path = os.path.join(root, spark.sparkContext.applicationId, name)
     os.makedirs(path, exist_ok=True)
     return path

@@ -137,18 +137,20 @@ def main() -> None:
     # in the previous round's record whose implementation did NOT
     # change this round — the judge diffs those and nothing else.
     CHANGED_THIS_ROUND = {
-        # r6: association rewrite (a-priori prefilter + chunked pairs),
-        # scratch_dir state relocation, shared-subframe persists
-        "trade_analytics.rules",
-        "tfidf_terms.bm25_index",
-        "event_windows.rollup",
+        # r7: banded near-dup pairing gained the identical-signature
+        # collapse + hot-band cap (VERDICT r6 #1) — every consumer of
+        # hamming_banded_pairs / minhash_candidates moved
+        "near_dup_hash.minhash",
+        "near_dup_hash.simhash",
+        "near_dup_hash.image",
+        "near_dup_hash.audio",
     }
-    # the driver's BENCH_r05.json truncates the JSON into a "tail"
-    # string; the builder's own BENCH_r5_local.json holds the full
+    # the driver's BENCH_r{N}.json truncates the JSON into a "tail"
+    # string; the builder's own BENCH_r{N}_local.json holds the full
     # record — take whichever parses
     prev_keys: set[str] = set()
     here = Path(__file__).resolve().parent
-    for prev_name in ("BENCH_r05.json", "BENCH_r5_local.json"):
+    for prev_name in ("BENCH_r6_local.json", "BENCH_r06.json"):
         try:
             prev_keys = {
                 k
@@ -170,7 +172,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": run_log,
-        "comparable_to_r5": comparable,
+        "comparable_to_r6": comparable,
         "sf": sf,
     }
     if errors:

@@ -73,3 +73,40 @@ def test_spark_pairs_identical_clips(spark):
     assert got[1] == got[2] is not None and got[4] is None
     pairs = near_dup_audio_pairs(fps).collect()
     assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == {(1, 2, 0)}
+
+
+def test_truncated_riff_nulls_not_batch_kill(spark):
+    """ADVICE r6 (medium): a truncated RIFF/WAVE payload raises
+    EOFError inside the codec — the fingerprint UDF must NULL that
+    row, not kill the Arrow batch."""
+    clip = _tone([440])
+    wav = mc.encode_wav(clip, 8000)
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(wav[:30])),  # truncated mid-header
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r.doc_id: r.fp for r in audio_fingerprints(df).collect()}
+    assert got[1] is not None and got[2] is None
+
+
+def test_bands_partition_spectrum():
+    """ADVICE r6 (low): the log-spaced bands must PARTITION the
+    spectrum bins — no one-bin overlap between adjacent bands. A tone
+    whose energy sits in one FFT bin must light exactly one band, so
+    nudging the tone across a band edge flips exactly the bits that
+    depend on that band, never two bands at once. Structural check:
+    recompute the edge layout the operator uses and assert
+    disjointness + full coverage."""
+    m = 8000 // 9 // 2  # bins per frame after DC drop, as in audio_fp64
+    edges = np.unique(np.geomspace(1, m, 8 + 1).astype(int))
+    edges[0] = 0
+    while edges.size < 9:
+        edges = np.unique(np.append(edges, edges[-1] + 1))
+    spans = [(edges[b], edges[b + 1]) for b in range(8)]
+    covered = []
+    for lo, hi in spans:
+        assert lo < hi
+        covered.extend(range(lo, hi))
+    assert covered == sorted(set(covered))  # disjoint
+    assert covered[0] == 0 and covered[-1] == edges[-1] - 1  # contiguous

@@ -56,10 +56,32 @@ def test_hash_discriminates_unrelated_images():
     assert _ham(a, b) > 10  # random bits: expected ~32
 
 
+def _components(pairs, nodes):
+    """Union-find closure over pair keys."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    # canonical labels: min node id of each component
+    mins = {}
+    for n in nodes:
+        r = find(n)
+        mins[r] = min(mins.get(r, n), n)
+    return {n: mins[find(n)] for n in nodes}
+
+
 def test_pairs_match_brute_force(spark):
-    """Banded candidate generation finds EVERY pair within Hamming
-    chunks-1 (pigeonhole guarantee) — brute-force differential on a
-    planted hash population."""
+    """Banded candidate generation is SOUND (every emitted pair is a
+    true <=3 pair with the correct distance) and CONNECTIVITY-COMPLETE
+    vs brute force: identical signatures collapse to min-id star pairs
+    (linear output), so per-pair equality holds up to the star — the
+    connected components over the output must equal brute force's."""
     rng = np.random.default_rng(7)
     hashes = []
     base = int(rng.integers(0, 1 << 63))
@@ -82,7 +104,80 @@ def test_pairs_match_brute_force(spark):
             d = _ham(hashes[i][1], hashes[j][1])
             if d <= 3:
                 want[(i, j)] = d
-    assert got == want and want  # non-trivial: planted pairs exist
+    assert want and got  # non-trivial: planted pairs exist
+    for (a, b), h in got.items():
+        assert want.get((a, b)) == h, (a, b, h)
+    nodes = range(40)
+    assert _components(got, nodes) == _components(want, nodes)
+    # the planted population contains identical signatures (i % 3 == 0
+    # members of the cluster are exactly `base`), so the collapse must
+    # have dropped redundant within-group pairs: strictly fewer pairs
+    same_sig = [i for i in range(40) if i % 4 == 0 and i % 3 == 0]
+    assert len(same_sig) >= 3 and len(got) < len(want)
+    # star pairs ride the min-id representative
+    rep = min(same_sig)
+    for m in same_sig:
+        if m != rep:
+            assert got.get((rep, m)) == 0
+
+
+def test_identical_signature_collapse_is_linear(spark):
+    """10³ byte-distinct blank-ish docs hashing to ONE signature (the
+    crawled-corpus degenerate mass) must emit pairs LINEAR in group
+    size — the n-1 star pairs — not the ~5·10⁵ full clique."""
+    rows = [(i, 42) for i in range(1000)] + [(2000, -77), (2001, -77)]
+    df = spark.createDataFrame(rows, "doc_id bigint, dhash bigint")
+    pairs = near_dup_image_pairs(df, max_hamming=3).collect()
+    star = {(r.id_a, r.id_b) for r in pairs if r.hamming == 0}
+    assert len(pairs) == 999 + 1 + (1 if _ham(42, -77) <= 3 else 0)
+    assert {(0, i) for i in range(1, 1000)} <= star
+    assert (2000, 2001) in star
+
+
+def test_hot_band_cap_engages_and_audits(spark):
+    """A band shared by more distinct signatures than the cap is
+    skipped (deterministically), and hot_band_audit reports exactly
+    that band. Planted geometry: one true <=3 pair that shares ONLY
+    chunk 0 with its partner, drowned in a chunk-0 hot band."""
+    from accounting_etl_spark.operators.image_hash import hot_band_audit
+
+    base = (0b1 << 16) | (0b1 << 32) | (0b1 << 48)  # chunk0 = 0
+    near = base ^ (1 << 20) ^ (1 << 40) ^ (1 << 60)  # flips chunks 1-3
+    rows = [(0, base), (1, near)]
+    # 60 fillers: chunk0 == 0 too, pseudorandom DISTINCT bits across
+    # chunks 1-3 so only the (0, 0) band goes hot
+    fillers = {
+        ((i + 1) * 0x9E3779B97F4A7C15) & ((1 << 63) - 1) & ~0xFFFF
+        for i in range(60)
+    }
+    rows += [(10 + i, h) for i, h in enumerate(sorted(fillers))]
+    df = spark.createDataFrame(rows, "doc_id bigint, dhash bigint")
+    assert _ham(base, near) == 3
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in near_dup_image_pairs(
+            df, max_hamming=3, max_posting=None
+        ).collect()
+    }
+    assert (0, 1) in uncapped
+    capped = {
+        (r.id_a, r.id_b)
+        for r in near_dup_image_pairs(
+            df, max_hamming=3, max_posting=50
+        ).collect()
+    }
+    assert (0, 1) not in capped  # the only shared band was skipped
+    audit = hot_band_audit(df, max_posting=50).collect()
+    assert [(r.chunk, r.val) for r in audit] == [(0, 0)]
+    assert audit[0].n_sigs == 2 + len(fillers)
+
+
+def test_max_hamming_beyond_pigeonhole_raises(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id bigint, dhash bigint")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        near_dup_image_pairs(df, max_hamming=4, chunks=4)
+    # 8 chunks restore the guarantee for distance 4
+    near_dup_image_pairs(df, max_hamming=4, chunks=8)
 
 
 def test_image_hashes_null_on_undecodable(spark):
@@ -95,8 +190,37 @@ def test_image_hashes_null_on_undecodable(spark):
     assert got[1] is not None and got[2] is None
     # NULL hashes never reach pairing
     assert (
-        near_dup_image_pairs(image_hashes(df), max_hamming=64).count() == 0
+        near_dup_image_pairs(image_hashes(df), max_hamming=3).count() == 0
     )
+
+
+def test_corrupt_recognized_payloads_null_not_batch_kill(spark):
+    """ADVICE r6 (medium): a corrupt-but-RECOGNIZED payload (truncated
+    IDAT → zlib.error, truncated sample table → ValueError/None) must
+    yield a NULL hash row, not kill the whole Arrow batch."""
+    from accounting_etl_spark.operators.image_hash import (
+        video_fingerprints,
+    )
+
+    img = _smooth()
+    png = mc.encode_png(img)
+    rows = [
+        (1, bytearray(mc.encode_bmp(img))),
+        (2, bytearray(png[:-20])),  # truncated zlib stream
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r.doc_id: r.dhash for r in image_hashes(df).collect()}
+    assert got[1] is not None and got[2] is None
+
+    frames = [np.roll(img, i, axis=1) for i in range(6)]
+    mp4 = mc.encode_mp4_mjpeg(frames, fps=6, quality=92)
+    vrows = [
+        (1, bytearray(mp4)),
+        (2, bytearray(mp4[: len(mp4) // 2])),  # truncated BMFF
+    ]
+    vdf = spark.createDataFrame(vrows, "doc_id bigint, content binary")
+    vgot = {r.doc_id: r.fp for r in video_fingerprints(vdf).collect()}
+    assert vgot[1] is not None and vgot[2] is None
 
 
 def test_identical_payloads_pair_at_zero(spark):

@@ -830,6 +830,36 @@ def test_probe_mp4():
         mc.decode_video(mp4)
 
 
+def test_bmff_truncation_never_escapes_struct_error():
+    """ADVICE r6 (low): every BMFF header read is bounded by its box
+    end — ftyp + truncated moov at ANY cut point yields a partial
+    probe / None samples, never struct.error/IndexError."""
+    mp4 = _mini_mp4()
+    for cut in range(8, len(mp4), 7):
+        trunc = mp4[:cut]
+        meta = mc.probe_mp4(trunc)
+        assert meta is None or isinstance(meta, dict)
+        got = mc.extract_mp4_samples(trunc)
+        assert got is None or isinstance(got, tuple)
+    # a declared largesize (size==1) cut before its 64-bit length
+    bad = mp4[:4] + mp4[4:8] + mp4[8:12]  # keep ftyp start
+    bad = mp4[:16] + b"\x00\x00\x00\x01moov\xff\xff"  # truncated header
+    assert mc.probe_mp4(bad) is not None  # brand parsed, walk stops
+    # a hostile fixed-size stsz declaring a huge count must not
+    # allocate: build ftyp+moov with stsz fixed=1000, count=2**31
+    import struct as st
+
+    def box(kind, payload=b""):
+        return st.pack(">I", 8 + len(payload)) + kind + payload
+
+    stsz = box(b"stsz", st.pack(">IIII", 0, 1000, 2**31 - 1, 0))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    stbl = box(b"stbl", stsz)
+    moov = box(b"moov", box(b"trak", box(b"mdia", hdlr + box(b"minf", stbl))))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    assert mc.extract_mp4_samples(ftyp + moov) is None
+
+
 def test_multimodal_mp4_metadata_row(spark):
     from accounting_etl_spark.operators.multimodal import (
         extract_media_features,

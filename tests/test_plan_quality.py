@@ -66,9 +66,10 @@ def test_minhash_plan_no_product_bounded_exchanges(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # posting-list pair generation: no join stage at all (the
-    # hot-bucket skew escape is chunk-pair rows, still join-free), and
-    # the shuffle count stays bounded (repartition + sig agg + band
-    # agg + pair distinct)
+    # hot-bucket skew escape is chunk-pair rows, the identical-
+    # signature collapse is a window min over the CHECKPOINTED sig
+    # table — join-free), and the shuffle count stays bounded
+    # (collapse window per union branch + band agg + pair distinct)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 4
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -79,11 +80,14 @@ def test_simhash_plan_single_signature_pass(spark):
 
     plan = _plan(q_near_dup_simhash(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
-    # the signature fold must appear in ONE scan branch, not on both
-    # sides of a self-join: exactly one parquet scan of documents
-    # (the hot-bucket skew escape is join-free chunk-pair rows)
-    assert plan.count("Scan parquet") == 1
-    assert plan.count("Exchange hashpartitioning") <= 3
+    # the signature fold runs ONCE: the (id, sig) projection is
+    # checkpointed inside the shared banded pairing, so the visible
+    # plan scans the checkpoint RDD, never re-scans documents for a
+    # second side (a chunked self-join would; the hot-bucket skew
+    # escape is join-free chunk-pair rows)
+    assert plan.count("Scan parquet") <= 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
 
 
 def test_ann_plans_bucketed_not_all_pairs(spark):

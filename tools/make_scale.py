@@ -1,12 +1,22 @@
 """Scale a testdata SF directory N× by key-offset replication.
 
-Usage: python tools/make_scale.py SRC_DIR DST_DIR N [--perturb]
+Usage: python tools/make_scale.py SRC_DIR DST_DIR N [--perturb] [--degenerate]
 
 ``--perturb`` tags every 3rd word of replica i>0 document texts with
 ``_r{i}`` (and recomputes n_chars): replicas stop being near-dups of
 each other, so the near-dup/dedup queries scale over a mostly-UNIQUE
 corpus (the realistic shape) instead of N-sized duplicate groups
 whose pair output grows quadratically by construction.
+
+``--degenerate`` plants the blank-thumbnail/silent-clip regime
+(VERDICT r6 #1 scale control): every 15th document (~6.7%) in EVERY
+replica becomes a single run of 'a's whose LENGTH varies by doc and
+replica — payload BYTES all differ (exact payload dedup cannot remove
+them) while the perceptual signatures collapse: no word bigram → the
+all-zero image plane, constant PCM → the all-zero acoustic
+fingerprint. At N×, the identical-signature group grows N× and the
+banded pairing must stay linear in it (the identical-signature
+collapse + hot-band cap under test).
 
 Each replica i adds ``i * STRIDE`` to every join/id key, so
 referential integrity (orders↔customer, lineitem↔orders/part/supplier,
@@ -48,6 +58,7 @@ COPY_ONCE = ["region", "nation"]
 def main() -> None:
     src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
     perturb = "--perturb" in sys.argv[4:]
+    degenerate = "--degenerate" in sys.argv[4:]
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_ONCE:
@@ -77,20 +88,29 @@ def main() -> None:
                     and typ.upper().startswith("TIMESTAMP")
                 ):
                     return f"epoch_ns({c}) AS {c}"
-                if perturb and t == "documents" and i > 0:
-                    if c == "text":
-                        return (
+                if t == "documents" and (degenerate or (perturb and i > 0)):
+                    text_expr = "text"
+                    if perturb and i > 0:
+                        text_expr = (
                             "array_to_string(list_transform("
                             "string_split(text, ' '), (w, j) -> "
                             f"CASE WHEN j % 3 = 0 THEN w || '_r{i}' "
-                            "ELSE w END), ' ') AS text"
+                            "ELSE w END), ' ')"
                         )
+                    if degenerate:
+                        # byte-distinct (length varies by doc AND
+                        # replica), signature-identical blank mass
+                        text_expr = (
+                            "CASE WHEN doc_id % 15 = 0 THEN "
+                            f"repeat('a', 40 + doc_id % 37 + {i}) "
+                            f"ELSE {text_expr} END"
+                        )
+                    if c == "text":
+                        return f"{text_expr} AS text"
                     if c == "n_chars":
                         return (
-                            "CAST(length(array_to_string(list_transform("
-                            "string_split(text, ' '), (w, j) -> "
-                            f"CASE WHEN j % 3 = 0 THEN w || '_r{i}' "
-                            "ELSE w END), ' ')) AS BIGINT) AS n_chars"
+                            f"CAST(length({text_expr}) AS BIGINT)"
+                            " AS n_chars"
                         )
                 return c
 

@@ -8,7 +8,10 @@ batch —
 - exact: ``(content_hash, keep_id)``, one row per distinct normalized
   content (:func:`exact_hash_index`);
 - near-dup: the MinHash band-key table ``(doc_id, band, key)``
-  (:func:`~.dedup.minhash_bands`), ``bands`` rows per doc.
+  (:func:`~.dedup.minhash_bands`), ``bands`` rows per doc;
+- perceptual: one row per DISTINCT 64-bit signature
+  (:func:`hamming_signature_index` — the identical-signature collapse
+  made durable; blank-thumbnail mass is a single row).
 
 Batch joins shuffle on the hash / band key only; the corpus index side
 is corpus-sized so it is NEVER broadcast-hinted (AQE may still choose
@@ -106,6 +109,124 @@ def minhash_band_index(
         num_hashes=num_hashes,
         bands=bands,
     )
+
+
+def hamming_signature_index(
+    hashes: DataFrame, *, id_col: str = "doc_id", hash_col: str = "dhash"
+) -> DataFrame:
+    """The persistable perceptual-dedup corpus state: one row per
+    DISTINCT 64-bit signature — ``(sig, rep_id, n_members)``.
+
+    This is the identical-signature collapse (operators/image_hash.py)
+    made durable: the index never stores the degenerate mass (10⁷
+    blank thumbnails are ONE row), rep_id is the published survivor,
+    and n_members keeps the dataset-card accounting. Persist this
+    instead of re-hashing the corpus per batch."""
+    return (
+        hashes.where(F.col(hash_col).isNotNull())
+        .groupBy(F.col(hash_col).alias("sig"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )
+
+
+def hamming_against_index(
+    batch_hashes: DataFrame,
+    sig_index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_posting: int = 100_000,
+) -> DataFrame:
+    """Near-dup links ``(batch_id, corpus_rep, hamming)`` between a
+    new batch's perceptual signatures and an indexed corpus — the
+    incremental twin of :func:`~.image_hash.hamming_banded_pairs`.
+
+    Exact-signature hits short-circuit through ONE equi-join on the
+    signature itself (hamming 0 — the degenerate blank mass lands
+    here and meets exactly one index row). Near hits band both sides
+    into ``chunks`` 16-bit chunks and equi-join on (chunk, val); the
+    corpus side carries only DISTINCT signatures, its posting lists
+    are capped at ``max_posting`` min-rep entries per band (the same
+    deterministic hot-band policy as the self-join pairing), and the
+    verify is one codegen ``bit_count(xor) BETWEEN 1 AND max_hamming``
+    (0 excluded — already matched exactly). The corpus is never
+    re-hashed; shuffles touch band keys only."""
+    if not 1 <= chunks <= 64 or 64 % chunks:
+        raise ValueError("chunks must divide 64")
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"of chunks={chunks}; raise chunks"
+        )
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    bsig = batch_hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("batch_id"), F.col(hash_col).alias("__bh")
+    )
+    exact = bsig.join(
+        sig_index, bsig["__bh"] == sig_index["sig"]
+    ).select(
+        "batch_id",
+        F.col("rep_id").alias("corpus_rep"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+
+    def chunked(df: DataFrame, col: str, out: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            F.shiftrightunsigned(F.col(col), c * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("val"),
+                        )
+                        for c in range(chunks)
+                    ]
+                )
+            ).alias(out),
+        ).select("*", f"{out}.chunk", f"{out}.val").drop(out)
+
+    bb = chunked(bsig, "__bh", "__cv")
+    idx_lists = (
+        chunked(sig_index.select("sig", "rep_id"), "sig", "__cv")
+        .groupBy("chunk", "val")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_set(F.struct("rep_id", "sig"))
+                ),
+                1,
+                max_posting,
+            ).alias("__xs")
+        )
+    )
+    near = (
+        bb.join(idx_lists, ["chunk", "val"])
+        .select(
+            "batch_id",
+            "__bh",
+            F.explode("__xs").alias("__x"),
+        )
+        .select(
+            "batch_id",
+            F.col("__x.rep_id").alias("corpus_rep"),
+            F.bit_count(F.col("__bh").bitwiseXOR(F.col("__x.sig")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming").between(1, max_hamming))
+        .groupBy("batch_id", "corpus_rep")
+        .agg(F.first("hamming").alias("hamming"))
+    )
+    return exact.unionByName(near)
 
 
 def near_dup_against_index(

@@ -58,3 +58,120 @@ def stream_dedup_against_index(
             ts_col, watermark
         ).dropDuplicatesWithinWatermark(["content_hash"])
     return fresh.dropDuplicates(["content_hash"])
+
+
+def perceptual_admission_batch(
+    batch_hashes: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_posting: int = 100_000,
+    append: bool = True,
+) -> DataFrame:
+    """One micro-batch of the perceptual-dedup admission filter (also
+    usable in plain batch backfills) — the signature twin of
+    streaming/semantic.py. ``batch_hashes`` is (id, signature), e.g.
+    operators/image_hash.image_hashes output; the index at
+    ``index_path`` is persisted :func:`~..operators.incremental.
+    hamming_signature_index` rows (``sig, rep_id, n_members``).
+
+    Per batch: (1) collapse the batch's identical signatures to their
+    min-id rep (the blank-mass bound — one candidate per distinct
+    signature no matter how many rows carry it); (2) drop batch reps
+    within ``max_hamming`` of any INDEXED signature
+    (:func:`~..operators.incremental.hamming_against_index` — exact
+    hits short-circuit, banded near hits are posting-capped); (3) drop
+    batch reps within range of an ADMITTED smaller-id batch rep
+    (greedy pairwise rule — a chain can over-drop relative to full
+    clustering, documented and fine for admission); (4) append the
+    admitted signature rows so later batches dedup against earlier
+    admissions (grow-only index; signature uniqueness holds because
+    any exact hit was dropped in step 2). Returns the admitted
+    ``(sig, rep_id, n_members)`` rows."""
+    from ..operators.image_hash import hamming_banded_pairs
+    from ..operators.incremental import (
+        hamming_against_index,
+        hamming_signature_index,
+    )
+
+    spark = batch_hashes.sparkSession
+    sigs = hamming_signature_index(
+        batch_hashes, id_col=id_col, hash_col=hash_col
+    ).localCheckpoint(eager=True)
+    try:
+        index = spark.read.parquet(index_path)
+        have_index = True
+    except Exception:  # first batch: no index yet
+        index = spark.createDataFrame(
+            [], "sig bigint, rep_id bigint, n_members bigint"
+        )
+        have_index = False
+    rep_hashes = sigs.select(
+        F.col("rep_id").alias(id_col), F.col("sig").alias(hash_col)
+    )
+    hit = hamming_against_index(
+        rep_hashes,
+        index,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_posting=max_posting,
+    ).select(F.col("batch_id").alias("rep_id"))
+    within = hamming_banded_pairs(
+        rep_hashes,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_posting=max_posting,
+    ).select(F.col("id_b").alias("rep_id"))
+    admitted = (
+        sigs.join(hit, "rep_id", "left_anti")
+        .join(within, "rep_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if append:
+        admitted.write.mode(
+            "append" if have_index else "overwrite"
+        ).parquet(index_path)
+    return admitted
+
+
+def stream_perceptual_admission(
+    hash_stream: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_posting: int = 100_000,
+    sink=None,
+):
+    """``foreachBatch`` writer for the perceptual admission filter:
+    ``hash_stream`` carries (id, signature) rows (hash upstream with
+    the image/audio/video fingerprint UDFs). ``sink(admitted_df,
+    batch_id)`` sees each batch's admissions after the index append;
+    returns the DataStreamWriter — caller sets trigger/checkpoint."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        admitted = perceptual_admission_batch(
+            batch,
+            index_path,
+            id_col=id_col,
+            hash_col=hash_col,
+            max_hamming=max_hamming,
+            chunks=chunks,
+            max_posting=max_posting,
+            append=True,
+        )
+        if sink is not None:
+            sink(admitted, batch_id)
+
+    return hash_stream.writeStream.foreachBatch(process)

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import functions as F
 
 from accounting_etl_spark.operators.incremental import (
@@ -164,3 +166,184 @@ def test_stream_dedup_against_index(spark, tmp_path):
     # micro-batch is not pinned), plus 14; never 10 or 13
     assert 14 in got and got & {11, 12} and len(got) == 2
     assert not (got & {10, 13})
+
+
+def _sig_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, dhash bigint")
+
+
+def test_hamming_index_collapses_degenerate_mass(spark):
+    """The signature index stores ONE row for 10³ blank images; batch
+    hits against it are exact hamming-0 links to the rep."""
+    from accounting_etl_spark.operators.incremental import (
+        hamming_against_index,
+        hamming_signature_index,
+    )
+
+    corpus = _sig_df(
+        spark, [(i, 42) for i in range(1000)] + [(5000, 1 << 40)]
+    )
+    idx = hamming_signature_index(corpus)
+    rows = {r.sig: r for r in idx.collect()}
+    assert len(rows) == 2
+    assert rows[42].rep_id == 0 and rows[42].n_members == 1000
+    batch = _sig_df(spark, [(9001, 42), (9002, 42 ^ (1 << 20)), (9003, -1)])
+    links = {
+        (r.batch_id, r.corpus_rep): r.hamming
+        for r in hamming_against_index(batch, idx).collect()
+    }
+    # 9001: exact blank-mass hit; 9002: 1 bit away from the blank rep;
+    # 9003: unrelated, no link
+    assert links == {(9001, 0): 0, (9002, 0): 1}
+
+
+def test_hamming_index_equivalent_to_self_join_connectivity(spark):
+    """Index links + within-batch pairs reach every (batch, corpus)
+    pair the full self-join pairing finds within max_hamming."""
+    import numpy as np
+
+    from accounting_etl_spark.operators.image_hash import (
+        hamming_banded_pairs,
+    )
+    from accounting_etl_spark.operators.incremental import (
+        hamming_against_index,
+        hamming_signature_index,
+    )
+
+    rng = np.random.default_rng(3)
+    base = int(rng.integers(0, 1 << 62))
+    corpus_rows = [(i, int(rng.integers(0, 1 << 62))) for i in range(30)]
+    corpus_rows += [(100, base), (101, base ^ 1)]
+    batch_rows = [(200, base ^ 2), (201, int(rng.integers(0, 1 << 62)))]
+    corpus = _sig_df(spark, corpus_rows)
+    batch = _sig_df(spark, batch_rows)
+    links = {
+        (r.batch_id, r.corpus_rep)
+        for r in hamming_against_index(
+            batch, hamming_signature_index(corpus)
+        ).collect()
+    }
+    # full recompute over corpus+batch for reference
+    full = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_banded_pairs(
+            corpus.unionByName(batch)
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    sigs = dict(corpus_rows)
+    for (bid, bh) in batch_rows:
+        for (cid, ch) in corpus_rows:
+            if ham(bh, ch) <= 3:
+                # the index link lands on the signature's REP
+                rep = min(i for i, h in corpus_rows if h == ch)
+                assert (bid, rep) in links, (bid, cid)
+    # no spurious links beyond max_hamming
+    for bid, rep in links:
+        bh = dict(batch_rows)[bid]
+        assert ham(bh, sigs[rep]) <= 3
+
+
+def test_hamming_index_hot_posting_cap(spark):
+    """Hot (chunk, val) index postings keep only the max_posting
+    min-rep prefix — deterministic recall trade, bounded join."""
+    from accounting_etl_spark.operators.incremental import (
+        hamming_against_index,
+        hamming_signature_index,
+    )
+
+    # 40 distinct corpus sigs sharing chunk 0 == 0
+    corpus = _sig_df(
+        spark,
+        [(i, (i + 1) << 16) for i in range(40)],
+    )
+    batch = _sig_df(spark, [(900, (39 + 1) << 16 ^ (1 << 20))])
+    idx = hamming_signature_index(corpus)
+    uncapped = hamming_against_index(batch, idx, max_posting=100)
+    capped = hamming_against_index(batch, idx, max_posting=5)
+    assert uncapped.count() >= 1
+    # target sig (rep 39) sorts beyond the 5-entry min-rep prefix of
+    # the shared chunk-0 band; its other chunks don't collide
+    assert capped.count() == 0
+
+
+def test_perceptual_admission_grows_index(spark, tmp_path):
+    """Perceptual admission filter (streaming/dedup.py): within-batch
+    identical-signature collapse, index rejection incl. near hits,
+    grow-on-admit across batches."""
+    from accounting_etl_spark.streaming.dedup import (
+        perceptual_admission_batch,
+    )
+
+    path = str(tmp_path / "sig_index")
+    # batch 1: 100 blank images (one signature), one distinct image
+    b1 = _sig_df(
+        spark, [(i, 42) for i in range(100)] + [(500, 1 << 40)]
+    )
+    a1 = {r.sig: r for r in perceptual_admission_batch(b1, path).collect()}
+    assert set(a1) == {42, 1 << 40}
+    assert a1[42].rep_id == 0 and a1[42].n_members == 100
+    # batch 2: more blanks (exact hit), a 1-bit-off blank (near hit),
+    # a fresh signature, and two batch-internal near sigs (greedy:
+    # smaller rep admitted, larger dropped)
+    b2 = _sig_df(
+        spark,
+        [(1000, 42), (1001, 42), (1002, 42 ^ (1 << 7)),
+         (1003, 0x123456789ABCD), (1004, 0x123456789ABCD ^ 1)],
+    )
+    a2 = {r.sig for r in perceptual_admission_batch(b2, path).collect()}
+    assert a2 == {0x123456789ABCD}
+    # the index now carries exactly the admitted distinct signatures
+    idx = {r.sig for r in spark.read.parquet(path).collect()}
+    assert idx == {42, 1 << 40, 0x123456789ABCD}
+    # batch 3: re-submitting an admitted signature is rejected
+    b3 = _sig_df(spark, [(2000, 0x123456789ABCD)])
+    assert perceptual_admission_batch(b3, path).count() == 0
+
+
+def test_stream_perceptual_admission_two_epochs(spark, tmp_path):
+    """foreachBatch wiring: two availableNow file-source epochs; the
+    second epoch dedups against the first epoch's admissions."""
+    import json as _json
+
+    from accounting_etl_spark.streaming.dedup import (
+        stream_perceptual_admission,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx_path = str(tmp_path / "sig_index")
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+
+    def run_epoch(rows):
+        for r in rows:
+            p = src / f"{uuid.uuid4().hex}.json"
+            p.write_text("\n".join(_json.dumps(x) for x in r))
+        stream = (
+            spark.readStream.schema("doc_id long, dhash long")
+            .json(str(src))
+        )
+        q = (
+            stream_perceptual_admission(
+                stream, idx_path,
+                sink=lambda df, bid: seen.append(
+                    {r.sig for r in df.collect()}
+                ),
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_epoch([[{"doc_id": 1, "dhash": 42}, {"doc_id": 2, "dhash": 42},
+                {"doc_id": 3, "dhash": 7 << 20}]])
+    run_epoch([[{"doc_id": 10, "dhash": 42},           # exact dup
+                {"doc_id": 11, "dhash": (7 << 20) ^ 2},  # near dup
+                {"doc_id": 12, "dhash": 1 << 50}]])      # fresh
+    assert seen[0] == {42, 7 << 20}
+    assert seen[1] == {1 << 50}

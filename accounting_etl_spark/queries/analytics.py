@@ -892,7 +892,8 @@ def q_moments_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry entries). variant 'moments': see q_stats_moments
     (grp = returnflag, v1..v4 = var/std/cov/corr). variant
     'contracts': see q_contract_audit. variant 'chi2': see
-    q_chi_square. variant 'kanon': see q_kanon_stats."""
+    q_chi_square. variant 'kanon': see q_kanon_stats. variant
+    'teloo': see q_target_encode."""
     mom = q_stats_moments(spark, sf_dir).select(
         F.lit("moments").alias("variant"),
         F.col("l_returnflag").alias("grp"),
@@ -906,6 +907,7 @@ def q_moments_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         mom.unionByName(q_contract_audit(spark, sf_dir))
         .unionByName(q_chi_square(spark, sf_dir))
         .unionByName(q_kanon_stats(spark, sf_dir))
+        .unionByName(q_target_encode(spark, sf_dir))
     )
 
 
@@ -2460,6 +2462,66 @@ SELECT 'kanon' AS variant,
 FROM kcls
 """
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'teloo' variant: leakage-free leave-one-out target encoding
+    (operators/encoding.py) over orders — category o_orderpriority,
+    target 'order is fulfilled' (o_orderstatus = 'F'). The audit rows
+    are per-category: n rows, v1 = floor-mean encoded ppm, v2/v3 =
+    min/max encoded ppm, v4 = distinct encoding count — all exact
+    integer math, so the encodings themselves are hash-verified
+    through the aggregate (any per-row drift moves min/max/distinct)."""
+    from ..operators.encoding import target_encode_loo
+
+    orders = load_table(spark, sf_dir, "orders")
+    enc = target_encode_loo(
+        orders,
+        category_col="o_orderpriority",
+        target=(F.col("o_orderstatus") == "F").cast("int"),
+    )
+    return enc.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(te_ppm) div count(*)").alias("__mean"),
+        F.min("te_ppm").alias("__min"),
+        F.max("te_ppm").alias("__max"),
+        F.countDistinct("te_ppm").alias("__nd"),
+    ).select(
+        F.lit("teloo").alias("variant"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("__mean").cast("double").alias("v1"),
+        F.col("__min").cast("double").alias("v2"),
+        F.col("__max").cast("double").alias("v3"),
+        F.col("__nd").cast("double").alias("v4"),
+    )
+
+
+_TELOO_SQL = """
+WITH t AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), s AS (
+  SELECT o_orderpriority, SUM(y) AS gs, COUNT(*) AS gn
+  FROM t GROUP BY o_orderpriority
+), g AS (
+  SELECT SUM(y) AS ts, COUNT(*) AS tn FROM t
+), e AS (
+  SELECT t.o_orderpriority,
+         CASE WHEN s.gn > 1
+              THEN ((s.gs - t.y) * 1000000) // (s.gn - 1)
+              ELSE ((g.ts - t.y) * 1000000) // (g.tn - 1) END AS te
+  FROM t JOIN s USING (o_orderpriority) CROSS JOIN g
+)
+SELECT 'teloo' AS variant, o_orderpriority AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(te) // COUNT(*) AS DOUBLE) AS v1,
+       CAST(MIN(te) AS DOUBLE) AS v2,
+       CAST(MAX(te) AS DOUBLE) AS v3,
+       CAST(COUNT(DISTINCT te) AS DOUBLE) AS v4
+FROM e GROUP BY o_orderpriority
+"""
+
+
 _MOMENTS_MERGED_SQL = f"""
 SELECT 'moments' AS variant, l_returnflag AS grp, CAST(n AS BIGINT) AS n,
        CAST(var_qty AS DOUBLE) AS v1, CAST(std_qty AS DOUBLE) AS v2,
@@ -2472,6 +2534,8 @@ UNION ALL
 SELECT * FROM ({_chi2_sql()})
 UNION ALL
 SELECT * FROM ({_KANON_SQL})
+UNION ALL
+SELECT * FROM ({_TELOO_SQL})
 """
 
 QUERIES["stats_moments"] = Q(
@@ -2482,6 +2546,7 @@ QUERIES["stats_moments"] = Q(
         "contracts": q_contract_audit,
         "chi2": q_chi_square,
         "kanon": q_kanon_stats,
+        "teloo": q_target_encode,
     },
 )
 QUERIES["salted_agg"] = Q(

@@ -11,10 +11,11 @@ whose pair output grows quadratically by construction.
 ``--degenerate`` plants the blank-thumbnail/silent-clip regime
 (VERDICT r6 #1 scale control): every 15th document (~6.7%) in EVERY
 replica becomes a single run of 'a's whose LENGTH varies by doc and
-replica — payload BYTES all differ (exact payload dedup cannot remove
-them) while the perceptual signatures collapse: no word bigram → the
-all-zero image plane, constant PCM → the all-zero acoustic
-fingerprint. At N×, the identical-signature group grows N× and the
+replica — TEXT bytes all differ (exact text dedup cannot fold the
+length-forms together) while the perceptual signatures collapse: a
+single token has no bigram, so every degenerate doc renders the same
+zero plane / base-tone clip → ONE signature group the size of the
+whole planted mass. At N×, the identical-signature group grows N× and the
 banded pairing must stay linear in it (the identical-signature
 collapse + hot-band cap under test).
 

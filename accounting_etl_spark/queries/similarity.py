@@ -10,7 +10,7 @@ operators/similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.spread import spread
@@ -485,6 +485,150 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.unionByName(neg)
 
 
+_JLP_DIM = 64
+_JLP_OUT = 4
+_JLP_Q = 8
+_JLP_TOP = 3
+
+
+def q_jl_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'jl' variant: the Johnson–Lindenstrauss projection verified
+    BIT-FOR-BIT through downstream retrieval — project the bounded id
+    range to 4 dims (operators/similarity.py::random_projection, the
+    literal-matrix fold), then exact decimal cosines in the PROJECTED
+    space and top-3 matches per query vector.
+
+    Why this is oracle-expressible: the projection fold is a pinned
+    left-to-right chain ``((0 + x0·m0) + x1·m1) + …`` over all 64
+    components, so the oracle reproduces the identical IEEE sequence
+    as an explicit generated expression; the projected doubles then
+    enter the standard decimal-dot contract (cast to DECIMAL(18,9),
+    exact 4-term dots/norms, VARCHAR→DOUBLE on the DuckDB side). Any
+    drift in the projection matrix, fold order, or cast rounding
+    hash-mismatches.
+    """
+    from ..operators.similarity import random_projection
+
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < _EMB_DD_LIMIT
+        ),
+        "vec_id",
+    )
+    proj = random_projection(
+        emb, dim=_JLP_DIM, out_dim=_JLP_OUT
+    ).select(
+        "vec_id",
+        *[
+            F.element_at("projected", j + 1)
+            .cast("decimal(18,9)")
+            .alias(f"d{j}")
+            for j in range(_JLP_OUT)
+        ],
+    )
+
+    # the established bounded-cosine shape (see _bounded_cosines):
+    # component explode + equi-join on the component index — no
+    # non-equi join, no BNLJ; 4 components keep it tiny
+    el = proj.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"d{j}").alias("xd")
+                    )
+                    for j in range(_JLP_OUT)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.j", "e.xd")
+    norms = el.groupBy("vec_id").agg(
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("n2")
+    )
+    a = el.filter(F.col("vec_id") < _JLP_Q).select(
+        F.col("vec_id").alias("va"), "j", F.col("xd").alias("xa")
+    )
+    b = el.select(F.col("vec_id").alias("vb"), "j", F.col("xd").alias("xb"))
+    dots = (
+        a.join(b, "j")
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("n2").alias("nb2"))
+    pairs = (
+        dots.join(F.broadcast(na), "va")
+        .join(F.broadcast(nb), "vb")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        )
+    )
+    w = Window.partitionBy("va").orderBy(
+        F.col("cosine").desc(), F.col("vb").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _JLP_TOP)
+        .select(
+            F.lit("jl").alias("variant"),
+            "va",
+            "vb",
+            "cosine",
+            (F.col("cosine") >= F.lit(_EMB_DD_THRESHOLD)).alias("keep"),
+        )
+    )
+
+
+def _jl_proj_sql() -> str:
+    """Generated projected-component expressions mirroring
+    random_projection's fold order term by term (zeros included —
+    the fold adds every x·0 term, and dropping them could flip a
+    -0.0/+0.0 sum; identical sequences are simpler to prove)."""
+    from ..operators.similarity import projection_matrix
+
+    mat = projection_matrix(_JLP_DIM, _JLP_OUT)  # default shared seed
+    comps = []
+    for j in range(_JLP_OUT):
+        expr = "CAST(0.0 AS DOUBLE)"
+        for i in range(_JLP_DIM):
+            expr = (
+                f"({expr} + (CAST(embedding[{i + 1}] AS DOUBLE) "
+                f"* {mat[j][i]!r}))"
+            )
+        comps.append(f"CAST({expr} AS DECIMAL(18,9)) AS d{j}")
+    return ", ".join(comps)
+
+
+def _jl_sql() -> str:
+    d = " + ".join(f"(q.d{j} * c.d{j})" for j in range(_JLP_OUT))
+    nq = " + ".join(f"(q.d{j} * q.d{j})" for j in range(_JLP_OUT))
+    nc = " + ".join(f"(c.d{j} * c.d{j})" for j in range(_JLP_OUT))
+    return f"""
+WITH pj AS (
+  SELECT vec_id, {_jl_proj_sql()}
+  FROM embeddings WHERE vec_id < {_EMB_DD_LIMIT}
+), pr AS (
+  SELECT q.vec_id AS va, c.vec_id AS vb,
+         CAST(CAST({d} AS VARCHAR) AS DOUBLE)
+           / (sqrt(CAST(CAST({nq} AS VARCHAR) AS DOUBLE))
+              * sqrt(CAST(CAST({nc} AS VARCHAR) AS DOUBLE))) AS cosine
+  FROM pj q JOIN pj c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {_JLP_Q}
+), rk AS (
+  SELECT va, vb, cosine,
+         row_number() OVER (PARTITION BY va
+                            ORDER BY cosine DESC, vb ASC) AS rn
+  FROM pr
+)
+SELECT 'jl' AS variant, va, vb, cosine,
+       cosine >= {_EMB_DD_THRESHOLD} AS keep
+FROM rk WHERE rn <= {_JLP_TOP}
+"""
+
+
 def q_near_dup_embedding_merged(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -514,7 +658,13 @@ def q_near_dup_embedding_merged(
     con = q_contrastive_pairs(spark, sf_dir).select(
         F.lit("contrast").alias("variant"), "va", "vb", "cosine", "keep"
     )
-    return pairs.unionByName(sem).unionByName(dec).unionByName(con)
+    jl = q_jl_pairs(spark, sf_dir)
+    return (
+        pairs.unionByName(sem)
+        .unionByName(dec)
+        .unionByName(con)
+        .unionByName(jl)
+    )
 
 
 # SemDeDup oracle: the same decimal-cosine CTEs, then nearest-anchor
@@ -619,12 +769,13 @@ FROM (
 
 QUERIES["near_dup_embedding"] = Q(
     q_near_dup_embedding_merged,
-    _EMB_DD_SQL,
+    _EMB_DD_SQL + "\nUNION ALL\nSELECT * FROM (" + _jl_sql() + ")",
     variants={
         "pairs": q_near_dup_embedding,
         "semdedup": q_semdedup,
         "decontam": q_semantic_decontam,
         "contrast": q_contrastive_pairs,
+        "jl": q_jl_pairs,
     },
 )
 

@@ -91,11 +91,16 @@ def build_inverted_index(
     spark.createDataFrame(
         [(int(n_buckets),)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # repartition ON the partition column before partitionBy: without
+    # it every shuffle task writes a file into every bucket dir —
+    # tasks x buckets small files (measured ~2k per build at sf0.1;
+    # the classic small-file sin at cluster scale). One extra shuffle
+    # buys one file per non-empty bucket.
     _postings_rows(
         docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
-    ).write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+    ).repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
     _stats_increment(docs, id_col=id_col, text_col=text_col).coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/stats")
@@ -118,7 +123,9 @@ def append_to_inverted_index(
     )
     _postings_rows(
         new_docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
-    ).write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
+    ).repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
     _stats_increment(new_docs, id_col=id_col, text_col=text_col).coalesce(
         1
     ).write.mode("append").parquet(f"{path}/stats")

@@ -116,7 +116,12 @@ def _write_postings(
         vec.alias("vec"),
         _ranked_cells(vec, cents_lit)[0]["cell"].cast("int").alias("cell"),
     )
-    assigned.write.mode(mode).partitionBy("cell").parquet(f"{path}/postings")
+    # repartition ON the partition column first: otherwise every
+    # shuffle task writes into every cell dir (tasks x cells small
+    # files — the object-store listing killer at scale)
+    assigned.repartition("cell").write.mode(mode).partitionBy(
+        "cell"
+    ).parquet(f"{path}/postings")
 
 
 def load_centroids(spark: SparkSession, path: str) -> list[list[float]]:

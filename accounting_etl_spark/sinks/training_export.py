@@ -84,7 +84,14 @@ def export_training_shards(
     sharded = assign_shards(
         docs, id_col=id_col, size_col=size_col, shard_tokens=shard_tokens
     )
-    writer = sharded.write.mode("overwrite").partitionBy("shard")
+    # one shard = one token-bounded unit = one file: repartition on
+    # the partition column so tasks don't each write into every shard
+    # dir (maxRecordsPerFile still splits oversized shards)
+    writer = (
+        sharded.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     getattr(writer, fmt)(f"{path}/shards")

@@ -1363,6 +1363,110 @@ def q_bm25_index_topk(
     )
 
 
+_REL_MIN_TERMS = 2
+_PPM = 1_000_000
+
+
+def q_retrieval_eval(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """'releval' variant: retrieval-quality evaluation of the BM25
+    ranking — MRR, precision@k and recall@k in exact ppm integers
+    (the eval harness a retrieval pipeline ships with).
+
+    Relevance labels are deterministic and engine-portable: a doc is
+    relevant to a query iff it contains >= _REL_MIN_TERMS of the
+    query's distinct terms as whitespace tokens (derived from the same
+    token/term join the ranking uses). Metrics are integer `div`
+    arithmetic over the bit-exact top-_BM25_TOP ranking, so the driver
+    hash pins the ENTIRE retrieval+eval path end to end."""
+    if docs is None:
+        docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    ranked = _bm25_ranked(spark, sf_dir, docs=docs)
+    ws = F.split(F.trim(F.col("text")), " ")
+    toks = docs.select("doc_id", F.explode(ws).alias("token"))
+    qt = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, terms in _BM25_QUERIES.items()
+            for t in sorted(set(terms))
+        ],
+        "query_id string, term string",
+    )
+    rel = (
+        toks.join(F.broadcast(qt), toks.token == qt.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("__nt"))
+        .filter(F.col("__nt") >= _REL_MIN_TERMS)
+        .select("query_id", "doc_id")
+    )
+    n_rel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    j = ranked.join(
+        rel.withColumn("__rel", F.lit(True)), ["query_id", "doc_id"], "left"
+    )
+    agg = j.groupBy("query_id").agg(
+        F.min(F.when(F.col("__rel"), F.col("rank"))).alias("fr"),
+        F.count(F.when(F.col("__rel"), F.lit(1)))
+        .cast("bigint")
+        .alias("hits"),
+    )
+    qids = qt.select("query_id").distinct()
+    full = (
+        qids.join(agg, "query_id", "left")
+        .join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            "fr",
+        )
+        .withColumn(
+            "mrr_ppm",
+            F.when(
+                F.col("fr").isNotNull(), F.expr(f"{_PPM} div fr")
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "p_at_k_ppm",
+            F.expr(f"({_PPM} * hits) div {_BM25_TOP}").cast("bigint"),
+        )
+        .withColumn(
+            "recall_at_k_ppm",
+            F.when(
+                F.col("n_rel") > 0, F.expr(f"({_PPM} * hits) div n_rel")
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+    )
+    metrics = full.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nm).alias("m"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for nm, c in [
+                        ("mrr_ppm", "mrr_ppm"),
+                        ("p_at_k_ppm", "p_at_k_ppm"),
+                        ("recall_at_k_ppm", "recall_at_k_ppm"),
+                        ("n_rel", "n_rel"),
+                    ]
+                ]
+            )
+        ).alias("e"),
+    )
+    return metrics.select(
+        F.lit("releval").alias("variant"),
+        F.col("query_id").alias("source"),
+        F.col("e.m").alias("token"),
+        F.lit(None).cast("bigint").alias("rank"),
+        F.col("e.v").alias("score"),
+    )
+
+
 def q_bm25_index_build(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
@@ -1611,7 +1715,9 @@ def q_tfidf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant 'bm25_index': q_bm25_index_topk — BM25 served from the
     persisted inverted index, must hash-match the from-raw scores (the
     generic-column union-tagging convention, README §union-tagging).
-    variant 'pmi': q_collocations. variant 'drift': q_source_drift."""
+    variant 'pmi': q_collocations. variant 'drift': q_source_drift.
+    variant 'releval': q_retrieval_eval — MRR/precision/recall of the
+    BM25 ranking against deterministic term-containment labels."""
     from pyspark import StorageLevel
 
     # shared-subframe discipline (VERDICT r5): all six variants
@@ -1630,6 +1736,7 @@ def q_tfidf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_bm25_index_topk(spark, sf_dir, docs=shared_docs))
         .unionByName(q_collocations(spark, sf_dir, docs=shared_docs))
         .unionByName(q_source_drift(spark, sf_dir, docs=shared_docs))
+        .unionByName(q_retrieval_eval(spark, sf_dir, docs=shared_docs))
     )
 
 
@@ -1744,10 +1851,64 @@ UNION ALL
 SELECT * FROM ({_DRIFT_SQL})
 """
 
+_RELEVAL_SQL = f"""
+WITH bm AS (
+  SELECT * FROM ({_BM25_RANKED_SQL})
+), rqt(query_id, term) AS (VALUES {_BM25_VALUES}),
+rtoks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+  FROM documents
+), rrel AS (
+  SELECT query_id, doc_id FROM (
+    SELECT rqt.query_id, rtoks.doc_id,
+           count(DISTINCT rqt.term) AS c
+    FROM rtoks JOIN rqt ON token = term
+    GROUP BY 1, 2
+  ) WHERE c >= {_REL_MIN_TERMS}
+), rnrel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+  FROM rrel GROUP BY 1
+), rj AS (
+  SELECT bm.query_id, bm.rank,
+         rrel.doc_id IS NOT NULL AS is_rel
+  FROM bm LEFT JOIN rrel
+    ON bm.query_id = rrel.query_id AND bm.doc_id = rrel.doc_id
+), ragg AS (
+  SELECT query_id,
+         min(CASE WHEN is_rel THEN rank END) AS fr,
+         CAST(count(CASE WHEN is_rel THEN 1 END) AS BIGINT) AS hits
+  FROM rj GROUP BY 1
+), rfull AS (
+  SELECT q.query_id,
+         coalesce(a.hits, 0) AS hits,
+         coalesce(n.n_rel, 0) AS n_rel,
+         a.fr
+  FROM (SELECT DISTINCT query_id FROM rqt) q
+  LEFT JOIN ragg a USING (query_id)
+  LEFT JOIN rnrel n USING (query_id)
+)
+SELECT 'releval' AS variant, query_id AS source, m AS token,
+       CAST(NULL AS BIGINT) AS rank, v AS score
+FROM (
+  SELECT query_id, 'mrr_ppm' AS m,
+         CAST(CASE WHEN fr IS NULL THEN 0
+                   ELSE {_PPM} // fr END AS DOUBLE) AS v FROM rfull
+  UNION ALL
+  SELECT query_id, 'p_at_k_ppm',
+         CAST(({_PPM} * hits) // {_BM25_TOP} AS DOUBLE) FROM rfull
+  UNION ALL
+  SELECT query_id, 'recall_at_k_ppm',
+         CAST(CASE WHEN n_rel = 0 THEN 0
+                   ELSE ({_PPM} * hits) // n_rel END AS DOUBLE) FROM rfull
+  UNION ALL
+  SELECT query_id, 'n_rel', CAST(n_rel AS DOUBLE) FROM rfull
+)
+"""
+
 
 QUERIES["tfidf_terms"] = Q(
     q_tfidf_merged,
-    _TFIDF_MERGED_SQL,
+    _TFIDF_MERGED_SQL + "\nUNION ALL\nSELECT * FROM (" + _RELEVAL_SQL + ")",
     variants={
         "tfidf": q_tfidf_terms,
         "bm25": q_bm25_topk,
@@ -1759,6 +1920,7 @@ QUERIES["tfidf_terms"] = Q(
         "bm25_index_serve": q_bm25_index_serve,
         "pmi": q_collocations,
         "drift": q_source_drift,
+        "releval": q_retrieval_eval,
     },
 )
 

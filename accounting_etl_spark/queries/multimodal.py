@@ -281,6 +281,39 @@ def q_near_dup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_banded_pairs(fps, hash_col="fp", max_hamming=3)
 
 
+_INCR_BATCH_IDS = 50
+
+
+def q_near_dup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'incr' variant: INCREMENTAL perceptual dedup — the first
+    _INCR_BATCH_IDS doc ids act as a new batch probing the signature
+    index built from the rest of the corpus
+    (operators/incremental.py::hamming_signature_index /
+    hamming_against_index: exact-hit short-circuit + posting-capped
+    banded probe; the corpus is never re-hashed per batch). Output
+    (id_a = batch doc, id_b = corpus signature rep, hamming).
+    Rows-only (decode UDF); index/self-join equivalence, degenerate
+    collapse and hot-posting caps are unit-tested."""
+    from ..operators.image_hash import image_hashes
+    from ..operators.incremental import (
+        hamming_against_index,
+        hamming_signature_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = image_hashes(_render_doc_bmps(docs))
+    corpus = hashes.where(F.col("doc_id") >= _INCR_BATCH_IDS)
+    batch = hashes.where(F.col("doc_id") < _INCR_BATCH_IDS)
+    links = hamming_against_index(
+        batch, hamming_signature_index(corpus), max_hamming=3
+    )
+    return links.select(
+        F.col("batch_id").alias("id_a"),
+        F.col("corpus_rep").alias("id_b"),
+        "hamming",
+    )
+
+
 def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH + SimHash + perceptual-image-hash +
     acoustic-fingerprint + video-clip-fingerprint candidate
@@ -321,8 +354,18 @@ def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("hamming").cast("int").alias("hamming"),
     )
+    inc = q_near_dup_incr(spark, sf_dir).select(
+        F.lit("incr").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    )
     return (
-        mh.unionByName(sh).unionByName(im).unionByName(au).unionByName(vi)
+        mh.unionByName(sh)
+        .unionByName(im)
+        .unionByName(au)
+        .unionByName(vi)
+        .unionByName(inc)
     )
 
 
@@ -338,6 +381,7 @@ QUERIES: dict[str, Q] = {
             "image": q_near_dup_images,
             "audio": q_near_dup_audio,
             "video": q_near_dup_video,
+            "incr": q_near_dup_incr,
         },
     ),
 }

@@ -43,12 +43,24 @@ def target_encode_loo(
     category has a single occurrence fall back to the GLOBAL
     leave-one-out prior (the mean over all other rows) — the standard
     cold-category rule, and still leakage-free.
+
+    NULL categories are a category of their own (the join is
+    null-safe, so no row is silently dropped — ADVICE r7), and a
+    degenerate 1-row input gets a NULL encoding instead of riding a
+    divide-by-zero.
     """
     y = target.cast("bigint")
     tagged = df.withColumn("__y", y)
-    stats = tagged.groupBy(category_col).agg(
-        F.sum("__y").alias("__gs"),
-        F.count(F.lit(1)).alias("__gn"),
+    # rename the grouping key so the fact→stats equi-join is an
+    # unambiguous null-safe comparison (NULL is a real category — an
+    # inner join on the bare column name would drop those rows)
+    stats = (
+        tagged.groupBy(category_col)
+        .agg(
+            F.sum("__y").alias("__gs"),
+            F.count(F.lit(1)).alias("__gn"),
+        )
+        .withColumnRenamed(category_col, "__cat")
     )
     totals = tagged.agg(
         F.sum("__y").alias("__ts"), F.count(F.lit(1)).alias("__tn")
@@ -58,13 +70,14 @@ def target_encode_loo(
     loo_cat = F.expr(f"((__gs - __y) * {PPM}) div (__gn - 1)")
     loo_all = F.expr(f"((__ts - __y) * {PPM}) div (__tn - 1)")
     return (
-        tagged.join(stats, category_col)
+        tagged.join(stats, F.col(category_col).eqNullSafe(F.col("__cat")))
         .crossJoin(F.broadcast(totals))
         .withColumn(
             out_col,
             F.when(F.col("__gn") > 1, loo_cat)
-            .otherwise(loo_all)
+            .when(F.col("__tn") > 1, loo_all)
+            .otherwise(F.lit(None))
             .cast("bigint"),
         )
-        .drop("__y", "__gs", "__gn", "__ts", "__tn")
+        .drop("__y", "__cat", "__gs", "__gn", "__ts", "__tn")
     )

@@ -86,8 +86,21 @@ def build_inverted_index(
     text_col: str = "text",
     n_buckets: int = 64,
 ) -> None:
-    """Materialize the inverted index for ``docs`` under ``path``."""
+    """Materialize the inverted index for ``docs`` under ``path``.
+
+    Writes a ``_BUILT`` sentinel LAST (after meta, postings and
+    stats), so an interrupted or in-flight build never looks complete
+    to readers that gate on it — meta alone is written first and
+    would otherwise advertise a partial index (ADVICE r7; same
+    convention as the persisted ANN index)."""
+    import os as _os
+
     spark = docs.sparkSession
+    sentinel = f"{path}/_BUILT"
+    try:
+        _os.remove(sentinel)  # a rebuild is incomplete until done
+    except OSError:
+        pass
     spark.createDataFrame(
         [(int(n_buckets),)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -104,6 +117,8 @@ def build_inverted_index(
     _stats_increment(docs, id_col=id_col, text_col=text_col).coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/stats")
+    with open(sentinel, "w") as fh:
+        fh.write("ok")
 
 
 def append_to_inverted_index(

@@ -1490,7 +1490,10 @@ def q_bm25_index_serve(
 ) -> DataFrame:
     """Bench-only 'bm25_index_serve' slot: query the index the build
     twin left behind (building once if absent — the bench's best-of-N
-    then times the pure serve path on later passes)."""
+    then times the pure serve path on later passes). Completion is
+    gated on the ``_BUILT`` sentinel build_inverted_index writes LAST
+    — meta alone is written first and can survive an interrupted
+    build (ADVICE r7)."""
     from ..operators.inverted_index import (
         build_inverted_index,
         query_inverted_index,
@@ -1500,7 +1503,7 @@ def q_bm25_index_serve(
     path = scratch_path(spark, "inv_index") + "/inv"
     import os as _os
 
-    if not _os.path.exists(f"{path}/meta"):
+    if not _os.path.exists(f"{path}/_BUILT"):
         if docs is None:
             docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
         build_inverted_index(docs, path)

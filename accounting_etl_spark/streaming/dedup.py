@@ -19,10 +19,30 @@ identity; the stream decides admission.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text
+
+
+def _is_missing_path(exc: AnalysisException) -> bool:
+    """True iff the read failed because the path does not exist (the
+    legitimate first-batch case), as opposed to a corrupt or
+    transiently unreadable index that must not be overwritten."""
+    cond = ""
+    for attr in ("getCondition", "getErrorClass"):
+        try:
+            cond = getattr(exc, attr)() or ""
+            break
+        except Exception:
+            continue
+    msg = str(exc)
+    return (
+        "PATH_NOT_FOUND" in cond
+        or "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+    )
 
 
 def stream_dedup_against_index(
@@ -70,6 +90,7 @@ def perceptual_admission_batch(
     chunks: int = 4,
     max_posting: int = 100_000,
     append: bool = True,
+    batch_id: int | str | None = None,
 ) -> DataFrame:
     """One micro-batch of the perceptual-dedup admission filter (also
     usable in plain batch backfills) — the signature twin of
@@ -90,7 +111,21 @@ def perceptual_admission_batch(
     admitted signature rows so later batches dedup against earlier
     admissions (grow-only index; signature uniqueness holds because
     any exact hit was dropped in step 2). Returns the admitted
-    ``(sig, rep_id, n_members)`` rows."""
+    ``(sig, rep_id, n_members)`` rows.
+
+    Durability contract (ADVICE r7): the index is a grow-only set of
+    ``batch=b<id>/`` parquet subdirectories — each append lands in
+    its own partition directory keyed by ``batch_id`` and OVERWRITES
+    only that directory, so a ``foreachBatch`` retry (at-least-once
+    delivery) rewrites the same subdir instead of appending duplicate
+    signature rows; the one-row-per-distinct-signature invariant
+    survives replays. A read failure is only treated as "first batch"
+    when the path genuinely does not exist — any other error (corrupt
+    footer, transient IO) re-raises rather than silently rebuilding
+    an empty index over the accumulated one. Callers that pass no
+    ``batch_id`` (plain batch backfills) get a content-derived
+    subdir, so re-running the identical backfill step is idempotent
+    too, while distinct steps never collide."""
     from ..operators.image_hash import hamming_banded_pairs
     from ..operators.incremental import (
         hamming_against_index,
@@ -101,14 +136,34 @@ def perceptual_admission_batch(
     sigs = hamming_signature_index(
         batch_hashes, id_col=id_col, hash_col=hash_col
     ).localCheckpoint(eager=True)
+    if batch_id is None:
+        # content-derived key: a re-run of the same backfill step
+        # overwrites its own subdir; distinct batches don't collide
+        fp = sigs.agg(
+            F.sum(F.xxhash64("sig")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        batch_id = f"{(fp['s'] or 0) & 0xFFFFFFFFFFFF:x}n{fp['n']}"
     try:
-        index = spark.read.parquet(index_path)
-        have_index = True
-    except Exception:  # first batch: no index yet
+        # batch= partition dirs surface as an inferred column; the
+        # index this batch dedups against EXCLUDES its own subdir, so
+        # a replayed batch (at-least-once foreachBatch) sees exactly
+        # what the first attempt saw and reaches the same admission
+        # decision before overwriting its own partition
+        index = (
+            spark.read.parquet(index_path)
+            .filter(F.col("batch") != f"b{batch_id}")
+            .select("sig", "rep_id", "n_members")
+        )
+    except AnalysisException as exc:
+        # only a genuinely absent path means "first batch"; corrupt
+        # footers / transient IO must re-raise, not silently restart
+        # the grow-only index from empty (ADVICE r7)
+        if not _is_missing_path(exc):
+            raise
         index = spark.createDataFrame(
             [], "sig bigint, rep_id bigint, n_members bigint"
         )
-        have_index = False
     rep_hashes = sigs.select(
         F.col("rep_id").alias(id_col), F.col("sig").alias(hash_col)
     )
@@ -135,9 +190,9 @@ def perceptual_admission_batch(
         .localCheckpoint(eager=True)
     )
     if append:
-        admitted.write.mode(
-            "append" if have_index else "overwrite"
-        ).parquet(index_path)
+        admitted.write.mode("overwrite").parquet(
+            f"{index_path}/batch=b{batch_id}"
+        )
     return admitted
 
 
@@ -170,6 +225,10 @@ def stream_perceptual_admission(
             chunks=chunks,
             max_posting=max_posting,
             append=True,
+            # at-least-once foreachBatch: keying the index write on
+            # the engine's batch_id makes a replayed batch overwrite
+            # its own subdir instead of double-appending (ADVICE r7)
+            batch_id=batch_id,
         )
         if sink is not None:
             sink(admitted, batch_id)

@@ -137,20 +137,24 @@ def main() -> None:
     # in the previous round's record whose implementation did NOT
     # change this round — the judge diffs those and nothing else.
     CHANGED_THIS_ROUND = {
-        # r7: banded near-dup pairing gained the identical-signature
-        # collapse + hot-band cap (VERDICT r6 #1) — every consumer of
-        # hamming_banded_pairs / minhash_candidates moved
-        "near_dup_hash.minhash",
-        "near_dup_hash.simhash",
-        "near_dup_hash.image",
-        "near_dup_hash.audio",
+        # r8: build_inverted_index writes a _BUILT sentinel last and
+        # the serve twin gates on it (ADVICE r7) — every slot that
+        # can run a build moved; pidx is flagged for the same reason
+        # (its rebuild path is exercised when /tmp was swept)
+        "tfidf_terms.bm25_index",
+        "tfidf_terms.bm25_index_build",
+        "tfidf_terms.bm25_index_serve",
+        "ann_variants.pidx",
+        # r8: target_encode_loo joins null-safely (eqNullSafe) with a
+        # singleton-input guard (ADVICE r7) — plan shape changed
+        "stats_moments.teloo",
     }
     # the driver's BENCH_r{N}.json truncates the JSON into a "tail"
     # string; the builder's own BENCH_r{N}_local.json holds the full
     # record — take whichever parses
     prev_keys: set[str] = set()
     here = Path(__file__).resolve().parent
-    for prev_name in ("BENCH_r6_local.json", "BENCH_r06.json"):
+    for prev_name in ("BENCH_r7_local.json", "BENCH_r07.json"):
         try:
             prev_keys = {
                 k
@@ -172,7 +176,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": run_log,
-        "comparable_to_r6": comparable,
+        "comparable_to_r7": comparable,
         "sf": sf,
     }
     if errors:

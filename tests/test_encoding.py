@@ -65,3 +65,23 @@ def test_loo_plan_no_fact_window_no_product(spark):
     assert "Window" not in plan  # stats come from a groupBy + join
     # the global prior is the sanctioned 1-row scalar broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_loo_null_category_and_singleton_input(spark):
+    """ADVICE r7: NULL categories are a category of their own (the
+    null-safe join must not drop them), and a 1-row input yields a
+    NULL encoding instead of a divide-by-zero artifact."""
+    rows = [(1, None, 1), (2, None, 0), (3, "a", 1)]
+    got = {
+        r.id: r.te_ppm
+        for r in target_encode_loo(
+            _df(spark, rows), category_col="cat", target=F.col("y")
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}  # no silent row loss
+    assert got[1] == 0 and got[2] == PPM  # LOO within the NULL group
+    assert got[3] == PPM // 2  # singleton -> global prior over others
+    one = target_encode_loo(
+        _df(spark, [(9, "z", 1)]), category_col="cat", target=F.col("y")
+    ).collect()
+    assert len(one) == 1 and one[0].te_ppm is None

@@ -347,3 +347,50 @@ def test_stream_perceptual_admission_two_epochs(spark, tmp_path):
                 {"doc_id": 12, "dhash": 1 << 50}]])      # fresh
     assert seen[0] == {42, 7 << 20}
     assert seen[1] == {1 << 50}
+
+
+def test_perceptual_admission_corrupt_index_raises(spark, tmp_path):
+    """ADVICE r7: only a genuinely missing path means 'first batch' —
+    a present-but-unreadable index must raise, never be overwritten
+    (a transient read error would otherwise destroy the accumulated
+    grow-only index and re-admit rejected duplicates)."""
+    import pytest
+
+    from accounting_etl_spark.streaming.dedup import (
+        perceptual_admission_batch,
+    )
+
+    path = tmp_path / "sig_index"
+    sub = path / "batch=b0"
+    sub.mkdir(parents=True)
+    (sub / "part-0000.parquet").write_bytes(b"not a parquet footer")
+    with pytest.raises(Exception) as ei:
+        perceptual_admission_batch(
+            _sig_df(spark, [(1, 42)]), str(path), batch_id=1
+        ).collect()
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+    # the corrupt index was left alone — no overwrite happened
+    assert (sub / "part-0000.parquet").read_bytes().startswith(b"not a")
+
+
+def test_perceptual_admission_retry_is_idempotent(spark, tmp_path):
+    """ADVICE r7: foreachBatch is at-least-once — replaying a batch
+    with the same batch_id overwrites its own index subdir, keeping
+    one row per distinct signature instead of double-appending."""
+    from accounting_etl_spark.streaming.dedup import (
+        perceptual_admission_batch,
+    )
+
+    path = str(tmp_path / "sig_index")
+    b1 = _sig_df(spark, [(1, 42), (2, 42), (3, 7 << 20)])
+    perceptual_admission_batch(b1, path, batch_id=0)
+    # replay of the SAME micro-batch (retry after a sink failure)
+    perceptual_admission_batch(b1, path, batch_id=0)
+    rows = spark.read.parquet(path).collect()
+    assert sorted(r.sig for r in rows) == [42, 7 << 20]
+    assert {r.n_members for r in rows if r.sig == 42} == {2}
+    # a successor batch lands beside it and is deduped against it
+    b2 = _sig_df(spark, [(10, 42), (11, 1 << 50)])
+    admitted = perceptual_admission_batch(b2, path, batch_id=1)
+    assert {r.sig for r in admitted.collect()} == {1 << 50}
+    assert spark.read.parquet(path).count() == 3

@@ -118,3 +118,27 @@ def test_absent_terms_yield_empty(spark, tmp_path):
         spark, path, {"q": ["zzz_not_a_token_zzz"]}, k=3
     )
     assert out.count() == 0
+
+
+def test_built_sentinel_written_last_and_reset(spark, tmp_path):
+    """ADVICE r7: meta lands first, so meta alone must not advertise a
+    complete index — _BUILT is written LAST and removed at the start
+    of a rebuild, and the serve twin gates on it."""
+    import os
+
+    from accounting_etl_spark.operators.inverted_index import (
+        build_inverted_index,
+    )
+
+    path = str(tmp_path / "inv")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id bigint, text string"
+    )
+    build_inverted_index(docs, path)
+    assert os.path.exists(f"{path}/_BUILT")
+    # simulate an interrupted rebuild: the sentinel must disappear
+    # before any data write; meta existing without _BUILT = incomplete
+    os.remove(f"{path}/_BUILT")
+    assert os.path.exists(f"{path}/meta")
+    build_inverted_index(docs, path)
+    assert os.path.exists(f"{path}/_BUILT")

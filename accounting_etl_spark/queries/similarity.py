@@ -321,31 +321,13 @@ def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cos.filter(F.col("cosine") >= _EMB_DD_THRESHOLD)
 
 
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): cluster the embedding space,
-    then drop all-but-one of each intra-cluster group of semantic
-    near-duplicates.
-
-    Clustering here is nearest-anchor assignment — the ``_SEM_K``
-    lowest vec_ids act as fixed anchors and every vector joins the
-    anchor with the highest cosine (tie-break: anchor id). That keeps
-    the whole operator SQL-expressible so the DuckDB oracle can check
-    it end-to-end; the unbounded path swaps anchors for trained IVF
-    centroids (operators/similarity.py ivf_topk's assignment stage)
-    and generates intra-cluster pairs per cell instead of all-pairs —
-    the pair search stays bucketed either way, never corpus-wide.
-
-    Drop rule (deterministic SemDeDup): a vector is dropped iff some
-    LOWER-id vector in the same cluster has cosine ≥ threshold with
-    it; the minimum id of each intra-cluster duplicate group
-    survives. Output per vector: its cluster anchor (``vb``), cosine
-    to that anchor, and the keep flag.
-    """
-    cos, norms = _bounded_cosines(spark, sf_dir)
-    # doc→anchor cosines: symmetrize the va<vb pair table, plus each
-    # anchor's self-cosine (n2/(√n2·√n2) — the same IEEE ops in both
-    # engines, not a 1.0 literal, so ranking ties break identically)
-    danc = (
+def _anchor_cosines(cos: DataFrame, norms: DataFrame) -> DataFrame:
+    """doc→anchor cosines for the ``_SEM_K`` lowest-id anchors:
+    symmetrize the va<vb pair table, plus each anchor's self-cosine
+    (n2/(√n2·√n2) — the same IEEE ops in both engines, not a 1.0
+    literal, so ranking ties break identically). Shared by the
+    SemDeDup assignment and the pinned IVF probe."""
+    return (
         cos.filter(F.col("vb") < _SEM_K)
         .select(
             F.col("va").alias("doc"), F.col("vb").alias("anchor"), "cosine"
@@ -367,6 +349,30 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space,
+    then drop all-but-one of each intra-cluster group of semantic
+    near-duplicates.
+
+    Clustering here is nearest-anchor assignment — the ``_SEM_K``
+    lowest vec_ids act as fixed anchors and every vector joins the
+    anchor with the highest cosine (tie-break: anchor id). That keeps
+    the whole operator SQL-expressible so the DuckDB oracle can check
+    it end-to-end; the unbounded path swaps anchors for trained IVF
+    centroids (operators/similarity.py ivf_topk's assignment stage)
+    and generates intra-cluster pairs per cell instead of all-pairs —
+    the pair search stays bucketed either way, never corpus-wide.
+
+    Drop rule (deterministic SemDeDup): a vector is dropped iff some
+    LOWER-id vector in the same cluster has cosine ≥ threshold with
+    it; the minimum id of each intra-cluster duplicate group
+    survives. Output per vector: its cluster anchor (``vb``), cosine
+    to that anchor, and the keep flag.
+    """
+    cos, norms = _bounded_cosines(spark, sf_dir)
+    danc = _anchor_cosines(cos, norms)
     from ..operators.topk import topk_per_group
 
     assigned = topk_per_group(
@@ -483,6 +489,86 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("keep"),
     )
     return pos.unionByName(neg)
+
+
+_IVF_Q_LO = 8  # query slice: the first non-anchor ids
+_IVF_Q_HI = 16
+_IVF_NPROBE = 2
+_IVF_K = 3
+
+
+def q_ivf_pinned(
+    spark: SparkSession, sf_dir: str, *, n_probe: int = _IVF_NPROBE
+) -> DataFrame:
+    """'ivf' variant: the IVF probe plan hash-pinned end-to-end
+    (VERDICT r7 Next #2) — the exact plan shape of
+    operators/similarity.py::ivf_topk (assign → probe → bucketed
+    shortlist → rerank), expressed in the decimal-cosine determinism
+    contract so DuckDB replicates every stage:
+
+    - cells: nearest-anchor assignment over the ``_SEM_K`` lowest-id
+      anchors (the SemDeDup assignment, shared subtree);
+    - probe: per query (ids {lo}..{hi}) the top-``n_probe`` anchors by
+      exact cosine (ties to the lower anchor);
+    - candidates: vectors assigned to probed cells only — the
+      partition-pruned posting read of the persisted index;
+    - rerank: exact decimal cosine top-k over the shortlist.
+
+    ``keep`` flags whether the IVF answer is also in the query's exact
+    brute-force top-k — the per-row recall verdict, so the hash pins
+    both the probe semantics AND the measured recall of this
+    (anchors, n_probe) configuration."""
+    from ..operators.topk import topk_per_group
+
+    cos, norms = _bounded_cosines(spark, sf_dir)
+    danc = _anchor_cosines(cos, norms)
+    assigned = topk_per_group(
+        danc, ["doc"], [F.desc("cosine"), F.asc("anchor")], 1
+    ).select("doc", "anchor")
+    sym = cos.unionByName(
+        cos.select(F.col("vb").alias("va"), F.col("va").alias("vb"), "cosine")
+    )
+    probes = topk_per_group(
+        danc.filter(
+            (F.col("doc") >= _IVF_Q_LO) & (F.col("doc") < _IVF_Q_HI)
+        ),
+        ["doc"],
+        [F.desc("cosine"), F.asc("anchor")],
+        n_probe,
+    ).select(F.col("doc").alias("q"), "anchor")
+    cand = (
+        probes.join(assigned, "anchor")
+        .filter(F.col("doc") != F.col("q"))
+        .select("q", F.col("doc").alias("cand"))
+    )
+    ranked = topk_per_group(
+        cand.join(
+            sym,
+            (sym["va"] == cand["q"]) & (sym["vb"] == cand["cand"]),
+        ).select("q", "cand", "cosine"),
+        ["q"],
+        [F.desc("cosine"), F.asc("cand")],
+        _IVF_K,
+    )
+    exact = topk_per_group(
+        sym.filter(
+            (F.col("va") >= _IVF_Q_LO) & (F.col("va") < _IVF_Q_HI)
+        ),
+        ["va"],
+        [F.desc("cosine"), F.asc("vb")],
+        _IVF_K,
+    ).select(F.col("va").alias("q"), F.col("vb").alias("cand"))
+    return (
+        ranked.join(
+            exact.withColumn("__hit", F.lit(True)), ["q", "cand"], "left"
+        )
+        .select(
+            F.col("q").alias("va"),
+            F.col("cand").alias("vb"),
+            "cosine",
+            F.coalesce("__hit", F.lit(False)).alias("keep"),
+        )
+    )
 
 
 _JLP_DIM = 64
@@ -658,11 +744,15 @@ def q_near_dup_embedding_merged(
     con = q_contrastive_pairs(spark, sf_dir).select(
         F.lit("contrast").alias("variant"), "va", "vb", "cosine", "keep"
     )
+    ivf = q_ivf_pinned(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), "va", "vb", "cosine", "keep"
+    )
     jl = q_jl_pairs(spark, sf_dir)
     return (
         pairs.unionByName(sem)
         .unionByName(dec)
         .unionByName(con)
+        .unionByName(ivf)
         .unionByName(jl)
     )
 
@@ -764,6 +854,51 @@ FROM (
   )
   WHERE cosine <= {_CONTRAST_NEG_T}
 ) WHERE rn = 1
+UNION ALL
+-- the pinned IVF probe: assign (the SemDeDup 'assigned' CTE) →
+-- top-n_probe anchors per query → candidates from probed cells only
+-- → exact-cosine rerank; keep = membership in the exact top-k
+SELECT 'ivf' AS variant, iv.va, iv.vb, iv.cosine,
+       ex.vb IS NOT NULL AS keep
+FROM (
+  SELECT q AS va, cand AS vb, cosine FROM (
+    SELECT c.q, c.cand, s.cosine,
+           row_number() OVER (PARTITION BY c.q
+                              ORDER BY s.cosine DESC, c.cand ASC) AS rn
+    FROM (
+      SELECT p.q, a.doc AS cand
+      FROM (
+        SELECT doc AS q, anchor FROM (
+          SELECT doc, anchor,
+                 row_number() OVER (PARTITION BY doc
+                                    ORDER BY cosine DESC, anchor ASC) AS prn
+          FROM danc
+          WHERE doc >= {_IVF_Q_LO} AND doc < {_IVF_Q_HI}
+        ) WHERE prn <= {_IVF_NPROBE}
+      ) p
+      JOIN assigned a ON a.anchor = p.anchor
+      WHERE a.doc != p.q
+    ) c
+    JOIN (
+      SELECT va, vb, cosine FROM cosall
+      UNION ALL
+      SELECT vb AS va, va AS vb, cosine FROM cosall
+    ) s ON s.va = c.q AND s.vb = c.cand
+  ) WHERE rn <= {_IVF_K}
+) iv
+LEFT JOIN (
+  SELECT va, vb FROM (
+    SELECT va, vb,
+           row_number() OVER (PARTITION BY va
+                              ORDER BY cosine DESC, vb ASC) AS ern
+    FROM (
+      SELECT va, vb, cosine FROM cosall
+      UNION ALL
+      SELECT vb AS va, va AS vb, cosine FROM cosall
+    )
+    WHERE va >= {_IVF_Q_LO} AND va < {_IVF_Q_HI}
+  ) WHERE ern <= {_IVF_K}
+) ex ON ex.va = iv.va AND ex.vb = iv.vb
 """
 
 
@@ -775,6 +910,7 @@ QUERIES["near_dup_embedding"] = Q(
         "semdedup": q_semdedup,
         "decontam": q_semantic_decontam,
         "contrast": q_contrastive_pairs,
+        "ivf": q_ivf_pinned,
         "jl": q_jl_pairs,
     },
 )
@@ -870,10 +1006,59 @@ def q_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ivf_index(spark, path, queries, k=_TOP_K)
 
 
+_SEM_ADMIT_SEED_LO = 200  # seed-corpus slice indexed before epoch 1
+_SEM_ADMIT_SEED_HI = 400
+_SEM_ADMIT_BATCH = 100  # batch slice: vec_id < this, split odd/even
+
+
+def q_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'admit' variant: the streaming semantic-admission filter's
+    foreachBatch body (streaming/semantic.py::semantic_admission_batch)
+    run as a deterministic two-epoch batch sequence (VERDICT r7 Next
+    #3) — a seed corpus (vec_ids {lo}..{hi}) builds the persisted IVF
+    index, then epoch 1 (even vec_ids < {b}) and epoch 2 (odd) pass
+    through within-batch SemDeDup → index probe (reject cosine ≥ τ) →
+    grow-on-admit. The scratch index is wiped per invocation so every
+    run replays from the same state. Rows-only by design (the IVF
+    probe's float folds are engine-specific; the probe PLAN is
+    hash-pinned by near_dup_embedding 'ivf'). Columns: q_id =
+    admitted vec_id, rank = epoch."""
+    from ..operators.ann_index import build_ivf_index
+    from ..session import scratch_dir
+    from ..streaming.semantic import semantic_admission_batch
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    path = scratch_dir(spark, "sem_admit") + "/idx"
+    seed = emb.filter(
+        (F.col("vec_id") >= _SEM_ADMIT_SEED_LO)
+        & (F.col("vec_id") < _SEM_ADMIT_SEED_HI)
+    ).select("vec_id", "embedding")
+    build_ivf_index(seed, path, n_cells=8)
+    out = []
+    for epoch in (1, 2):
+        batch = emb.filter(
+            (F.col("vec_id") < _SEM_ADMIT_BATCH)
+            & (F.col("vec_id") % 2 == epoch - 1)
+        ).select("vec_id", "embedding")
+        admitted = semantic_admission_batch(
+            batch, path, threshold=_EMB_DD_THRESHOLD, append=True
+        )
+        out.append(
+            admitted.select(
+                F.col("vec_id").cast("bigint").alias("q_id"),
+                F.lit(None).cast("bigint").alias("nb_id"),
+                F.lit(epoch).cast("bigint").alias("rank"),
+                F.lit(None).cast("double").alias("cosine"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
 def q_ann_variants_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five ANN scale paths union-tagged (driver cap): 'lsh',
-    'ivf', 'pq' as before, plus 'jl' (JL-projected IVF) and 'pidx'
-    (persisted partition-pruned index)."""
+    """All ANN scale paths union-tagged (driver cap): 'lsh', 'ivf',
+    'pq' as before, plus 'jl' (JL-projected IVF), 'pidx' (persisted
+    partition-pruned index) and 'admit' (the two-epoch semantic
+    admission replay)."""
     base = q_ann_variants(spark, sf_dir)
     jl = q_ann_jl(spark, sf_dir).select(
         F.lit("jl").alias("variant"), "q_id", "nb_id", "rank", "cosine"
@@ -881,7 +1066,10 @@ def q_ann_variants_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     pidx = q_ann_persisted(spark, sf_dir).select(
         F.lit("pidx").alias("variant"), "q_id", "nb_id", "rank", "cosine"
     )
-    return base.unionByName(jl).unionByName(pidx)
+    admit = q_semantic_admission(spark, sf_dir).select(
+        F.lit("admit").alias("variant"), "q_id", "nb_id", "rank", "cosine"
+    )
+    return base.unionByName(jl).unionByName(pidx).unionByName(admit)
 
 
 QUERIES["ann_variants"] = Q(
@@ -892,5 +1080,6 @@ QUERIES["ann_variants"] = Q(
         "pq": q_ann_pq,
         "jl": q_ann_jl,
         "pidx": q_ann_persisted,
+        "admit": q_semantic_admission,
     },
 )

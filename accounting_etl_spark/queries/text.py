@@ -27,6 +27,7 @@ from ..functions.text import (
 )
 from ..sources.tables import load_table
 from . import Q
+from . import signatures as _sig_queries
 
 
 def _norm_text() -> Column:
@@ -1027,7 +1028,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     qual = F.filter(entries, lambda s: s["score"] >= s["thr"])
-    return prof.select(
+    shingle = prof.select(
         "doc_a", "doc_b", "inter", F.explode(qual).alias("e")
     ).select(
         F.col("e.variant").alias("variant"),
@@ -1036,6 +1037,30 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inter",
         F.col("e.denom").alias("denom"),
         F.col("e.score").alias("score"),
+    )
+    # synthetic-signature twins of the Hamming-banded pairing plan
+    # (queries/signatures.py) — the scale-critical perceptual-dedup
+    # machinery hash-checked on SQL-derivable int64 signatures
+    from .signatures import (
+        q_admission_synth,
+        q_hbp_synth,
+        q_hot_band_audit_synth,
+    )
+
+    def _tag(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("variant"),
+            "doc_a",
+            "doc_b",
+            "inter",
+            "denom",
+            "score",
+        )
+
+    return (
+        shingle.unionByName(_tag("hbp", q_hbp_synth(spark, sf_dir)))
+        .unionByName(_tag("hbaudit", q_hot_band_audit_synth(spark, sf_dir)))
+        .unionByName(_tag("admit", q_admission_synth(spark, sf_dir)))
     )
 
 
@@ -1095,7 +1120,14 @@ JOIN pcounts na ON doc_a = na.doc_id
 JOIN pcounts nb ON doc_b = nb.doc_id
 """
 
-_NEAR_DUP_PAIRS_SQL = f"""
+def _near_dup_pairs_sql() -> str:
+    from .signatures import (
+        admission_synth_sql,
+        hbp_synth_sql,
+        hot_band_audit_sql,
+    )
+
+    return f"""
 WITH prof AS ({_PAIR_PROFILE_SQL})
 SELECT 'jaccard' AS variant, doc_a, doc_b, inter,
        CAST(na + nb - inter AS BIGINT) AS denom,
@@ -1108,7 +1140,16 @@ SELECT 'contain' AS variant, doc_a, doc_b, inter,
        CAST(inter AS DOUBLE) / least(na, nb) AS score
 FROM prof
 WHERE CAST(inter AS DOUBLE) / least(na, nb) >= {_CONTAIN_THRESHOLD}
+UNION ALL
+SELECT 'hbp' AS variant, * FROM ({hbp_synth_sql()})
+UNION ALL
+SELECT 'hbaudit' AS variant, * FROM ({hot_band_audit_sql()})
+UNION ALL
+SELECT 'admit' AS variant, * FROM ({admission_synth_sql()})
 """
+
+
+_NEAR_DUP_PAIRS_SQL = _near_dup_pairs_sql()
 
 
 QUERIES: dict[str, Q] = {
@@ -1128,6 +1169,9 @@ QUERIES: dict[str, Q] = {
         variants={
             "jaccard": q_near_dup_jaccard,
             "contain": q_containment_pairs,
+            "hbp": _sig_queries.q_hbp_synth,
+            "hbaudit": _sig_queries.q_hot_band_audit_synth,
+            "admit": _sig_queries.q_admission_synth,
         },
     ),
 }

@@ -239,3 +239,65 @@ def test_random_projection_preserves_neighborhoods(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ivf_pinned_full_probe_equals_exact(spark):
+    """The hash-pinned IVF variant (queries/similarity.py
+    q_ivf_pinned): probing EVERY cell must return exactly the
+    brute-force top-k (keep all-true) — the recall-1.0 limit of the
+    probe plan; the driver's oracle pins the partial-probe form."""
+    from accounting_etl_spark.queries.similarity import (
+        _SEM_K,
+        q_ivf_pinned,
+    )
+    from conftest import SF_SMOKE
+
+    rows = q_ivf_pinned(spark, SF_SMOKE, n_probe=_SEM_K).collect()
+    assert len(rows) == 24 and all(r["keep"] for r in rows)
+
+
+def test_ivf_pinned_partial_probe_structure(spark):
+    """Partial probe: 3 ranked rows per query in [8, 16), and the
+    keep flag agrees with membership in the exact top-3 (computed
+    through the same decimal-cosine subtree)."""
+    from accounting_etl_spark.queries.similarity import (
+        _SEM_K,
+        q_ivf_pinned,
+    )
+    from conftest import SF_SMOKE
+
+    got = q_ivf_pinned(spark, SF_SMOKE).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["va"], []).append(r)
+    assert set(per_q) == set(range(8, 16))
+    exact = {
+        (r["va"], r["vb"])
+        for r in q_ivf_pinned(spark, SF_SMOKE, n_probe=_SEM_K).collect()
+    }
+    for q, rs in per_q.items():
+        assert len(rs) == 3
+        cs = [r["cosine"] for r in sorted(rs, key=lambda r: -r["cosine"])]
+        assert cs == sorted(cs, reverse=True)
+        for r in rs:
+            assert r["keep"] == ((r["va"], r["vb"]) in exact)
+
+
+def test_semantic_admission_variant_replays_deterministically(spark):
+    """Driver-exposed two-epoch semantic admission
+    (q_semantic_admission): epoch parity is by construction, the
+    scratch index is wiped per invocation so a re-run reproduces the
+    admission decisions exactly."""
+    from accounting_etl_spark.queries.similarity import (
+        _SEM_ADMIT_BATCH,
+        q_semantic_admission,
+    )
+    from conftest import SF_SMOKE
+
+    rows = q_semantic_admission(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["q_id"] < _SEM_ADMIT_BATCH
+        assert r["q_id"] % 2 == r["rank"] - 1  # epoch parity
+    again = q_semantic_admission(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -25,6 +25,11 @@ def main() -> None:
     ap.add_argument("entry")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--keep-cache",
+        action="store_true",
+        help="bench-like warm regime: do not clear the cache between runs",
+    )
     args = ap.parse_args()
 
     from accounting_etl_spark.registry import all_queries
@@ -36,7 +41,8 @@ def main() -> None:
     def best(fn) -> float:
         samples = []
         for _ in range(args.runs):
-            spark.catalog.clearCache()
+            if not args.keep_cache:
+                spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, args.sf).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)

@@ -108,6 +108,39 @@ def q_hbp_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HBPC_MAX_BUCKET = 3  # force multi-chunk pair expansion on 4-8 postings
+
+
+def q_hbp_chunked_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'hbpc' variant: chunked-expansion invariance, hash-checked —
+    the same signatures and cap as 'hbp' but ``max_bucket=3``, so
+    every posting list of 4..8 members is cut into chunk-pair rows
+    and expanded through `explode_bucket_pairs`' off-diagonal cross
+    product (the executor-memory bound for hot buckets). The oracle is
+    the SAME brute-force SQL as 'hbp': chunking must never change the
+    pair set, and any drift in the slice arithmetic or the diagonal /
+    off-diagonal split hash-mismatches."""
+    from ..operators.image_hash import hamming_banded_pairs
+
+    sigs = synthetic_signatures(spark, sf_dir)
+    pairs = hamming_banded_pairs(
+        sigs,
+        id_col="doc_id",
+        hash_col="sig",
+        max_hamming=_MAX_HAMMING,
+        chunks=_CHUNKS,
+        max_bucket=_HBPC_MAX_BUCKET,
+        max_posting=_MAX_POSTING,
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("bigint").alias("inter"),
+        F.lit(None).cast("bigint").alias("denom"),
+        F.lit(None).cast("double").alias("score"),
+    )
+
+
 def q_hot_band_audit_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'hbaudit' variant: :func:`~..operators.image_hash.
     hot_band_audit` over the same signatures — the bands the cap

@@ -1043,6 +1043,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # machinery hash-checked on SQL-derivable int64 signatures
     from .signatures import (
         q_admission_synth,
+        q_hbp_chunked_synth,
         q_hbp_synth,
         q_hot_band_audit_synth,
     )
@@ -1059,6 +1060,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         shingle.unionByName(_tag("hbp", q_hbp_synth(spark, sf_dir)))
+        .unionByName(_tag("hbpc", q_hbp_chunked_synth(spark, sf_dir)))
         .unionByName(_tag("hbaudit", q_hot_band_audit_synth(spark, sf_dir)))
         .unionByName(_tag("admit", q_admission_synth(spark, sf_dir)))
     )
@@ -1143,6 +1145,10 @@ WHERE CAST(inter AS DOUBLE) / least(na, nb) >= {_CONTAIN_THRESHOLD}
 UNION ALL
 SELECT 'hbp' AS variant, * FROM ({hbp_synth_sql()})
 UNION ALL
+-- chunked-expansion invariance: max_bucket must not change the pair
+-- set, so 'hbpc' shares the 'hbp' brute-force twin verbatim
+SELECT 'hbpc' AS variant, * FROM ({hbp_synth_sql()})
+UNION ALL
 SELECT 'hbaudit' AS variant, * FROM ({hot_band_audit_sql()})
 UNION ALL
 SELECT 'admit' AS variant, * FROM ({admission_synth_sql()})
@@ -1170,6 +1176,7 @@ QUERIES: dict[str, Q] = {
             "jaccard": q_near_dup_jaccard,
             "contain": q_containment_pairs,
             "hbp": _sig_queries.q_hbp_synth,
+            "hbpc": _sig_queries.q_hbp_chunked_synth,
             "hbaudit": _sig_queries.q_hot_band_audit_synth,
             "admit": _sig_queries.q_admission_synth,
         },

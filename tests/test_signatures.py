@@ -193,3 +193,99 @@ def test_admission_replay_is_deterministic(spark):
     first = sorted(map(tuple, q_admission_synth(spark, SF_SMOKE).collect()))
     again = sorted(map(tuple, q_admission_synth(spark, SF_SMOKE).collect()))
     assert first == again and len(first) > 0
+
+
+def test_hbp_chunked_expansion_invariance(spark):
+    """max_bucket=3 forces multi-chunk pair expansion; the pair set
+    must be identical to the single-chunk run (the 'hbpc' driver
+    variant pins the same invariance through the DuckDB oracle)."""
+    from accounting_etl_spark.queries.signatures import (
+        q_hbp_chunked_synth,
+        q_hbp_synth,
+    )
+
+    a = sorted(map(tuple, q_hbp_synth(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, q_hbp_chunked_synth(spark, SF_SMOKE).collect()))
+    assert a == b and len(a) > 0
+
+
+def _brute_pairs_param(sig_rows, *, chunks, maxh, maxpost):
+    """Parameterized brute model (unsigned 64-bit domain)."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    u = lambda s: s & ((1 << 64) - 1)  # noqa: E731
+    bysig = defaultdict(list)
+    for did, sig in sig_rows:
+        bysig[sig].append(did)
+    zero, reps = [], []
+    for sig, ids in bysig.items():
+        ids.sort()
+        reps.append((ids[0], sig))
+        zero += [(ids[0], i, 0) for i in ids[1:]]
+    postings = defaultdict(list)
+    for rid, sig in reps:
+        for c in range(chunks):
+            postings[(c, (u(sig) >> (c * width)) & mask)].append((rid, sig))
+    pairs = {}
+    for members in postings.values():
+        if not 2 <= len(members) <= maxpost:
+            continue
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (ia, sa), (ib, sb) = members[i], members[j]
+                h = (u(sa) ^ u(sb)).bit_count()
+                if h <= maxh:
+                    pairs[(ia, ib)] = h
+    return set(zero) | {(a, b, h) for (a, b), h in pairs.items()}
+
+
+import random as _random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31))
+def test_banded_pairs_random_signatures_match_brute(spark, seed):
+    """The REAL hamming_banded_pairs equals the brute model on RANDOM
+    signature multisets and RANDOM (chunks, max_hamming, max_posting,
+    max_bucket) — generalizes the planted-construction tests: random
+    cluster structure incl. identical-signature groups, negative
+    int64 signatures (sign-bit chunks), caps that engage mid-list,
+    and bucket chunking that splits postings."""
+    from accounting_etl_spark.operators.image_hash import (
+        hamming_banded_pairs,
+    )
+
+    rng = _random.Random(seed)
+    chunks = rng.choice([4, 8])
+    maxh = rng.randint(1, chunks - 1)
+    maxpost = rng.randint(2, 10)
+    max_bucket = rng.choice([2, 3, 256])
+    rows, seen = [], []
+    for i in range(60):
+        if i % 7 == 0 or not seen:
+            s = rng.getrandbits(64)
+        else:
+            s = rng.choice(seen)
+            for _ in range(rng.randint(0, maxh + 2)):
+                s ^= 1 << rng.randrange(64)
+        seen.append(s)
+        rows.append((i, s - (1 << 64) if s >= 1 << 63 else s))
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_banded_pairs(
+            df,
+            hash_col="sig",
+            max_hamming=maxh,
+            chunks=chunks,
+            max_bucket=max_bucket,
+            max_posting=maxpost,
+        ).collect()
+    }
+    assert got == _brute_pairs_param(
+        rows, chunks=chunks, maxh=maxh, maxpost=maxpost
+    )

@@ -36,6 +36,10 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 
 # pairing parameters: small cap so the sf-fixture hot band engages it
+import itertools as _itertools
+
+_ADMIT_SEQ = _itertools.count()  # per-invocation scratch suffix
+
 _CHUNKS = 4
 _WIDTH = 64 // _CHUNKS
 _MASK = (1 << _WIDTH) - 1
@@ -185,10 +189,14 @@ def q_admission_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # scratch_dir wipes at entry: each invocation (the bench re-runs
     # variants) replays the identical from-empty two-epoch sequence.
+    # The per-invocation counter suffix keeps concurrent evaluations
+    # (merged entry + dotted variant scheduled in one session) from
+    # wiping each other's index mid-replay (ADVICE r8); each dir is a
+    # few KB and the application dir is age-swept by later sessions.
     # The index itself is a not-yet-existing subdir — an existing but
     # EMPTY directory reads as UNABLE_TO_INFER_SCHEMA, not the
     # missing-path condition the first-batch rule keys on.
-    path = scratch_dir(spark, "admit_synth") + "/idx"
+    path = scratch_dir(spark, f"admit_synth_{next(_ADMIT_SEQ)}") + "/idx"
     out = []
     for epoch in (1, 2):
         batch = sigs.where(F.col("doc_id") % 2 == epoch - 1)

@@ -1006,6 +1006,10 @@ def q_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ivf_index(spark, path, queries, k=_TOP_K)
 
 
+import itertools as _itertools
+
+_SEM_ADMIT_SEQ = _itertools.count()  # per-invocation scratch suffix
+
 _SEM_ADMIT_SEED_LO = 200  # seed-corpus slice indexed before epoch 1
 _SEM_ADMIT_SEED_HI = 400
 _SEM_ADMIT_BATCH = 100  # batch slice: vec_id < this, split odd/even
@@ -1040,18 +1044,38 @@ def q_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel, the pidx pattern), then give every invocation a fresh
     # file copy inside wiped scratch — re-runs time the admission state
     # machine, not a redundant rebuild of identical seed postings
+    seed = emb.filter(
+        (F.col("vec_id") >= _SEM_ADMIT_SEED_LO)
+        & (F.col("vec_id") < _SEM_ADMIT_SEED_HI)
+    ).select("vec_id", "embedding")
+    # the sentinel carries a fingerprint of the seed SLICE (row count
+    # + order-insensitive content hash — a pushed-down 200-row scan),
+    # not just the sf_dir path: regenerated fixture data at the same
+    # path re-arms the build instead of silently serving a stale
+    # index (ADVICE r8)
+    fp_row = seed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(xxhash64(vec_id, cast(embedding as string)))"
+        ).alias("h"),
+    ).first()
+    fingerprint = f"{sf_dir}\n{fp_row['n']}\n{fp_row['h']}"
     seed_key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     seed_path = scratch_path(spark, f"sem_admit_seed_{seed_key}") + "/idx"
     done = seed_path + "/_BUILT"
-    if not os.path.exists(done):
-        seed = emb.filter(
-            (F.col("vec_id") >= _SEM_ADMIT_SEED_LO)
-            & (F.col("vec_id") < _SEM_ADMIT_SEED_HI)
-        ).select("vec_id", "embedding")
+    stamped = None
+    if os.path.exists(done):
+        with open(done) as fh:
+            stamped = fh.read()
+    if stamped != fingerprint:
+        shutil.rmtree(seed_path, ignore_errors=True)
         build_ivf_index(seed, path=seed_path, n_cells=8)
         with open(done, "w") as fh:
-            fh.write(sf_dir)
-    path = scratch_dir(spark, "sem_admit") + "/idx"
+            fh.write(fingerprint)
+    # per-invocation suffix: concurrent evaluations (merged entry +
+    # dotted variant in one session) must not wipe each other's
+    # mutating index copy (ADVICE r8)
+    path = scratch_dir(spark, f"sem_admit_{next(_SEM_ADMIT_SEQ)}") + "/idx"
     shutil.copytree(seed_path, path)
     out = []
     for epoch in (1, 2):

@@ -1130,7 +1130,8 @@ def _near_dup_pairs_sql() -> str:
     )
 
     return f"""
-WITH prof AS ({_PAIR_PROFILE_SQL})
+WITH prof AS ({_PAIR_PROFILE_SQL}
+), hbtwin AS ({hbp_synth_sql()})
 SELECT 'jaccard' AS variant, doc_a, doc_b, inter,
        CAST(na + nb - inter AS BIGINT) AS denom,
        CAST(inter AS DOUBLE) / (na + nb - inter) AS score
@@ -1143,11 +1144,12 @@ SELECT 'contain' AS variant, doc_a, doc_b, inter,
 FROM prof
 WHERE CAST(inter AS DOUBLE) / least(na, nb) >= {_CONTAIN_THRESHOLD}
 UNION ALL
-SELECT 'hbp' AS variant, * FROM ({hbp_synth_sql()})
+SELECT 'hbp' AS variant, * FROM hbtwin
 UNION ALL
 -- chunked-expansion invariance: max_bucket must not change the pair
--- set, so 'hbpc' shares the 'hbp' brute-force twin verbatim
-SELECT 'hbpc' AS variant, * FROM ({hbp_synth_sql()})
+-- set, so 'hbpc' selects the SAME hoisted brute-force twin (one
+-- named CTE, computed once per gate run — ADVICE r8)
+SELECT 'hbpc' AS variant, * FROM hbtwin
 UNION ALL
 SELECT 'hbaudit' AS variant, * FROM ({hot_band_audit_sql()})
 UNION ALL

@@ -114,21 +114,79 @@ def main() -> None:
             return sorted(samples)[len(samples) // 2]
         return min(samples)
 
+    # objective host-speed datum embedded IN the record (VERDICT r8
+    # Next #1): a uniform round-over-round move that tracks the probe
+    # ratio is host drift, not code — readable from this file alone
+    from tools.host_probe import probe_host
+
+    host_probe = {"start": probe_host(spark)}
+
     timings: dict[str, float] = {}
     for name in names:
         t = best_of(name, qs[name].fn, runs=NOISY_RUNS.get(name, 3))
         if t is not None:
             timings[name] = t
-    # the total counts only top-level entries (the driver-comparable
-    # set); dotted sub-keys time each union-tagged variant separately
-    # so merged entries stay comparable across rounds
-    total = round(sum(timings.values()), 3)
     for name in names:
         if name in timings and qs[name].variants:
             for vname, vfn in qs[name].variants.items():
                 t = best_of(f"{name}.{vname}", vfn, runs=2)
                 if t is not None:
                     timings[f"{name}.{vname}"] = t
+
+    # Outlier re-run rule (VERDICT r8 Next #1 — the r8 record carried
+    # a phantom event_windows 28.9 s that re-measured at 9.1 s): an
+    # entry whose recorded best exceeds BOTH its prior-round value x2
+    # AND its own dotted-variant sum x2 was almost certainly timed
+    # under transient load; it gets ONE fresh re-run at session end
+    # (the box has quiesced by then) and the record keeps both
+    # readings plus the min. Entries without variants or without a
+    # prior-round value are skipped (no second signal to corroborate).
+    prior: dict[str, float] = {}
+    here = Path(__file__).resolve().parent
+    for prev_name in ("BENCH_r8_local.json", "BENCH_r08.json"):
+        try:
+            prior = {
+                k: v
+                for k, v in json.loads(
+                    (here / prev_name).read_text()
+                )["queries"].items()
+                if isinstance(v, (int, float))
+            }
+            break
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+    outlier_reruns: dict[str, dict] = {}
+    for name in names:
+        if name not in timings or name not in prior:
+            continue
+        vsum = sum(
+            v
+            for k, v in timings.items()
+            if k.startswith(name + ".")
+        )
+        if vsum <= 0:
+            continue
+        initial = timings[name]
+        if initial > 2 * prior[name] and initial > 2 * vsum:
+            try:
+                t0 = time.time()
+                qs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                rerun = round(time.time() - t0, 3)
+            except Exception:  # noqa: BLE001 — keep the initial reading
+                continue
+            outlier_reruns[name] = {"initial": initial, "rerun": rerun}
+            timings[name] = min(initial, rerun)
+
+    host_probe["end"] = probe_host(spark)
+
+    # the total counts only top-level entries (the driver-comparable
+    # set); dotted sub-keys time each union-tagged variant separately
+    # so merged entries stay comparable across rounds
+    total = round(
+        sum(v for k, v in timings.items() if "." not in k), 3
+    )
 
     # Round-over-round comparability contract (VERDICT r5 #7): entry
     # totals absorb new variants every round and must never be diffed
@@ -137,35 +195,18 @@ def main() -> None:
     # in the previous round's record whose implementation did NOT
     # change this round — the judge diffs those and nothing else.
     CHANGED_THIS_ROUND = {
-        # r8: build_inverted_index writes a _BUILT sentinel last and
-        # the serve twin gates on it (ADVICE r7) — every slot that
-        # can run a build moved; pidx is flagged for the same reason
-        # (its rebuild path is exercised when /tmp was swept)
-        "tfidf_terms.bm25_index",
-        "tfidf_terms.bm25_index_build",
-        "tfidf_terms.bm25_index_serve",
-        "ann_variants.pidx",
-        # r8: target_encode_loo joins null-safely (eqNullSafe) with a
-        # singleton-input guard (ADVICE r7) — plan shape changed
-        "stats_moments.teloo",
+        # r9: q_semantic_admission's seed-index sentinel now carries a
+        # data fingerprint (ADVICE r8) — the build path re-arms when
+        # the fingerprint misses
+        "ann_variants.sem_admit",
+        # r9: 'sketch' reshaped to per-sketch verdict rows
+        "approx_sketches.sketch",
     }
     # the driver's BENCH_r{N}.json truncates the JSON into a "tail"
     # string; the builder's own BENCH_r{N}_local.json holds the full
-    # record — take whichever parses
-    prev_keys: set[str] = set()
-    here = Path(__file__).resolve().parent
-    for prev_name in ("BENCH_r7_local.json", "BENCH_r07.json"):
-        try:
-            prev_keys = {
-                k
-                for k in json.loads((here / prev_name).read_text())[
-                    "queries"
-                ]
-                if "." in k
-            }
-            break
-        except (OSError, ValueError, KeyError):
-            continue
+    # record — take whichever parses (prior already loaded above for
+    # the outlier rule; reuse it for the comparable-key set)
+    prev_keys = {k for k in prior if "." in k}
     comparable = sorted(
         (prev_keys & set(timings)) - CHANGED_THIS_ROUND
     )
@@ -176,7 +217,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": run_log,
-        "comparable_to_r7": comparable,
+        "comparable_to_r8": comparable,
+        "host_probe": host_probe,
+        "outlier_reruns": outlier_reruns,
         "sf": sf,
     }
     if errors:

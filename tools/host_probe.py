@@ -25,7 +25,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main() -> None:
+def probe_host(spark=None) -> dict:
+    """The three probe readings as a dict — importable so bench.py can
+    embed a datum directly into its JSON record (VERDICT r8 Next #1:
+    the probe readings must live IN the bench artifact, not in prose
+    next to it). Passing an existing SparkSession reuses it (the
+    bench embeds start/end probes around its own session)."""
     t0 = time.time()
     h = b"x" * 64
     for _ in range(400_000):
@@ -41,21 +46,21 @@ def main() -> None:
         a @ a
     blas_ms = round((time.time() - t0) * 1000, 1)
 
-    from accounting_etl_spark.session import get_spark
+    if spark is None:
+        from accounting_etl_spark.session import get_spark
 
-    spark = get_spark("host_probe")
+        spark = get_spark("host_probe")
     spark.range(1).count()  # warm the JVM / scheduler
     t0 = time.time()
     n_jobs = 20
     for _ in range(n_jobs):
         spark.range(1000).count()
     spark_job_ms = round((time.time() - t0) * 1000 / n_jobs, 1)
+    return {"py_ms": py_ms, "blas_ms": blas_ms, "spark_job_ms": spark_job_ms}
 
-    print(
-        json.dumps(
-            {"py_ms": py_ms, "blas_ms": blas_ms, "spark_job_ms": spark_job_ms}
-        )
-    )
+
+def main() -> None:
+    print(json.dumps(probe_host()))
 
 
 if __name__ == "__main__":

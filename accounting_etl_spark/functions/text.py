@@ -53,6 +53,17 @@ def hashed_grams(th: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
+def hex15_int(col: Column) -> Column:
+    """First 15 md5 nibbles as a nonnegative int64 (< 2^60) — the
+    engine-portable hash-to-integer idiom (a DuckDB oracle computes
+    the identical value as ``CAST('0x' || substr(md5(x),1,15) AS
+    BIGINT)``; precedent: operators/negatives.py, the synthetic
+    signature twins in queries/signatures.py). Use the xxhash64-based
+    helpers for hot paths — md5 is ~4x the cost — and this family
+    wherever a cross-engine twin must reproduce the exact values."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def chunk_starts(tokens: Column, *, size: int, step: int) -> Column:
     """1-based start offsets of sliding token chunks.
 

@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 from ..functions.checkpointing import stable_checkpoint
 from ..functions.pairs import explode_bucket_pairs
 from ..functions.spread import spread
-from ..functions.text import hashed_grams, token_hashes, tokens_ws
+from ..functions.text import (
+    hashed_grams,
+    hex15_int,
+    token_hashes,
+    tokens_ws,
+    word_shingles,
+)
 
 
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
@@ -56,11 +62,46 @@ def _minhash_sigs(
     text_col: str,
     k_shingle: int,
     num_hashes: int,
+    family: str = "fast",
 ) -> DataFrame:
     """Per-doc signature table (__id, __h0..__h{n-1}) — the shared
     front half of minhash_bands / minhash_candidates; see
-    minhash_bands for the plan rationale."""
+    minhash_bands for the plan rationale.
+
+    ``family`` selects the hash family (VERDICT r8 Next #2):
+
+    - ``"fast"`` (default): xxhash64-keyed hashed grams, each family
+      member an integer re-mix of the 64-bit gram key — the hot path.
+    - ``"portable"``: md5-nibble integers over the shingle STRING
+      (``functions.text.hex15_int``), each member md5-ing the fixed
+      32-hex gram key suffixed with the member index. ~4x the hash
+      cost but every value is reproducible in ANSI SQL, so a DuckDB
+      brute-force twin can pin the WHOLE signature construction
+      (near_dup_jaccard 'mhp'). Identical plan shape: the shingle is
+      hashed once, members re-hash the short key, one grouped
+      aggregation of ``num_hashes`` mins.
+    """
     wide = spread(df, id_col)
+    if family == "portable":
+        gs = stable_checkpoint(
+            wide.select(
+                F.col(id_col).alias("__id"),
+                word_shingles(
+                    tokens_ws(F.col(text_col)), k_shingle
+                ).alias("__gs"),
+            )
+        )
+        keyed = gs.select(
+            "__id", F.explode("__gs").alias("__sh")
+        ).select("__id", F.md5("__sh").alias("__kstr"))
+        return keyed.groupBy("__id").agg(
+            *[
+                F.min(
+                    hex15_int(F.concat(F.col("__kstr"), F.lit(f"|{h}")))
+                ).alias(f"__h{h}")
+                for h in range(num_hashes)
+            ]
+        )
     th = wide.select(
         F.col(id_col).alias("__id"),
         token_hashes(tokens_ws(F.col(text_col))).alias("__th"),
@@ -79,12 +120,25 @@ def _minhash_sigs(
     )
 
 
-def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _band_keys(
+    sig: DataFrame, num_hashes: int, bands: int, family: str = "fast"
+) -> DataFrame:
     """(__id, band, key) from a signature table — one 64-bit hash of
     each band's r signature slots (bigint shuffle key, no string
     concat); xxhash64 collisions only ADD candidates, which the
-    downstream exact verification filters."""
+    downstream exact verification filters. The "portable" family
+    md5-nibbles the '|'-joined decimal slot values instead — string
+    concat, but engine-reproducible (see _minhash_sigs)."""
     r = num_hashes // bands
+
+    def key(b: int) -> Column:
+        slots = [F.col(f"__h{b * r + i}") for i in range(r)]
+        if family == "portable":
+            return hex15_int(
+                F.concat_ws("|", *[s.cast("string") for s in slots])
+            )
+        return F.xxhash64(*slots)
+
     return (
         sig.select(
             "__id",
@@ -93,9 +147,7 @@ def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[F.col(f"__h{b * r + i}") for i in range(r)]
-                            ).alias("key"),
+                            key(b).alias("key"),
                         )
                         for b in range(bands)
                     ]
@@ -114,6 +166,7 @@ def minhash_bands(
     k_shingle: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    family: str = "fast",
 ) -> DataFrame:
     """The LSH band-key table ``(id_col, band, key)`` — ``bands`` rows
     per document; docs sharing any (band, key) are near-dup candidates.
@@ -148,8 +201,9 @@ def minhash_bands(
         text_col=text_col,
         k_shingle=k_shingle,
         num_hashes=num_hashes,
+        family=family,
     )
-    return _band_keys(sig, num_hashes, bands).withColumnRenamed(
+    return _band_keys(sig, num_hashes, bands, family).withColumnRenamed(
         "__id", id_col
     )
 
@@ -164,6 +218,7 @@ def minhash_candidates(
     bands: int = 4,
     max_bucket: int = 256,
     max_posting: int | None = 100_000,
+    family: str = "fast",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash.
 
@@ -195,6 +250,7 @@ def minhash_candidates(
             text_col=text_col,
             k_shingle=k_shingle,
             num_hashes=num_hashes,
+            family=family,
         )
     )
     hcols = [f"__h{h}" for h in range(num_hashes)]
@@ -211,7 +267,7 @@ def minhash_candidates(
     # distinct on the pair: no self-join of two exploded sides (the
     # same plan shape as the exact-Jaccard pair stage).
     postings = (
-        _band_keys(reps, num_hashes, bands)
+        _band_keys(reps, num_hashes, bands, family)
         .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("__id")).alias("ids"))
         .filter(F.size("ids") >= 2)

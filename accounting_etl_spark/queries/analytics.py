@@ -261,24 +261,122 @@ QUERIES: dict[str, Q] = {
 }
 
 
-def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'sketch' variant: approximate sketches (HLL/KLL internals are
-    engine-specific, so no cross-engine oracle; error bounds vs exact
-    are unit-tested in tests/test_sketches.py)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_cust"),
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
-        F.percentile_approx("o_totalprice", 0.9, 1000).alias("approx_p90"),
-        F.count(F.lit(1)).alias("n"),
-    ).select(
-        F.lit("sketch").alias("variant"),
-        F.col("o_orderpriority").alias("grp"),
-        F.col("n").cast("bigint").alias("n"),
-        F.col("approx_cust").cast("double").alias("v1"),
-        F.col("approx_median").cast("double").alias("v2"),
-        F.col("approx_p90").cast("double").alias("v3"),
+_SKETCH_ACCURACY = 1000  # percentile_approx → rank error ε = n/1000
+_HLL_RSD = 0.05  # approx_count_distinct default relative std dev
+
+
+def _quantile_rank_profile(orders: DataFrame) -> DataFrame:
+    """Per-priority sketch estimates + the exact rank profile of each
+    estimate: (n, e50, e90, lt50, le50, lt90, le90) where lt/le count
+    rows strictly below / at-or-below the estimate. The estimate table
+    is a 5-row broadcast back onto orders, so the exact side is one
+    extra map-side-combined aggregation — no sort, no collect; the
+    shape survives 100 TB. Feeds both the rows-only verdict rows
+    ('sketch') and the oracle-paired guarantee check ('qv')."""
+    est = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx(
+            "o_totalprice", 0.5, _SKETCH_ACCURACY
+        ).alias("e50"),
+        F.percentile_approx(
+            "o_totalprice", 0.9, _SKETCH_ACCURACY
+        ).alias("e90"),
     )
+    return (
+        orders.select("o_orderpriority", "o_totalprice")
+        .join(F.broadcast(est), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("e50").alias("e50"),
+            F.first("e90").alias("e90"),
+            F.sum(
+                (F.col("o_totalprice") < F.col("e50")).cast("bigint")
+            ).alias("lt50"),
+            F.sum(
+                (F.col("o_totalprice") <= F.col("e50")).cast("bigint")
+            ).alias("le50"),
+            F.sum(
+                (F.col("o_totalprice") < F.col("e90")).cast("bigint")
+            ).alias("lt90"),
+            F.sum(
+                (F.col("o_totalprice") <= F.col("e90")).cast("bigint")
+            ).alias("le90"),
+        )
+    )
+
+
+def _rank_window(permille: int):
+    """Allowed-rank window for a GK estimate at quantile q =
+    permille/1000 with ε = 1/_SKETCH_ACCURACY, in pure integer math
+    (identical in Spark and DuckDB): lo = floor((q-ε)n)-1,
+    hi = ceil((q+ε)n)+1 — the ±1 pads absorb rank-convention
+    (ties/off-by-one) differences, never a real guarantee violation."""
+    lo = F.expr(f"({permille - 1} * n) div 1000 - 1")
+    hi = F.expr(f"({permille + 1} * n + 999) div 1000 + 1")
+    return lo, hi
+
+
+def _quantile_verdict(lt, le, permille: int):
+    """1.0 when the estimate's feasible rank interval [lt+1, le]
+    overlaps the allowed window — the deterministic Greenwald-Khanna
+    guarantee, which percentile_approx must always satisfy."""
+    lo, hi = _rank_window(permille)
+    return (
+        ((lt + F.lit(1) <= hi) & (le >= lo)).cast("double")
+    )
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'sketch' variant — VERDICT-CHECKED sketch rows (VERDICT r8
+    Next #4): one row per (priority, sketch) in long form instead of
+    raw estimates. grp suffix names the sketch; v3 is the verdict.
+
+    - ``|cust`` (HLL): v1 = exact distinct custkeys, v2 = the
+      approx_count_distinct estimate, v3 = 1.0 when the relative
+      error is within 3×rsd (0.15 — a 3σ check; HLL's bound is
+      probabilistic, so this row stays rows-only).
+    - ``|p50`` / ``|p90`` (GK percentile_approx): v1 = the estimate's
+      exact lower feasible rank (count below + 1), v2 = the estimate,
+      v3 = 1.0 when the feasible rank interval overlaps the allowed
+      window (q±ε)·n±1 — a DETERMINISTIC guarantee, which the
+      oracle-paired stats_moments 'qv' variant additionally pins
+      cross-engine.
+
+    The estimate internals stay engine-specific (no oracle for this
+    entry), but every row now carries its own exact-side audit;
+    tests/test_sketches.py asserts all verdicts hold."""
+    orders = load_table(spark, sf_dir, "orders")
+    prof = _quantile_rank_profile(orders)
+    cd = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("acd"),
+        F.countDistinct("o_custkey").alias("xcd"),
+    )
+    j = prof.join(cd, "o_orderpriority")
+    cust = j.select(
+        F.lit("sketch").alias("variant"),
+        F.concat(F.col("o_orderpriority"), F.lit("|cust")).alias("grp"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("xcd").cast("double").alias("v1"),
+        F.col("acd").cast("double").alias("v2"),
+        (
+            F.abs(F.col("acd") - F.col("xcd"))
+            <= F.lit(3 * _HLL_RSD) * F.col("xcd")
+        ).cast("double").alias("v3"),
+    )
+
+    def qrow(permille: int, lt: str, le: str, label: str, est: str):
+        return j.select(
+            F.lit("sketch").alias("variant"),
+            F.concat(F.col("o_orderpriority"), F.lit(label)).alias("grp"),
+            F.col("n").cast("bigint").alias("n"),
+            (F.col(lt) + F.lit(1)).cast("double").alias("v1"),
+            F.col(est).cast("double").alias("v2"),
+            _quantile_verdict(F.col(lt), F.col(le), permille).alias("v3"),
+        )
+
+    return cust.unionByName(
+        qrow(500, "lt50", "le50", "|p50", "e50")
+    ).unionByName(qrow(900, "lt90", "le90", "|p90", "e90"))
 
 
 _BPE_TOP_WORDS = 300
@@ -908,6 +1006,7 @@ def q_moments_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_chi_square(spark, sf_dir))
         .unionByName(q_kanon_stats(spark, sf_dir))
         .unionByName(q_target_encode(spark, sf_dir))
+        .unionByName(q_quantile_guarantee(spark, sf_dir))
     )
 
 
@@ -2522,6 +2621,57 @@ FROM e GROUP BY o_orderpriority
 """
 
 
+def q_quantile_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'qv' variant — the GK sketch guarantee as an ORACLE-PAIRED
+    verdict (VERDICT r8 Next #4): per (o_orderpriority, quantile),
+    emit only engine-portable values — n, the allowed rank window
+    (pure integer math from n), and the verdict that Spark's
+    percentile_approx estimate's feasible rank falls inside it. The
+    estimate itself never appears in the output, so DuckDB's twin
+    computes the identical rows with the verdict as the literal 1 the
+    deterministic Greenwald-Khanna bound promises — if Spark's sketch
+    ever violated its guarantee, the verdict flips to 0 and the
+    value-hash catches it. grp = priority|p50 / priority|p90; v1/v2 =
+    allowed rank window lo/hi, v3 = verdict, v4 = NULL."""
+    orders = load_table(spark, sf_dir, "orders")
+    j = _quantile_rank_profile(orders)
+
+    def row(permille: int, lt: str, le: str, label: str):
+        lo, hi = _rank_window(permille)
+        return j.select(
+            F.lit("qv").alias("variant"),
+            F.concat(F.col("o_orderpriority"), F.lit(label)).alias("grp"),
+            F.col("n").cast("bigint").alias("n"),
+            lo.cast("double").alias("v1"),
+            hi.cast("double").alias("v2"),
+            _quantile_verdict(F.col(lt), F.col(le), permille).alias("v3"),
+            F.lit(None).cast("double").alias("v4"),
+        )
+
+    return row(500, "lt50", "le50", "|p50").unionByName(
+        row(900, "lt90", "le90", "|p90")
+    )
+
+
+_QV_SQL = """
+WITH qvn AS (
+  SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
+), qvq AS (
+  SELECT o_orderpriority, n, 500 AS pm FROM qvn
+  UNION ALL
+  SELECT o_orderpriority, n, 900 AS pm FROM qvn
+)
+SELECT 'qv' AS variant,
+       o_orderpriority || '|p' || CAST(pm // 10 AS VARCHAR) AS grp,
+       CAST(n AS BIGINT) AS n,
+       CAST(((pm - 1) * n) // 1000 - 1 AS DOUBLE) AS v1,
+       CAST(((pm + 1) * n + 999) // 1000 + 1 AS DOUBLE) AS v2,
+       CAST(1 AS DOUBLE) AS v3,
+       CAST(NULL AS DOUBLE) AS v4
+FROM qvq
+"""
+
+
 _MOMENTS_MERGED_SQL = f"""
 SELECT 'moments' AS variant, l_returnflag AS grp, CAST(n AS BIGINT) AS n,
        CAST(var_qty AS DOUBLE) AS v1, CAST(std_qty AS DOUBLE) AS v2,
@@ -2536,6 +2686,8 @@ UNION ALL
 SELECT * FROM ({_KANON_SQL})
 UNION ALL
 SELECT * FROM ({_TELOO_SQL})
+UNION ALL
+SELECT * FROM ({_QV_SQL})
 """
 
 QUERIES["stats_moments"] = Q(
@@ -2547,6 +2699,7 @@ QUERIES["stats_moments"] = Q(
         "chi2": q_chi_square,
         "kanon": q_kanon_stats,
         "teloo": q_target_encode,
+        "qv": q_quantile_guarantee,
     },
 )
 QUERIES["salted_agg"] = Q(

@@ -314,13 +314,113 @@ def q_near_dup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import itertools as _itertools
+
+_CRAWL_SEQ = _itertools.count()  # per-invocation scratch suffix
+_CRAWL_PARTS = 4  # archives per epoch (one .warc.gz per partition)
+
+
+def q_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'crawl' variant: the streaming crawl-ingestion state machine
+    (streaming/crawl.py) replayed as a deterministic two-epoch batch
+    sequence (VERDICT r8 Next #3 — the 'admit' pattern). Documents
+    are templated into HTML, archived as real WARC/1.0 gzip files,
+    then epoch 1 (even doc_ids) and epoch 2 (odd doc_ids) run the
+    REAL ``crawl_admission_batch``: WARC parse → main-text extraction
+    → left-anti admission against the prior epochs' content-hash
+    index → min-doc_id within-epoch collapse → epoch-dir landing +
+    index growth. Scratch is wiped per invocation (counter-suffixed,
+    the admit-synth discipline), so every run replays from empty.
+
+    The fixture corpus has no exact duplicates, so the crawl clones
+    content deterministically by doc_id decade slice (m = doc_id%10):
+    m=8 docs carry m=2's text (a WITHIN-epoch-1 dup → min-id
+    collapse), m=7 docs carry m=0's (a CROSS-epoch dup → epoch 2's
+    left-anti rejection against the persisted index), m=9 docs carry
+    m=1's (within-epoch-2 collapse) — every admission path lands (or
+    deterministically doesn't land) driver rows. Rows-only by design
+    (filesystem side effects). Columns: id_a = admitted doc_id,
+    id_b = md5-nibble int64 of the landed content_hash (pins
+    extraction + normalization byte-for-byte), hamming = epoch."""
+    from ..session import scratch_dir
+    from ..sources.warc import write_warc_files
+    from ..streaming.crawl import crawl_admission_batch
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 10
+    src = (
+        F.when(m == 7, F.col("doc_id") - 7)
+        .when(m == 8, F.col("doc_id") - 6)
+        .when(m == 9, F.col("doc_id") - 8)
+        .otherwise(F.col("doc_id"))
+    )
+    docs = (
+        raw.select("doc_id", "text", src.alias("__src"))
+        .join(
+            raw.select(
+                F.col("doc_id").alias("__src"),
+                F.col("text").alias("__src_text"),
+            ),
+            "__src",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("__src_text", "text").alias("text"),
+        )
+    )
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    base = scratch_dir(spark, f"crawl_admit_{next(_CRAWL_SEQ)}")
+    out = []
+    for epoch in (1, 2):
+        pages = docs.where(F.col("doc_id") % 2 == epoch - 1).select(
+            "doc_id",
+            F.concat(
+                F.lit("http://c.example/d/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("<html><head><title>d"),
+                F.col("doc_id").cast("string"),
+                F.lit("</title></head><body><p>"),
+                esc,
+                F.lit("</p></body></html>"),
+            ).alias("html"),
+        ).repartition(_CRAWL_PARTS)
+        man = write_warc_files(pages, f"{base}/arc{epoch}").collect()
+        admitted = crawl_admission_batch(
+            spark,
+            [r["file"] for r in man],
+            out_dir=f"{base}/out",
+            idx_dir=f"{base}/idx",
+            epoch_id=epoch,
+        )
+        out.append(
+            admitted.select(
+                F.col("doc_id").alias("id_a"),
+                F.conv(F.substring("content_hash", 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("id_b"),
+                F.lit(epoch).cast("int").alias("hamming"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
 def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH + SimHash + perceptual-image-hash +
     acoustic-fingerprint + video-clip-fingerprint candidate
     generators in one union-tagged entry (driver cap: the correctness
     gate records at most 50 registry entries). variant 'minhash' has
     no distance column; 'simhash'/'image'/'audio'/'video' carry the
-    Hamming distance. All banded equi-joins with identical-signature
+    Hamming distance; 'crawl' is the two-epoch crawl-admission replay
+    (id_b = content-hash int, hamming = epoch). All banded equi-joins with identical-signature
     collapse and a hot-band cap — no all-pairs stage and no
     degenerate-mass blowup (operators/dedup.py, image_hash.py,
     audio_hash.py)."""
@@ -360,12 +460,19 @@ def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("hamming").cast("int").alias("hamming"),
     )
+    cr = q_crawl_admission(spark, sf_dir).select(
+        F.lit("crawl").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    )
     return (
         mh.unionByName(sh)
         .unionByName(im)
         .unionByName(au)
         .unionByName(vi)
         .unionByName(inc)
+        .unionByName(cr)
     )
 
 
@@ -382,6 +489,7 @@ QUERIES: dict[str, Q] = {
             "audio": q_near_dup_audio,
             "video": q_near_dup_video,
             "incr": q_near_dup_incr,
+            "crawl": q_crawl_admission,
         },
     ),
 }

@@ -221,6 +221,123 @@ def q_admission_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionByName(out[1])
 
 
+# --- Portable MinHash-LSH (real text, engine-portable hash family) ----
+#
+# The last scale-critical dedup plan outside the hash line (VERDICT r8
+# Next #2): minhash_candidates' signature CONSTRUCTION used xxhash64
+# permutations DuckDB cannot replicate. family="portable" swaps in the
+# md5-nibble integer idiom end to end — shingle key, the num_hashes
+# member mins, the band keys — so the REAL operator runs over the real
+# ``documents`` text and a DuckDB brute-force twin reproduces every
+# value: signature construction AND banding AND the star collapse /
+# posting cap / chunked pair expansion are all in the hash now.
+
+_MH_K = 3  # word-shingle width (matches the exact-Jaccard baseline)
+_MH_NUM_HASHES = 4
+_MH_BANDS = 4  # r = 1 row/band: the high-recall banding, so the sf
+# fixtures produce postings of up to 5 members — the cap and the
+# chunked pair expansion both ENGAGE on real data (measured at
+# sf0.01: bucket sizes {1: 1299, 2: 234, 3: 41, 4: 4, 5: 2})
+_MH_MAX_POSTING = 4  # the two 5-member postings are skipped (cap path)
+_MH_MAX_BUCKET = 3  # 4-member postings go through chunk-pair rows
+
+
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'mhp' variant: the REAL :func:`~..operators.dedup.
+    minhash_candidates` (shingle → per-member min → identical-signature
+    star collapse → banded postings → posting cap → chunked pair
+    expansion) with ``family="portable"`` over ``documents`` text.
+    Columns: doc_a/doc_b = candidate pair; inter/denom/score NULL
+    (candidate generation has no distance — verification is the
+    'jaccard' variant's job)."""
+    from ..operators.dedup import minhash_candidates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_candidates(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        k_shingle=_MH_K,
+        num_hashes=_MH_NUM_HASHES,
+        bands=_MH_BANDS,
+        max_bucket=_MH_MAX_BUCKET,
+        max_posting=_MH_MAX_POSTING,
+        family="portable",
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.lit(None).cast("bigint").alias("inter"),
+        F.lit(None).cast("bigint").alias("denom"),
+        F.lit(None).cast("double").alias("score"),
+    )
+
+
+def minhash_portable_sql() -> str:
+    """Brute-force DuckDB twin of the portable-family
+    minhash_candidates: same shingles, same md5-nibble member mins,
+    same '|'-joined band keys, min-id star collapse, posting count in
+    [2, cap], all C(n,2) bucket pairs deduped. ``max_bucket`` must
+    never change the pair set, so the twin has no chunking stage."""
+    r = _MH_NUM_HASHES // _MH_BANDS
+    hcols = ", ".join(f"h{h}" for h in range(_MH_NUM_HASHES))
+    mins = ",\n         ".join(
+        "min(CAST(('0x' || substr(md5(kstr || '|" + str(h) + "'), 1, 15))"
+        f" AS BIGINT)) AS h{h}"
+        for h in range(_MH_NUM_HASHES)
+    )
+
+    def band_select(b: int) -> str:
+        slots = " || '|' || ".join(
+            f"CAST(h{b * r + i} AS VARCHAR)" for i in range(r)
+        )
+        return (
+            f"SELECT id, {b} AS band, CAST(('0x' || "
+            f"substr(md5({slots}), 1, 15)) AS BIGINT) AS key FROM mhreps"
+        )
+
+    bands = "\n  UNION ALL ".join(band_select(b) for b in range(_MH_BANDS))
+    return f"""
+WITH mhtok AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+), mhsh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {_MH_K - 2}),
+                               i -> array_to_string(t[i:i+{_MH_K - 1}], ' ')))
+           AS sh
+  FROM mhtok WHERE len(t) >= {_MH_K}
+), mhkey AS (
+  SELECT doc_id, md5(sh) AS kstr FROM mhsh
+), mhsig AS (
+  SELECT doc_id, {mins}
+  FROM mhkey GROUP BY doc_id
+), mhrep AS (
+  SELECT doc_id, {hcols},
+         min(doc_id) OVER (PARTITION BY {hcols}) AS rep
+  FROM mhsig
+), mhzero AS (
+  SELECT rep AS id_a, doc_id AS id_b FROM mhrep WHERE doc_id != rep
+), mhreps AS (
+  SELECT doc_id AS id, {hcols} FROM mhrep WHERE doc_id = rep
+), mhband AS (
+  {bands}
+), mhgood AS (
+  SELECT band, key FROM (
+    SELECT band, key, count(*) AS n FROM mhband GROUP BY 1, 2
+  ) WHERE n BETWEEN 2 AND {_MH_MAX_POSTING}
+), mhcand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM mhband a
+  JOIN mhband b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+  JOIN mhgood g ON g.band = a.band AND g.key = a.key
+)
+SELECT id_a AS doc_a, id_b AS doc_b,
+       CAST(NULL AS BIGINT) AS inter,
+       CAST(NULL AS BIGINT) AS denom, CAST(NULL AS DOUBLE) AS score
+FROM (SELECT * FROM mhzero UNION ALL SELECT * FROM mhcand)
+"""
+
+
 # --- DuckDB oracle SQL -------------------------------------------------
 #
 # All CTEs are hb-prefixed to compose into the near_dup_jaccard union

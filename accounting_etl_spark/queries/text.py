@@ -1046,6 +1046,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_hbp_chunked_synth,
         q_hbp_synth,
         q_hot_band_audit_synth,
+        q_minhash_portable,
     )
 
     def _tag(name: str, df: DataFrame) -> DataFrame:
@@ -1063,6 +1064,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_tag("hbpc", q_hbp_chunked_synth(spark, sf_dir)))
         .unionByName(_tag("hbaudit", q_hot_band_audit_synth(spark, sf_dir)))
         .unionByName(_tag("admit", q_admission_synth(spark, sf_dir)))
+        .unionByName(_tag("mhp", q_minhash_portable(spark, sf_dir)))
     )
 
 
@@ -1127,6 +1129,7 @@ def _near_dup_pairs_sql() -> str:
         admission_synth_sql,
         hbp_synth_sql,
         hot_band_audit_sql,
+        minhash_portable_sql,
     )
 
     return f"""
@@ -1154,6 +1157,8 @@ UNION ALL
 SELECT 'hbaudit' AS variant, * FROM ({hot_band_audit_sql()})
 UNION ALL
 SELECT 'admit' AS variant, * FROM ({admission_synth_sql()})
+UNION ALL
+SELECT 'mhp' AS variant, * FROM ({minhash_portable_sql()})
 """
 
 
@@ -1181,6 +1186,7 @@ QUERIES: dict[str, Q] = {
             "hbpc": _sig_queries.q_hbp_chunked_synth,
             "hbaudit": _sig_queries.q_hot_band_audit_synth,
             "admit": _sig_queries.q_admission_synth,
+            "mhp": _sig_queries.q_minhash_portable,
         },
     ),
 }

@@ -62,6 +62,77 @@ def stream_manifests(spark: SparkSession, manifest_dir: str) -> DataFrame:
     return spark.readStream.schema(MANIFEST_SCHEMA).json(manifest_dir)
 
 
+def crawl_admission_batch(
+    spark: SparkSession,
+    files: list[str],
+    *,
+    out_dir: str,
+    idx_dir: str,
+    epoch_id: int,
+    max_link_density: tuple[int, int] = (1, 2),
+) -> Optional[DataFrame]:
+    """ONE epoch of crawl admission as a pure batch function — the
+    ``foreachBatch`` body of :func:`crawl_ingest`, factored out so the
+    driver registry can replay the state machine deterministically
+    (VERDICT r8 Next #3, the perceptual-admission 'admit' pattern):
+    parse the named archives, extract main text, admission-filter
+    against every OTHER epoch's persisted content-hash index, land
+    ``out_dir/epoch=<id>`` + grow ``idx_dir/epoch=<id>`` (both
+    overwrite — at-least-once replays rewrite the same paths), and
+    return the admitted rows read back FROM the landed files (so the
+    caller sees exactly what durably exists). None when no archive
+    named by ``files`` exists."""
+    from ..operators.html_extract import extract_html
+    from ..sources.warc import read_warc
+
+    files = [f for f in files if f and os.path.exists(f)]
+    if not files:
+        return None
+    recs = read_warc(spark, files).select(
+        F.regexp_extract("record_id", r"doc-(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "target_uri",
+        F.col("payload").cast("string").alias("html"),
+    )
+    ex = extract_html(
+        recs,
+        html_col="html",
+        base_col="target_uri",
+        max_link_density=max_link_density,
+    ).withColumn("content_hash", F.md5(normalize_text(F.col("text"))))
+    # corpus admission: content already in the index never lands;
+    # within-epoch repeats collapse to the min doc_id
+    # replay safety: a re-run epoch must NOT see its own partial
+    # index write from the failed attempt, or it would reject its
+    # whole batch — admission reads every epoch directory but the
+    # current one
+    index_dirs = [
+        d
+        for d in _glob.glob(os.path.join(idx_dir, "epoch=*"))
+        if not d.endswith(f"epoch={epoch_id}")
+    ]
+    if index_dirs:
+        idx = spark.read.parquet(*index_dirs).select("content_hash")
+        fresh = ex.join(idx, "content_hash", "left_anti")
+    else:
+        fresh = ex
+    w = Window.partitionBy("content_hash")
+    admitted = (
+        fresh.withColumn("__keep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    # replay-guarded epoch writes: same epoch → same paths, overwrite
+    admitted.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"epoch={epoch_id}")
+    )
+    admitted.select("content_hash").distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(idx_dir, f"epoch={epoch_id}"))
+    return spark.read.parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+
+
 def crawl_ingest(
     spark: SparkSession,
     manifest_dir: str,
@@ -73,7 +144,8 @@ def crawl_ingest(
 ):
     """``foreachBatch`` writer: archives named by new manifests are
     parsed, extracted, admission-filtered against the persisted
-    content-hash index, and appended under ``out_dir/epoch=<id>``.
+    content-hash index, and appended under ``out_dir/epoch=<id>``
+    (the per-epoch work is :func:`crawl_admission_batch`).
 
     Returns the ``DataStreamWriter``; caller sets trigger/checkpoint
     and starts. The per-epoch collect is of MANIFEST rows only
@@ -82,61 +154,21 @@ def crawl_ingest(
     queries should periodically fold old epochs together with
     ``operators/layout.compact`` (file-count maintenance, exactly the
     persisted-ANN-index pattern)."""
-    from ..operators.html_extract import extract_html
-    from ..sources.warc import read_warc
-
     idx_dir = index_dir or os.path.join(out_dir, "_content_index")
     os.makedirs(idx_dir, exist_ok=True)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         files = [r["file"] for r in batch.select("file").collect()]
-        files = [f for f in files if f and os.path.exists(f)]
-        if not files:
-            return
-        recs = read_warc(spark, files).select(
-            F.regexp_extract("record_id", r"doc-(\d+)", 1)
-            .cast("bigint")
-            .alias("doc_id"),
-            "target_uri",
-            F.col("payload").cast("string").alias("html"),
-        )
-        ex = extract_html(
-            recs,
-            html_col="html",
-            base_col="target_uri",
+        landed = crawl_admission_batch(
+            spark,
+            files,
+            out_dir=out_dir,
+            idx_dir=idx_dir,
+            epoch_id=epoch_id,
             max_link_density=max_link_density,
-        ).withColumn("content_hash", F.md5(normalize_text(F.col("text"))))
-        # corpus admission: content already in the index never lands;
-        # within-epoch repeats collapse to the min doc_id
-        # replay safety: a re-run epoch must NOT see its own partial
-        # index write from the failed attempt, or it would reject its
-        # whole batch — admission reads every epoch directory but the
-        # current one
-        index_dirs = [
-            d
-            for d in _glob.glob(os.path.join(idx_dir, "epoch=*"))
-            if not d.endswith(f"epoch={epoch_id}")
-        ]
-        if index_dirs:
-            idx = spark.read.parquet(*index_dirs).select("content_hash")
-            fresh = ex.join(idx, "content_hash", "left_anti")
-        else:
-            fresh = ex
-        w = Window.partitionBy("content_hash")
-        admitted = (
-            fresh.withColumn("__keep", F.min("doc_id").over(w))
-            .where(F.col("doc_id") == F.col("__keep"))
-            .drop("__keep")
         )
-        # replay-guarded epoch writes: same epoch → same paths, overwrite
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"epoch={epoch_id}")
-        )
-        admitted.select("content_hash").distinct().write.mode(
-            "overwrite"
-        ).parquet(os.path.join(idx_dir, f"epoch={epoch_id}"))
-        if sink is not None:
-            sink(spark.read.parquet(os.path.join(out_dir, f"epoch={epoch_id}")), epoch_id)
+        if landed is not None and sink is not None:
+            sink(landed, epoch_id)
 
     return stream_manifests(spark, manifest_dir).writeStream.foreachBatch(
         process

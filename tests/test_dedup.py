@@ -358,3 +358,47 @@ def test_lsh_params_rejects_non_dividing_candidate_bands():
         lsh_params(0.5, num_hashes=128, candidates=(7,))
     # dividing candidates still work
     assert lsh_params(0.5, num_hashes=128, candidates=(8, 16))["bands"] in (8, 16)
+
+
+def test_minhash_portable_family_star_and_candidates(spark):
+    """family="portable" (md5-nibble hash family, the mhp oracle twin)
+    must behave like a MinHash: identical texts collapse to a star
+    pair, disjoint-vocabulary texts never pair, and the chunked
+    expansion never changes the pair set."""
+    from accounting_etl_spark.operators.dedup import minhash_candidates
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta " * 4),
+         (2, "alpha beta gamma delta epsilon zeta " * 4),
+         (7, "alpha beta gamma delta epsilon zeta " * 4),
+         (3, "one two three four five six seven eight " * 4)],
+        "id bigint, text string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates(
+            df, id_col="id", text_col="text", num_hashes=4, family="portable"
+        ).collect()
+    }
+    # identical shingle sets → identical signatures → min-id star
+    assert (1, 2) in got and (1, 7) in got
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_portable_chunk_invariance(spark):
+    """max_bucket must not change the portable family's pair set (the
+    same invariance the 'hbpc' oracle pins for Hamming banding)."""
+    from accounting_etl_spark.operators.dedup import minhash_candidates
+    from accounting_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kw = dict(
+        id_col="doc_id", text_col="text", num_hashes=4, bands=4,
+        max_posting=4, family="portable",
+    )
+    local = minhash_candidates(docs, max_bucket=10**9, **kw)
+    chunked = minhash_candidates(docs, max_bucket=1, **kw)
+    a = {(r.id_a, r.id_b) for r in local.collect()}
+    b = {(r.id_a, r.id_b) for r in chunked.collect()}
+    assert a == b
+    assert a, "fixture produced no portable-family candidates"

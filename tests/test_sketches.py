@@ -1,38 +1,43 @@
-"""Approximate sketches vs exact: relative-error bounds."""
+"""Approximate sketches vs exact: verdict rows and error bounds."""
 
 from __future__ import annotations
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
-def test_sketch_error_bounds(spark):
-    from accounting_etl_spark.queries.analytics import (
-        q_approx_sketches,
-        q_percentiles,
-    )
+def test_sketch_verdict_rows_all_pass(spark):
+    """The reshaped 'sketch' variant emits one verdict row per
+    (priority, sketch): |cust = HLL vs exact distinct within 3×rsd,
+    |p50 / |p90 = the GK feasible-rank window check. Every verdict
+    must hold on the fixtures — the rows-only entry now audits
+    itself (VERDICT r8 Next #4)."""
+    from accounting_etl_spark.queries.analytics import q_approx_sketches
 
-    # the sketches entry is union-tagged (variant, grp, n, v1..v3);
-    # the 'sketch' variant carries (approx_cust, approx_median,
-    # approx_p90) as (v1, v2, v3) keyed by o_orderpriority in grp
-    approx = (
-        q_approx_sketches(spark, SF_ORACLE).toPandas().set_index("grp")
-    )
-    assert (approx["variant"] == "sketch").all()
-    exact = (
-        q_percentiles(spark, SF_ORACLE).toPandas().set_index("o_orderpriority")
-    )
-    for prio in exact.index:
-        # v1 counts DISTINCT customers <= n orders; compare medians
-        # instead for the quantile sketch
-        assert approx.loc[prio, "v1"] > 0
-        med_rel = abs(
-            approx.loc[prio, "v2"] - exact.loc[prio, "median_price"]
-        ) / exact.loc[prio, "median_price"]
-        p90_rel = abs(
-            approx.loc[prio, "v3"] - exact.loc[prio, "p90_price"]
-        ) / exact.loc[prio, "p90_price"]
-        assert med_rel < 0.05, f"{prio}: median off {med_rel:.3f}"
-        assert p90_rel < 0.05, f"{prio}: p90 off {p90_rel:.3f}"
+    for sf in (SF_SMOKE, SF_ORACLE):
+        pdf = q_approx_sketches(spark, sf).toPandas()
+        assert (pdf["variant"] == "sketch").all()
+        suffixes = {g.split("|")[1] for g in pdf["grp"]}
+        assert suffixes == {"cust", "p50", "p90"}
+        bad = pdf[pdf["v3"] != 1.0]
+        assert bad.empty, f"verdict failures at {sf}: {bad.to_dict('records')}"
+        # the quantile rows' v1 is the estimate's exact lower feasible
+        # rank — positive and at most n by construction
+        q = pdf[pdf["grp"].str.contains(r"\|p")]
+        assert ((q["v1"] >= 1) & (q["v1"] <= q["n"])).all()
+
+
+def test_quantile_guarantee_verdict_matches_rank_math(spark):
+    """'qv' (the oracle-paired twin): window bounds are pure integer
+    math from n, and the verdict is 1 everywhere — percentile_approx
+    satisfying its deterministic Greenwald-Khanna bound."""
+    from accounting_etl_spark.queries.analytics import q_quantile_guarantee
+
+    pdf = q_quantile_guarantee(spark, SF_ORACLE).toPandas()
+    assert (pdf["v3"] == 1.0).all()
+    for r in pdf.itertuples():
+        pm = 500 if r.grp.endswith("|p50") else 900
+        assert r.v1 == (pm - 1) * r.n // 1000 - 1
+        assert r.v2 == ((pm + 1) * r.n + 999) // 1000 + 1
 
 
 def test_hll_close_to_exact_distinct(spark):

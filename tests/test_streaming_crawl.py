@@ -128,3 +128,36 @@ def test_manifest_roundtrip(tmp_path):
 
     rows = [json.loads(l) for l in open(p)]
     assert rows == [{"file": "f1.warc.gz", "n_records": 3, "n_bytes": 100}]
+
+
+def test_crawl_admission_driver_variant(spark):
+    """The 'crawl' registry variant replays the two-epoch admission
+    deterministically: planted decade-slice clones (m=8→2 within
+    epoch 1, m=9→1 within epoch 2) collapse to their min doc_id, the
+    cross-epoch clones (m=7→0) are rejected by the index probe, and
+    everything else is admitted exactly once."""
+    from tests.conftest import SF_SMOKE
+
+    from accounting_etl_spark.queries.multimodal import q_crawl_admission
+
+    rows = q_crawl_admission(spark, SF_SMOKE).collect()
+    by_epoch = {1: set(), 2: set()}
+    hashes = {}
+    for r in rows:
+        by_epoch[r["hamming"]].add(r["id_a"])
+        hashes[r["id_a"]] = r["id_b"]
+    admitted = by_epoch[1] | by_epoch[2]
+    # each planted clone class is absent; its source doc is present
+    assert not any(i % 10 in (7, 8, 9) for i in admitted)
+    assert all(i in by_epoch[1] for i in admitted if i % 10 == 0)
+    # clone source and clone share a content hash by construction, so
+    # the admitted m=2 docs carry the same id_b their m=8 twins had —
+    # verify content hashing by checking uniqueness: every admitted
+    # hash is distinct (one survivor per content family)
+    assert len(set(hashes.values())) == len(hashes)
+    # determinism: a second replay (fresh scratch) lands the same rows
+    again = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in q_crawl_admission(spark, SF_SMOKE).collect()
+    }
+    assert again == {(r["id_a"], r["id_b"], r["hamming"]) for r in rows}

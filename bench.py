@@ -196,9 +196,9 @@ def main() -> None:
     # change this round — the judge diffs those and nothing else.
     CHANGED_THIS_ROUND = {
         # r9: q_semantic_admission's seed-index sentinel now carries a
-        # data fingerprint (ADVICE r8) — the build path re-arms when
-        # the fingerprint misses
-        "ann_variants.sem_admit",
+        # data fingerprint (ADVICE r8) — a 200-row scan per call and
+        # the build path re-arms when the fingerprint misses
+        "ann_variants.admit",
         # r9: 'sketch' reshaped to per-sketch verdict rows
         "approx_sketches.sketch",
     }

@@ -62,6 +62,14 @@ def main() -> None:
     degenerate = "--degenerate" in sys.argv[4:]
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # a 1000-replica build (the third-decade control) nests the UNION
+    # ALL past DuckDB's default parser depth
+    con.sql("SET max_expression_depth TO 25000")
+    # COPY preserves insertion order by default, which buffers the
+    # ENTIRE union in RAM before writing (observed ~96 GB on the
+    # 600M-row lineitem build). Replica order is meaningless here —
+    # stream instead.
+    con.sql("SET preserve_insertion_order = false")
     for t in COPY_ONCE:
         con.sql(
             f"COPY (SELECT * FROM '{src}/{t}.parquet') "
@@ -69,6 +77,13 @@ def main() -> None:
         )
         print(f"{t}: copied")
     for t, keys in KEYED.items():
+        # resume support for the multi-hour large builds: COPY goes to
+        # a .tmp name and renames on completion, so an existing
+        # destination file is always a COMPLETED table
+        dst_file = f"{dst}/{t}.parquet"
+        if os.path.exists(dst_file) and os.path.getsize(dst_file) > 0:
+            print(f"{t}: exists, skipped")
+            continue
         cols = [
             (r[0], r[1])
             for r in con.sql(
@@ -119,9 +134,10 @@ def main() -> None:
             selects.append(f"SELECT {proj} FROM '{src}/{t}.parquet'")
         union = " UNION ALL ".join(selects)
         con.sql(
-            f"COPY ({union}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY ({union}) TO '{dst_file}.tmp' (FORMAT PARQUET)"
         )
-        cnt = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+        os.replace(f"{dst_file}.tmp", dst_file)
+        cnt = con.sql(f"SELECT count(*) FROM '{dst_file}'").fetchone()[0]
         print(f"{t}: {cnt} rows")
 
 

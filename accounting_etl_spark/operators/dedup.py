@@ -289,7 +289,7 @@ def minhash_candidates(
     return zero.unionByName(cross)
 
 
-def simhash64(tokens: Column) -> Column:
+def simhash64(tokens: Column, family: str = "fast") -> Column:
     """63-bit SimHash of a token array (bit 63 unused — sign safety).
 
     Array-native majority vote: bit j is set when more than half the
@@ -299,13 +299,24 @@ def simhash64(tokens: Column) -> Column:
     fold assembles the signature — two aggregate subtrees total
     instead of 63 (the same codegen-bloat fix as the ANN shared
     sign-bit tree). ``pow(2, j)`` is exact in double for j <= 62.
+
+    ``family="portable"`` swaps the token hash for the md5-nibble
+    integer (60 meaningful bits — hex15_int < 2^60) so a DuckDB twin
+    reproduces the signature bit-for-bit (the 'shp' oracle variant);
+    same fold, same majority rule, 60-element bit vector.
     """
     n = F.size(tokens)
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    bit_idx = F.sequence(F.lit(0), F.lit(62))
+    if family == "portable":
+        hashes = F.transform(tokens, lambda t: hex15_int(t))
+        bit_idx = F.sequence(F.lit(0), F.lit(59))
+    else:
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+        bit_idx = F.sequence(F.lit(0), F.lit(62))
     counts = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("bigint"), 63),
+        F.array_repeat(
+            F.lit(0).cast("bigint"), 60 if family == "portable" else 63
+        ),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(bit_idx, lambda j: F.getbit(h, j).cast("bigint")),
@@ -334,6 +345,7 @@ def simhash_candidates(
     chunks: int = 4,
     max_bucket: int = 256,
     max_posting: int | None = 100_000,
+    family: str = "fast",
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) with distance <= max_hamming.
 
@@ -355,7 +367,7 @@ def simhash_candidates(
     wide = spread(df, id_col)
     sig = wide.select(
         F.col(id_col).alias("__id"),
-        simhash64(tokens_ws(F.col(text_col))).alias("__sim"),
+        simhash64(tokens_ws(F.col(text_col)), family).alias("__sim"),
     )
     # the 63-bit signature is non-negative, so the generic pairing's
     # unsigned chunk shift equals the arithmetic shift used here before

@@ -338,6 +338,98 @@ FROM (SELECT * FROM mhzero UNION ALL SELECT * FROM mhcand)
 """
 
 
+# --- Portable SimHash (real text, engine-portable hash family) --------
+
+_SH_MAX_HAMMING = 3
+_SH_CHUNKS = 4
+_SH_MAX_POSTING = 8  # measured at sf0.01: 11 hot buckets skipped
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'shp' variant: the REAL :func:`~..operators.dedup.
+    simhash_candidates` with ``family="portable"`` over ``documents``
+    text — the 60-bit md5-nibble majority-vote signature (bit j set
+    when more than half the token hashes carry bit j) followed by the
+    shared Hamming-banded pairing. With 'mhp' this closes the last
+    signature-construction gap in the near-dup family: the SimHash
+    fold itself is now hash-checked bit-for-bit against a DuckDB
+    twin, not just the pairing plan it feeds. Columns: doc_a/doc_b =
+    pair, inter = Hamming distance."""
+    from ..operators.dedup import simhash_candidates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = simhash_candidates(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        max_hamming=_SH_MAX_HAMMING,
+        chunks=_SH_CHUNKS,
+        max_posting=_SH_MAX_POSTING,
+        family="portable",
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("bigint").alias("inter"),
+        F.lit(None).cast("bigint").alias("denom"),
+        F.lit(None).cast("double").alias("score"),
+    )
+
+
+def simhash_portable_sql() -> str:
+    """Brute-force twin: per-token md5-nibble hashes, per-bit majority
+    vote (counting repeated tokens per occurrence, like the Spark
+    fold), 60-bit signature assembly, then the standard star-collapse
+    / pigeonhole-band / posting-cap / bit_count verify replica."""
+    w = 64 // _SH_CHUNKS
+    return f"""
+WITH shtok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents
+), shh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM shtok
+), shn AS (
+  SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id
+), shbits AS (
+  SELECT doc_id, j, sum((h >> CAST(j AS INTEGER)) & 1) AS ones
+  FROM shh, (SELECT unnest(range(60)) AS j) GROUP BY 1, 2
+), shsig AS (
+  SELECT b.doc_id,
+         sum(CASE WHEN ones * 2 > n
+             THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+             ELSE CAST(0 AS BIGINT) END) AS sig
+  FROM shbits b JOIN shn USING (doc_id) GROUP BY b.doc_id
+), shrep AS (
+  SELECT doc_id, sig, min(doc_id) OVER (PARTITION BY sig) AS rep
+  FROM shsig
+), shzero AS (
+  SELECT rep AS id_a, doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+  FROM shrep WHERE doc_id != rep
+), shreps AS (
+  SELECT doc_id AS id, sig FROM shrep WHERE doc_id = rep
+), shband AS (
+  SELECT id, sig, c, (sig >> (CAST(c AS INTEGER) * {w})) & {(1 << w) - 1}
+           AS v
+  FROM shreps, (SELECT unnest(range({_SH_CHUNKS})) AS c)
+), shgood AS (
+  SELECT c, v FROM (
+    SELECT c, v, count(*) AS n FROM shband GROUP BY 1, 2
+  ) WHERE n BETWEEN 2 AND {_SH_MAX_POSTING}
+), shcand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+  FROM shband a
+  JOIN shband b ON a.c = b.c AND a.v = b.v AND a.id < b.id
+  JOIN shgood g ON g.c = a.c AND g.v = a.v
+  WHERE bit_count(xor(a.sig, b.sig)) <= {_SH_MAX_HAMMING}
+)
+SELECT id_a AS doc_a, id_b AS doc_b, hamming AS inter,
+       CAST(NULL AS BIGINT) AS denom, CAST(NULL AS DOUBLE) AS score
+FROM (SELECT * FROM shzero UNION ALL SELECT * FROM shcand)
+"""
+
+
 # --- DuckDB oracle SQL -------------------------------------------------
 #
 # All CTEs are hb-prefixed to compose into the near_dup_jaccard union

@@ -1047,6 +1047,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_hbp_synth,
         q_hot_band_audit_synth,
         q_minhash_portable,
+        q_simhash_portable,
     )
 
     def _tag(name: str, df: DataFrame) -> DataFrame:
@@ -1065,6 +1066,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_tag("hbaudit", q_hot_band_audit_synth(spark, sf_dir)))
         .unionByName(_tag("admit", q_admission_synth(spark, sf_dir)))
         .unionByName(_tag("mhp", q_minhash_portable(spark, sf_dir)))
+        .unionByName(_tag("shp", q_simhash_portable(spark, sf_dir)))
     )
 
 
@@ -1130,6 +1132,7 @@ def _near_dup_pairs_sql() -> str:
         hbp_synth_sql,
         hot_band_audit_sql,
         minhash_portable_sql,
+        simhash_portable_sql,
     )
 
     return f"""
@@ -1159,6 +1162,8 @@ UNION ALL
 SELECT 'admit' AS variant, * FROM ({admission_synth_sql()})
 UNION ALL
 SELECT 'mhp' AS variant, * FROM ({minhash_portable_sql()})
+UNION ALL
+SELECT 'shp' AS variant, * FROM ({simhash_portable_sql()})
 """
 
 
@@ -1187,6 +1192,7 @@ QUERIES: dict[str, Q] = {
             "hbaudit": _sig_queries.q_hot_band_audit_synth,
             "admit": _sig_queries.q_admission_synth,
             "mhp": _sig_queries.q_minhash_portable,
+            "shp": _sig_queries.q_simhash_portable,
         },
     ),
 }

@@ -402,3 +402,36 @@ def test_minhash_portable_chunk_invariance(spark):
     b = {(r.id_a, r.id_b) for r in chunked.collect()}
     assert a == b
     assert a, "fixture produced no portable-family candidates"
+
+
+def test_simhash_portable_family(spark):
+    """family="portable" (60-bit md5-nibble majority vote, the 'shp'
+    oracle twin): identical texts collapse at hamming 0, disjoint
+    vocabularies never pair, and signatures stay under 2^60."""
+    from accounting_etl_spark.operators.dedup import (
+        simhash64,
+        simhash_candidates,
+    )
+    from accounting_etl_spark.functions.text import tokens_ws
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+         (2, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+         (3, "one two three four five six seven eight nine " * 4)],
+        "id bigint, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidates(
+            df, id_col="id", text_col="text", family="portable"
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert not any(3 in p for p in pairs)
+    sigs = [
+        r.s
+        for r in df.select(
+            simhash64(tokens_ws(F.col("text")), "portable").alias("s")
+        ).collect()
+    ]
+    assert all(0 <= s < (1 << 60) for s in sigs)

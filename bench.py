@@ -142,16 +142,28 @@ def main() -> None:
     # readings plus the min. Entries without variants or without a
     # prior-round value are skipped (no second signal to corroborate).
     prior: dict[str, float] = {}
+    prev_round = 0
     here = Path(__file__).resolve().parent
-    for prev_name in ("BENCH_r8_local.json", "BENCH_r08.json"):
+    # newest prior full record wins (the BENCH_r{N}_local.json series;
+    # the driver-side BENCH_r{N}.json files are truncated transcripts)
+    candidates = sorted(
+        (
+            (int(m.group(1)), p)
+            for p in here.glob("BENCH_r*_local.json")
+            if (m := re.match(r"BENCH_r(\d+)_local\.json", p.name))
+        ),
+        reverse=True,
+    )
+    for n, path in candidates:
         try:
             prior = {
                 k: v
-                for k, v in json.loads(
-                    (here / prev_name).read_text()
-                )["queries"].items()
+                for k, v in json.loads(path.read_text())[
+                    "queries"
+                ].items()
                 if isinstance(v, (int, float))
             }
+            prev_round = n
             break
         except (OSError, ValueError, KeyError, TypeError):
             continue
@@ -217,7 +229,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": run_log,
-        "comparable_to_r8": comparable,
+        # self-describing: the round of the newest prior local record
+        # this run's comparable keys and outlier priors came from
+        f"comparable_to_r{prev_round}": comparable,
         "host_probe": host_probe,
         "outlier_reruns": outlier_reruns,
         "sf": sf,

@@ -392,7 +392,9 @@ def q_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 esc,
                 F.lit("</p></body></html>"),
             ).alias("html"),
-        ).repartition(_CRAWL_PARTS)
+        ).repartition(
+            max(_CRAWL_PARTS, spark.sparkContext.defaultParallelism)
+        )  # one archive per core: scan parallelism IS the file count
         man = write_warc_files(pages, f"{base}/arc{epoch}").collect()
         admitted = crawl_admission_batch(
             spark,

@@ -435,3 +435,105 @@ def test_simhash_portable_family(spark):
         ).collect()
     ]
     assert all(0 <= s < (1 << 60) for s in sigs)
+
+
+import hashlib as _hashlib
+import random as _random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _mh_portable_brute(rows, *, k, nh, bands, maxpost):
+    """Pure-Python model of the portable-family minhash_candidates:
+    md5-nibble shingle keys / member mins / band keys, min-id star
+    collapse, posting cap, all bucket pairs."""
+
+    def hex15(s: str) -> int:
+        return int(_hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sigs = {}
+    for i, text in rows:
+        toks = text.strip().split(" ")
+        if len(toks) < k:
+            continue
+        keys = [
+            _hashlib.md5(" ".join(toks[j:j + k]).encode()).hexdigest()
+            for j in range(len(toks) - k + 1)
+        ]
+        sigs[i] = tuple(
+            min(hex15(kk + f"|{h}") for kk in keys) for h in range(nh)
+        )
+    by_sig = {}
+    for i, s in sigs.items():
+        by_sig.setdefault(s, []).append(i)
+    out = set()
+    reps = {}
+    for s, ids in by_sig.items():
+        ids.sort()
+        reps[ids[0]] = s
+        out |= {(ids[0], j) for j in ids[1:]}
+    r = nh // bands
+    buckets = {}
+    for i, s in reps.items():
+        for b in range(bands):
+            key = hex15("|".join(str(v) for v in s[b * r:(b + 1) * r]))
+            buckets.setdefault((b, key), set()).add(i)
+    for ids in buckets.values():
+        if 2 <= len(ids) <= maxpost:
+            ids = sorted(ids)
+            out |= {
+                (a, b) for x, a in enumerate(ids) for b in ids[x + 1:]
+            }
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31))
+def test_minhash_portable_random_corpora_match_brute(spark, seed):
+    """The REAL portable-family minhash_candidates equals the pure
+    model on RANDOM corpora and RANDOM (num_hashes, bands,
+    max_posting, max_bucket) — random duplicate groups, shared
+    shingle mass, short docs below the shingle width, caps engaging
+    mid-list, and chunked bucket expansion (which must never change
+    the pair set)."""
+    from accounting_etl_spark.operators.dedup import minhash_candidates
+
+    rng = _random.Random(seed)
+    nh, bands = rng.choice([(4, 4), (4, 2), (6, 3), (2, 2), (8, 4)])
+    maxpost = rng.randint(2, 6)
+    max_bucket = rng.choice([1, 2, 256])
+    k = 3
+    vocab = [f"w{j}" for j in range(12)]
+    rows, texts = [], []
+    for i in range(40):
+        if i % 6 == 0 or not texts:
+            n = rng.randint(1, 10)  # some docs too short to shingle
+            t = " ".join(rng.choice(vocab) for _ in range(n))
+        elif i % 6 == 1:
+            t = rng.choice(texts)  # exact duplicate → star collapse
+        else:
+            base = rng.choice(texts).split(" ")
+            for _ in range(rng.randint(0, 2)):
+                base[rng.randrange(len(base))] = rng.choice(vocab)
+            t = " ".join(base)
+        texts.append(t)
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(
+            df,
+            id_col="doc_id",
+            text_col="text",
+            k_shingle=k,
+            num_hashes=nh,
+            bands=bands,
+            max_bucket=max_bucket,
+            max_posting=maxpost,
+            family="portable",
+        ).collect()
+    }
+    assert got == _mh_portable_brute(
+        rows, k=k, nh=nh, bands=bands, maxpost=maxpost
+    )

@@ -537,3 +537,88 @@ def test_minhash_portable_random_corpora_match_brute(spark, seed):
     assert got == _mh_portable_brute(
         rows, k=k, nh=nh, bands=bands, maxpost=maxpost
     )
+
+
+def _simhash_portable_py(text: str) -> int:
+    """Pure-Python model of the portable 60-bit SimHash fold."""
+    toks = text.strip().split(" ")
+    hs = [
+        int(_hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks
+    ]
+    n = len(hs)
+    sig = 0
+    for j in range(60):
+        if sum((h >> j) & 1 for h in hs) * 2 > n:
+            sig |= 1 << j
+    return sig
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31))
+def test_simhash_portable_random_corpora_match_brute(spark, seed):
+    """The REAL portable-family simhash_candidates equals the pure
+    model (md5-nibble majority-vote signature + star collapse +
+    pigeonhole banding + posting cap + Hamming verify) on random
+    corpora and random (max_hamming, chunks, max_posting)."""
+    from accounting_etl_spark.operators.dedup import simhash_candidates
+
+    rng = _random.Random(seed)
+    chunks = rng.choice([4, 8])
+    maxh = rng.randint(1, chunks - 1)
+    maxpost = rng.randint(2, 8)
+    vocab = [f"w{j}" for j in range(10)]
+    rows, texts = [], []
+    for i in range(40):
+        if i % 5 == 0 or not texts:
+            t = " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 12))
+            )
+        elif i % 5 == 1:
+            t = rng.choice(texts)  # exact duplicate → hamming-0 star
+        else:
+            base = rng.choice(texts).split(" ")
+            for _ in range(rng.randint(0, 2)):
+                base[rng.randrange(len(base))] = rng.choice(vocab)
+            t = " ".join(base)
+        texts.append(t)
+        rows.append((i, t))
+    # model: signatures → star collapse → banded candidate pairs
+    sigs = {i: _simhash_portable_py(t) for i, t in rows}
+    by_sig = {}
+    for i, s in sigs.items():
+        by_sig.setdefault(s, []).append(i)
+    expect, reps = set(), {}
+    for s, ids in by_sig.items():
+        ids.sort()
+        reps[ids[0]] = s
+        expect |= {(ids[0], j, 0) for j in ids[1:]}
+    w = 64 // chunks
+    buckets = {}
+    for i, s in reps.items():
+        for c in range(chunks):
+            buckets.setdefault((c, (s >> (c * w)) & ((1 << w) - 1)),
+                               set()).add(i)
+    cand = set()
+    for ids in buckets.values():
+        if 2 <= len(ids) <= maxpost:
+            ids = sorted(ids)
+            cand |= {(a, b) for x, a in enumerate(ids)
+                     for b in ids[x + 1:]}
+    for a, b in cand:
+        h = bin(reps[a] ^ reps[b]).count("1")
+        if h <= maxh:
+            expect.add((a, b, h))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_candidates(
+            df,
+            id_col="doc_id",
+            text_col="text",
+            max_hamming=maxh,
+            chunks=chunks,
+            max_posting=maxpost,
+            family="portable",
+        ).collect()
+    }
+    assert got == expect

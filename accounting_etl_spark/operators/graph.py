@@ -73,16 +73,32 @@ def connected_components(
             adj.join(labels, adj["u"] == labels["node"])
             .select(F.col("v").alias("node"), "label")
         )
+        # change detection rides the same aggregation: each node's
+        # PRIOR label is carried through the groupBy (exactly one
+        # non-null per node — every nbr node also has a labels row),
+        # so `changed` is a count over the already-checkpointed result
+        # instead of a separate new-vs-old join job per round. On
+        # small/medium graphs the per-round fixed job cost IS the CC
+        # wall time (profiled r10: 6 rounds ≈ 6s at 16k nodes), so one
+        # fewer shuffle per round is a direct wall-time cut.
+        merged = labels.select(
+            "node", "label", F.col("label").alias("old")
+        ).union(
+            nbr.select(
+                "node",
+                "label",
+                F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
+            )
+        )
         new_labels = stable_checkpoint(
-            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+            merged.groupBy("node").agg(
+                F.min("label").alias("label"), F.max("old").alias("old")
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("old")
+        ).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:

@@ -348,7 +348,10 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     prof = _quantile_rank_profile(orders)
     cd = orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("acd"),
+        # rsd passed explicitly so the 3σ verdict bound below and the
+        # sketch configuration are single-sourced (ADVICE r9): the
+        # engine default changing would otherwise silently skew v3
+        F.approx_count_distinct("o_custkey", rsd=_HLL_RSD).alias("acd"),
         F.countDistinct("o_custkey").alias("xcd"),
     )
     j = prof.join(cd, "o_orderpriority")
@@ -1007,6 +1010,7 @@ def q_moments_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_kanon_stats(spark, sf_dir))
         .unionByName(q_target_encode(spark, sf_dir))
         .unionByName(q_quantile_guarantee(spark, sf_dir))
+        .unionByName(q_kmv_distinct(spark, sf_dir))
     )
 
 
@@ -2672,6 +2676,101 @@ FROM qvq
 """
 
 
+_KMV_K = 32
+_KMV_DOMAIN = float(1 << 60)  # hex15_int hashes are uniform in [0, 2^60)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'kmv' variant — a PORTABLE bottom-k (KMV) distinct sketch whose
+    estimate itself hash-matches DuckDB (VERDICT r9 Next #3: HLL's
+    estimates are engine-internal and could only ever be
+    verdict-checked; KMV on md5-nibble keys is bit-portable the way
+    'qv' made the GK guarantee portable).
+
+    Per o_orderpriority over customer keys: hash each distinct key
+    with hex15_int (uniform in [0, 2^60)), keep the k = {k} smallest
+    distinct hashes (topk_per_group_staged — the per-partition prune
+    keeps the window task from funneling the corpus), and estimate
+    distinct = (k-1)·2^60 / h_(k). Every step is integer math plus
+    one int64→double cast and one IEEE multiply/divide — both engines
+    round identically, so the ESTIMATE value is in the hash, not just
+    a bound verdict. Groups with ≤ k distinct hashes fall back to the
+    exact count (the sketch is exact below its capacity).
+
+    grp = priority|cust; n = exact distinct-hash count; v1 = h_(k);
+    v2 = the KMV estimate; v3 = signed relative error (portable:
+    derived from v2 and n); v4 = NULL.
+    """
+    from ..functions.text import hex15_int
+    from ..operators.topk import topk_per_group_staged
+
+    orders = load_table(spark, sf_dir, "orders")
+    hashes = orders.select(
+        "o_orderpriority",
+        hex15_int(F.col("o_custkey").cast("string")).alias("h"),
+    ).distinct()
+    exact = hashes.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    bottom = topk_per_group_staged(
+        hashes, ["o_orderpriority"], [F.asc("h")], _KMV_K
+    )
+    kth = bottom.groupBy("o_orderpriority").agg(F.max("h").alias("hk"))
+    j = exact.join(kth, "o_orderpriority")
+    est = F.when(
+        F.col("m") <= F.lit(_KMV_K), F.col("m").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(_KMV_DOMAIN)
+        / F.col("hk").cast("double")
+    )
+    return j.select(
+        F.lit("kmv").alias("variant"),
+        F.concat(F.col("o_orderpriority"), F.lit("|cust")).alias("grp"),
+        F.col("m").cast("bigint").alias("n"),
+        F.col("hk").cast("double").alias("v1"),
+        est.alias("v2"),
+        ((est - F.col("m").cast("double")) / F.col("m").cast("double")).alias(
+            "v3"
+        ),
+        F.lit(None).cast("double").alias("v4"),
+    )
+
+
+q_kmv_distinct.__doc__ = q_kmv_distinct.__doc__.format(k=_KMV_K)
+
+_KMV_SQL = f"""
+WITH kmvh AS (
+  SELECT DISTINCT o_orderpriority,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM orders
+), kmvm AS (
+  SELECT o_orderpriority, count(*) AS m FROM kmvh GROUP BY 1
+), kmvk AS (
+  SELECT o_orderpriority, max(h) AS hk FROM (
+    SELECT o_orderpriority, h,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY h ASC) AS rn
+    FROM kmvh
+  ) WHERE rn <= {_KMV_K} GROUP BY 1
+), kmve AS (
+  SELECT o_orderpriority, m, hk,
+         CASE WHEN m <= {_KMV_K} THEN CAST(m AS DOUBLE)
+              ELSE {float(_KMV_K - 1)!r} * {_KMV_DOMAIN!r}
+                   / CAST(hk AS DOUBLE) END AS est
+  FROM kmvm JOIN kmvk USING (o_orderpriority)
+)
+SELECT 'kmv' AS variant, o_orderpriority || '|cust' AS grp,
+       CAST(m AS BIGINT) AS n,
+       CAST(hk AS DOUBLE) AS v1,
+       est AS v2,
+       (est - CAST(m AS DOUBLE)) / CAST(m AS DOUBLE) AS v3,
+       CAST(NULL AS DOUBLE) AS v4
+FROM kmve
+"""
+
+
 _MOMENTS_MERGED_SQL = f"""
 SELECT 'moments' AS variant, l_returnflag AS grp, CAST(n AS BIGINT) AS n,
        CAST(var_qty AS DOUBLE) AS v1, CAST(std_qty AS DOUBLE) AS v2,
@@ -2688,6 +2787,8 @@ UNION ALL
 SELECT * FROM ({_TELOO_SQL})
 UNION ALL
 SELECT * FROM ({_QV_SQL})
+UNION ALL
+SELECT * FROM ({_KMV_SQL})
 """
 
 QUERIES["stats_moments"] = Q(
@@ -2700,6 +2801,7 @@ QUERIES["stats_moments"] = Q(
         "kanon": q_kanon_stats,
         "teloo": q_target_encode,
         "qv": q_quantile_guarantee,
+        "kmv": q_kmv_distinct,
     },
 )
 QUERIES["salted_agg"] = Q(

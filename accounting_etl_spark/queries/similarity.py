@@ -668,6 +668,164 @@ def q_jl_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RHP_PLANES = 4  # ann_topk's production defaults — the pinned run
+_RHP_TABLES = 4  # uses the REAL operator with its REAL plane family
+
+
+def q_rhp_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'rhp' variant: the REAL random-hyperplane LSH operator
+    (operators/similarity.py::ann_topk) hash-pinned end-to-end
+    (VERDICT r9 Next #2 — the last similarity path without a portable
+    twin). No special "portable" family is needed: the gaussian
+    hyperplanes are driver-generated literals from a seeded RNG shared
+    with the SQL generator, and every float in the plan is a pinned
+    left-to-right IEEE chain the oracle regenerates term by term (the
+    'jl' precedent):
+
+    - sign bits: ``((0 + x₀·h₀) + x₁·h₁) + …`` per plane, ``≥ 0``;
+    - buckets: the n_planes sign chars per table, candidates = pairs
+      sharing ANY table's bucket (the (tbl, bucket) equi-join);
+    - rerank: the operator's float-fold cosine (dot/norm chains over
+      all 64 components) with the desc-cosine/asc-id top-k.
+
+    ``keep`` = membership in the exact decimal top-k (the 'ivf'
+    variant's recall-verdict contract), so the hash pins the sign
+    fold, the candidate set, the rerank, AND the measured recall of
+    the production (n_planes, n_tables) configuration. Any drift in
+    plane generation, fold order, bucketing, or tie-breaks
+    hash-mismatches."""
+    from ..operators.similarity import ann_topk
+    from ..operators.topk import topk_per_group
+
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < _EMB_DD_LIMIT
+        ),
+        "vec_id",
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= _IVF_Q_LO) & (F.col("vec_id") < _IVF_Q_HI)
+    ).select("vec_id")
+    top = ann_topk(
+        emb,
+        queries,
+        k=_IVF_K,
+        n_planes=_RHP_PLANES,
+        n_tables=_RHP_TABLES,
+    )
+    cos, _ = _bounded_cosines(spark, sf_dir)
+    sym = cos.unionByName(
+        cos.select(F.col("vb").alias("va"), F.col("va").alias("vb"), "cosine")
+    )
+    exact = topk_per_group(
+        sym.filter(
+            (F.col("va") >= _IVF_Q_LO) & (F.col("va") < _IVF_Q_HI)
+        ),
+        ["va"],
+        [F.desc("cosine"), F.asc("vb")],
+        _IVF_K,
+    ).select(F.col("va").alias("q"), F.col("vb").alias("cand"))
+    return (
+        top.join(
+            exact.withColumn("__hit", F.lit(True)),
+            (top["q_id"] == exact["q"]) & (top["nb_id"] == exact["cand"]),
+            "left",
+        )
+        .select(
+            F.col("q_id").alias("va"),
+            F.col("nb_id").alias("vb"),
+            "cosine",
+            F.coalesce("__hit", F.lit(False)).alias("keep"),
+        )
+    )
+
+
+def _rhp_sql() -> str:
+    """Generated twin of the pinned ann_topk run. Mirrors every float
+    fold term by term (zeros included): per-vector sign chains over
+    the SAME seeded gaussian planes (repr round-trips each coefficient
+    to the identical double), per-vector norm chain, per-pair dot
+    chain. References the outer ``cosall`` CTE for the exact-top-k
+    recall side, exactly like the 'ivf' arm."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = [
+        p
+        for tbl in _hyperplanes(64, _RHP_PLANES, _RHP_TABLES)
+        for p in tbl
+    ]
+
+    def chain(terms):
+        expr = "CAST(0.0 AS DOUBLE)"
+        for t in terms:
+            expr = f"({expr} + {t})"
+        return expr
+
+    def sign_chain(coeffs):
+        c = chain(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) * {h!r})"
+            for i, h in enumerate(coeffs)
+        )
+        return f"(CASE WHEN {c} >= 0 THEN '1' ELSE '0' END)"
+
+    buckets = ", ".join(
+        " || ".join(
+            sign_chain(planes[t * _RHP_PLANES + j])
+            for j in range(_RHP_PLANES)
+        )
+        + f" AS b{t}"
+        for t in range(_RHP_TABLES)
+    )
+    n2f = chain(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" * CAST(embedding[{i + 1}] AS DOUBLE))"
+        for i in range(64)
+    )
+    dot = chain(
+        f"(CAST(q.embedding[{i + 1}] AS DOUBLE)"
+        f" * CAST(c.embedding[{i + 1}] AS DOUBLE))"
+        for i in range(64)
+    )
+    bucket_eq = " OR ".join(
+        f"q.b{t} = c.b{t}" for t in range(_RHP_TABLES)
+    )
+    return f"""
+SELECT 'rhp' AS variant, rh.va, rh.vb, rh.cosine,
+       ex.vb IS NOT NULL AS keep
+FROM (
+  WITH rhv AS (
+    SELECT vec_id, embedding, {n2f} AS n2f, {buckets}
+    FROM embeddings WHERE vec_id < {_EMB_DD_LIMIT}
+  ), rhcand AS (
+    SELECT DISTINCT q.vec_id AS va, c.vec_id AS vb,
+           {dot} / (sqrt(q.n2f) * sqrt(c.n2f)) AS cosine
+    FROM rhv q JOIN rhv c
+      ON ({bucket_eq}) AND q.vec_id != c.vec_id
+    WHERE q.vec_id >= {_IVF_Q_LO} AND q.vec_id < {_IVF_Q_HI}
+  )
+  SELECT va, vb, cosine FROM (
+    SELECT va, vb, cosine,
+           row_number() OVER (PARTITION BY va
+                              ORDER BY cosine DESC, vb ASC) AS rn
+    FROM rhcand
+  ) WHERE rn <= {_IVF_K}
+) rh
+LEFT JOIN (
+  SELECT va, vb FROM (
+    SELECT va, vb,
+           row_number() OVER (PARTITION BY va
+                              ORDER BY cosine DESC, vb ASC) AS ern
+    FROM (
+      SELECT va, vb, cosine FROM cosall
+      UNION ALL
+      SELECT vb AS va, va AS vb, cosine FROM cosall
+    )
+    WHERE va >= {_IVF_Q_LO} AND va < {_IVF_Q_HI}
+  ) WHERE ern <= {_IVF_K}
+) ex ON ex.va = rh.va AND ex.vb = rh.vb
+"""
+
+
 def _jl_proj_sql() -> str:
     """Generated projected-component expressions mirroring
     random_projection's fold order term by term (zeros included —
@@ -748,12 +906,16 @@ def q_near_dup_embedding_merged(
         F.lit("ivf").alias("variant"), "va", "vb", "cosine", "keep"
     )
     jl = q_jl_pairs(spark, sf_dir)
+    rhp = q_rhp_pinned(spark, sf_dir).select(
+        F.lit("rhp").alias("variant"), "va", "vb", "cosine", "keep"
+    )
     return (
         pairs.unionByName(sem)
         .unionByName(dec)
         .unionByName(con)
         .unionByName(ivf)
         .unionByName(jl)
+        .unionByName(rhp)
     )
 
 
@@ -904,7 +1066,11 @@ LEFT JOIN (
 
 QUERIES["near_dup_embedding"] = Q(
     q_near_dup_embedding_merged,
-    _EMB_DD_SQL + "\nUNION ALL\nSELECT * FROM (" + _jl_sql() + ")",
+    _EMB_DD_SQL
+    + "\nUNION ALL\nSELECT * FROM ("
+    + _jl_sql()
+    + ")\nUNION ALL\n"
+    + _rhp_sql(),
     variants={
         "pairs": q_near_dup_embedding,
         "semdedup": q_semdedup,
@@ -912,6 +1078,7 @@ QUERIES["near_dup_embedding"] = Q(
         "contrast": q_contrastive_pairs,
         "ivf": q_ivf_pinned,
         "jl": q_jl_pairs,
+        "rhp": q_rhp_pinned,
     },
 )
 

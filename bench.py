@@ -4,6 +4,15 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The driver records only the last 2000 bytes of stdout (VERDICT r9 #1:
+`parsed: null` since r5 because the full record outgrew that window),
+so the FINAL stdout line is a compact summary — total, sf, top-level
+entry timings (no dotted variant keys), probe summary — kept under
+1500 bytes. The full record (dotted variants, run_log, comparability
+keys, outlier re-runs, raw probes) is written to BENCH_local.json
+(override with $SPARK_GRAFT_BENCH_OUT) and copied to
+BENCH_r{N}_local.json when a round's final refresh is committed.
+
 Each query is forced end-to-end with the noop sink (full compute, no
 driver collect).
 """
@@ -167,6 +176,10 @@ def main() -> None:
             break
         except (OSError, ValueError, KeyError, TypeError):
             continue
+    # The re-run repeats the ORIGINAL best_of policy (same runs, same
+    # stat — ADVICE r9: a one-shot rerun silently swapped a median-of-5
+    # statistic for a single pass) and appends its samples to run_log,
+    # so the recorded value always carries the stat its samples imply.
     outlier_reruns: dict[str, dict] = {}
     for name in names:
         if name not in timings or name not in prior:
@@ -180,14 +193,20 @@ def main() -> None:
             continue
         initial = timings[name]
         if initial > 2 * prior[name] and initial > 2 * vsum:
-            try:
-                t0 = time.time()
-                qs[name].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                rerun = round(time.time() - t0, 3)
-            except Exception:  # noqa: BLE001 — keep the initial reading
+            initial_log = run_log.get(name)
+            rerun = best_of(
+                name, qs[name].fn, runs=NOISY_RUNS.get(name, 3)
+            )
+            if rerun is None:  # keep the initial reading on failure
+                errors.pop(name, None)
+                run_log[name] = initial_log
                 continue
+            # best_of replaced run_log[name] with the rerun samples;
+            # keep the initial reading's samples beside them
+            if initial_log is not None:
+                run_log[name]["initial_samples"] = initial_log[
+                    "samples"
+                ]
             outlier_reruns[name] = {"initial": initial, "rerun": rerun}
             timings[name] = min(initial, rerun)
 
@@ -207,12 +226,17 @@ def main() -> None:
     # in the previous round's record whose implementation did NOT
     # change this round — the judge diffs those and nothing else.
     CHANGED_THIS_ROUND = {
-        # r9: q_semantic_admission's seed-index sentinel now carries a
-        # data fingerprint (ADVICE r8) — a 200-row scan per call and
-        # the build path re-arms when the fingerprint misses
-        "ann_variants.admit",
-        # r9: 'sketch' reshaped to per-sketch verdict rows
-        "approx_sketches.sketch",
+        # r10: match_pairs length sub-blocking (pair volume down) +
+        # connected_components change-detection folded into the round
+        # aggregation (one fewer join job per round) — every variant
+        # built on propagation CC or blocked ER changed plan
+        "dedup_clusters.entity",
+        "dedup_clusters.clusters",
+        "dedup_clusters.split",
+        "dedup_clusters.curation",
+        # r10: crawl replay now deletes the previous invocation's
+        # scratch dir at entry (ADVICE r9) — extra I/O in the timing
+        "near_dup_hash.crawl",
     }
     # the driver's BENCH_r{N}.json truncates the JSON into a "tail"
     # string; the builder's own BENCH_r{N}_local.json holds the full
@@ -239,7 +263,52 @@ def main() -> None:
     if errors:
         out["errors"] = errors
         out["ok_queries"] = len([n for n in names if n in timings])
-    print(json.dumps(out))
+
+    # Full record → file (never stdout: it blew the driver's 2000-byte
+    # tail window from r5 on).
+    detail_path = Path(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT", str(here / "BENCH_local.json")
+        )
+    )
+    try:
+        detail_path.write_text(json.dumps(out, indent=1))
+        detail_ref = detail_path.name
+    except OSError as exc:
+        detail_ref = f"unwritable: {exc}"[:80]
+
+    # Compact summary as the FINAL stdout line. "queries" carries only
+    # the top-level entries (the driver-comparable totals); dotted
+    # variant keys, run logs and raw probes live in the detail file.
+    compact = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            k: v for k, v in timings.items() if "." not in k
+        },
+        "sf": sf,
+        "n_slots": len(timings),
+        "n_errors": len(errors),
+        "n_outlier_reruns": len(outlier_reruns),
+        "probe_spark_job_ms": [
+            host_probe[k].get("spark_job_ms")
+            for k in ("start", "end")
+        ],
+        "detail": detail_ref,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # paranoia: never outgrow the tail window
+        compact["queries"] = dict(
+            sorted(
+                compact["queries"].items(),
+                key=lambda kv: kv[1],
+                reverse=True,
+            )[:10]
+        )
+        compact["queries_truncated_to_top10"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     # a handful of broken queries cost their rows, not the round's
     # signal; fail the run only when most of the suite is broken
     if len(errors) > len(names) // 2:

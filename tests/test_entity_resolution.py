@@ -109,3 +109,26 @@ def test_single_edit_recall_across_key_regions(spark):
 def test_empty_keys_rejected(spark, vendors):
     with pytest.raises(ValueError):
         match_pairs(vendors, keys=[], max_dist=1)
+
+
+def test_length_subblocking_keeps_single_edit_recall(spark):
+    """r10 length sub-blocking: a deletion pair has lengths L and
+    L-1, which can straddle a width-2d bucket boundary in ONE scheme
+    but never both (boundaries of the two schemes interleave at
+    distance d). Sweep L across several parities/boundaries — every
+    single-deletion pair must still be found."""
+    rows = []
+    expected = set()
+    for j, pad in enumerate(range(6)):  # name lengths spanning buckets
+        base = f"acme corp unit{'x' * pad} east"
+        a, b = 100 * j, 100 * j + 1
+        rows += [(a, base), (b, base[:-1])]  # delete last char
+        expected.add((a, b))
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in match_pairs(
+            df, keys=_two_token_keys(), max_dist=1
+        ).collect()
+    }
+    assert expected <= got

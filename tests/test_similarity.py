@@ -301,3 +301,47 @@ def test_semantic_admission_variant_replays_deterministically(spark):
         assert r["q_id"] % 2 == r["rank"] - 1  # epoch parity
     again = q_semantic_admission(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_rhp_pinned_buckets_and_cosines_match_numpy(spark):
+    """'rhp' (r10): every pair the pinned ann_topk run returns must
+    share >= 1 LSH table bucket under an independent numpy
+    recomputation of the SAME seeded hyperplanes, and its cosine must
+    match numpy's float64 value closely (the oracle pins exact bits;
+    this unit pins the semantics against a second implementation)."""
+    import numpy as np
+
+    from accounting_etl_spark.operators.similarity import _hyperplanes
+    from accounting_etl_spark.queries.similarity import (
+        _EMB_DD_LIMIT,
+        _RHP_PLANES,
+        _RHP_TABLES,
+        q_rhp_pinned,
+    )
+    from accounting_etl_spark.sources.tables import load_table
+
+    rows = q_rhp_pinned(spark, SF_SMOKE).collect()
+    assert rows, "rhp returned nothing"
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .where(f"vec_id < {_EMB_DD_LIMIT}")
+        .collect()
+    }
+    planes = np.asarray(
+        [p for tbl in _hyperplanes(64, _RHP_PLANES, _RHP_TABLES) for p in tbl]
+    )
+
+    def buckets(v):
+        bits = (planes @ v >= 0).astype(int)
+        return [
+            tuple(bits[t * _RHP_PLANES : (t + 1) * _RHP_PLANES])
+            for t in range(_RHP_TABLES)
+        ]
+
+    for r in rows:
+        ba, bb = buckets(emb[r.va]), buckets(emb[r.vb])
+        assert any(x == y for x, y in zip(ba, bb)), (r.va, r.vb)
+        a, b = emb[r.va], emb[r.vb]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cosine - want) < 1e-9

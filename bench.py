@@ -62,6 +62,28 @@ BENCH_QUERIES = [
     "merge_upsert",
     "date_spine",
     "array_battery",
+    # r10: the remaining registry entries — the bench now times the
+    # FULL 50-entry driver surface (the ones below are mostly cheap
+    # relational/scalar batteries plus the multimodal family, which
+    # had no timed slot at all before)
+    "approx_sketches",
+    "big_orders",
+    "coa_codes",
+    "distinct_agg",
+    "excel_projection",
+    "filter_battery",
+    "multimodal_features",
+    "multimodal_meta",
+    "pivot_wide",
+    "scalar_battery",
+    "semi_anti_join",
+    "setops",
+    "string_battery2",
+    "top_customer_per_nation",
+    "unpivot_measures",
+    "vector_stats",
+    "window_lag",
+    "window_ntile",
 ]
 
 
@@ -285,7 +307,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {
-            k: v for k, v in timings.items() if "." not in k
+            k: round(v, 2)
+            for k, v in timings.items()
+            if "." not in k
         },
         "sf": sf,
         "n_slots": len(timings),

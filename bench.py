@@ -87,6 +87,46 @@ BENCH_QUERIES = [
 ]
 
 
+def compact_line(out: dict, detail_ref: str) -> str:
+    """The driver-facing final stdout line (<= ~1400 bytes measured;
+    hard guard below 1900 so a 2000-byte stdout tail ALWAYS parses —
+    the r5-r9 records were `parsed: null` because the full record
+    outgrew that window). "queries" carries only top-level entries,
+    rounded to 2 decimals; dotted variant keys, run logs and raw
+    probes live in the detail file."""
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {
+            k: round(v, 2)
+            for k, v in out["queries"].items()
+            if "." not in k
+        },
+        "sf": out["sf"],
+        "n_slots": len(out["queries"]),
+        "n_errors": len(out.get("errors", {})),
+        "n_outlier_reruns": len(out["outlier_reruns"]),
+        "probe_spark_job_ms": [
+            out["host_probe"][k].get("spark_job_ms")
+            for k in ("start", "end")
+        ],
+        "detail": detail_ref,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # paranoia: never outgrow the tail window
+        compact["queries"] = dict(
+            sorted(
+                compact["queries"].items(),
+                key=lambda kv: kv[1],
+                reverse=True,
+            )[:10]
+        )
+        compact["queries_truncated_to_top10"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -299,40 +339,8 @@ def main() -> None:
     except OSError as exc:
         detail_ref = f"unwritable: {exc}"[:80]
 
-    # Compact summary as the FINAL stdout line. "queries" carries only
-    # the top-level entries (the driver-comparable totals); dotted
-    # variant keys, run logs and raw probes live in the detail file.
-    compact = {
-        "metric": "headline_queries_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": {
-            k: round(v, 2)
-            for k, v in timings.items()
-            if "." not in k
-        },
-        "sf": sf,
-        "n_slots": len(timings),
-        "n_errors": len(errors),
-        "n_outlier_reruns": len(outlier_reruns),
-        "probe_spark_job_ms": [
-            host_probe[k].get("spark_job_ms")
-            for k in ("start", "end")
-        ],
-        "detail": detail_ref,
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # paranoia: never outgrow the tail window
-        compact["queries"] = dict(
-            sorted(
-                compact["queries"].items(),
-                key=lambda kv: kv[1],
-                reverse=True,
-            )[:10]
-        )
-        compact["queries_truncated_to_top10"] = True
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    # Compact summary as the FINAL stdout line (see compact_line).
+    print(compact_line(out, detail_ref))
     # a handful of broken queries cost their rows, not the round's
     # signal; fail the run only when most of the suite is broken
     if len(errors) > len(names) // 2:

@@ -1,7 +1,8 @@
 """Entity resolution — blocked record-linkage dedup of one table
 against itself (vendors, authors, customer names), the master-list-
-free counterpart of the two-tier lookup's dim matching (reference
-``matcher.py`` resolves rows AGAINST a vendor dim; this operator
+free counterpart of the two-tier lookup's dim matching (the
+reference's lookup in ``database.py:83-126`` resolves rows AGAINST a
+vendor dim; this operator
 finds the entities when no dim exists yet).
 
 Classic three-stage shape, each stage scale-bounded:

@@ -398,10 +398,6 @@ def q_near_dup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-import itertools as _itertools
-
-_CRAWL_SEQ = _itertools.count()  # per-invocation scratch suffix
-_CRAWL_LAST_BASE: list[str] = []  # prior suffix dirs, deleted on next call
 _CRAWL_PARTS = 4  # archives per epoch (one .warc.gz per partition)
 
 
@@ -414,8 +410,9 @@ def q_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL ``crawl_admission_batch``: WARC parse → main-text extraction
     → left-anti admission against the prior epochs' content-hash
     index → min-doc_id within-epoch collapse → epoch-dir landing +
-    index growth. Scratch is wiped per invocation (counter-suffixed,
-    the admit-synth discipline), so every run replays from empty.
+    index growth. One fixed scratch dir is wiped at entry, so every
+    run replays from empty; the returned rows are eagerly
+    local-checkpointed so they outlive the next invocation's wipe.
 
     The fixture corpus has no exact duplicates, so the crawl clones
     content deterministically by doc_id decade slice (m = doc_id%10):
@@ -453,6 +450,9 @@ def q_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("__src_text", "text").alias("text"),
         )
+        # both epoch WARC writes template from this same clone join;
+        # persist so the self-join runs once, not once per epoch
+        .persist()
     )
     esc = F.regexp_replace(
         F.regexp_replace(
@@ -461,19 +461,20 @@ def q_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         ">",
         "&gt;",
     )
-    # each suffix dir holds a full-corpus WARC archive set + landed
-    # parquet; without in-session cleanup a bench run accumulates 5
-    # copies (ADVICE r9). Delete the PREVIOUS invocation's dir before
-    # creating the next — safe because every caller (bench best_of,
-    # check_oracle, the merged entry) fully materializes an
-    # invocation's result before the next invocation is built; only
-    # the live suffix stays on disk.
-    import shutil
-
-    while _CRAWL_LAST_BASE:
-        shutil.rmtree(_CRAWL_LAST_BASE.pop(), ignore_errors=True)
-    base = scratch_dir(spark, f"crawl_admit_{next(_CRAWL_SEQ)}")
-    _CRAWL_LAST_BASE.append(base)
+    # ONE fixed scratch dir; scratch_dir wipes it at entry (ADVICE
+    # r10: the previous counter-suffix scheme deleted the PRIOR
+    # invocation's dir at plan-BUILD time, a latent FileNotFound for
+    # any caller holding an unmaterialized prior DataFrame). The wipe
+    # is safe because the DataFrame this function RETURNS is eagerly
+    # local-checkpointed below — it carries no on-disk dependency, so
+    # a held result from a previous invocation survives this
+    # invocation's wipe. The wipe itself is required for replay
+    # determinism: epoch 1's admission reads every OTHER epoch index
+    # dir, so a stale epoch=2 index from the prior invocation would
+    # wrongly reject epoch 1's batch. Sequential invocations per
+    # session (bench best_of, check_oracle, the merged entry) — not
+    # safe for concurrent calls, which would race on the shared dir.
+    base = scratch_dir(spark, "crawl_admit")
     out = []
     for epoch in (1, 2):
         pages = docs.where(F.col("doc_id") % 2 == epoch - 1).select(
@@ -509,7 +510,11 @@ def q_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(epoch).cast("int").alias("hamming"),
             )
         )
-    return out[0].unionByName(out[1])
+    docs.unpersist()
+    # eager localCheckpoint: the returned rows live in executor
+    # storage, not the scratch parquet — the next invocation's wipe
+    # cannot invalidate a held result (tiny: admitted ids only)
+    return out[0].unionByName(out[1]).localCheckpoint(eager=True)
 
 
 def q_near_dup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,9 +13,13 @@ single JVM). All correctness-sensitive settings are pinned here:
 
 from __future__ import annotations
 
+import itertools
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+_SCRATCH_TRASH_SEQ = itertools.count()
 
 
 def get_spark(app_name: str = "accounting-etl-spark") -> SparkSession:
@@ -85,9 +89,14 @@ def scratch_dir(spark: SparkSession, name: str) -> str:
             # writes land nested under <app>/<name>/ without bumping
             # the app root's mtime, so a >6h-running sibling would
             # look stale at the root: gate on the NEWEST mtime found
-            # anywhere under the entry (ADVICE r6)
+            # anywhere under the entry (ADVICE r6). Any single fresh
+            # mtime proves liveness — stop walking the instant one is
+            # found so a live sibling's large tree costs one stat, not
+            # a full traversal.
             newest = os.path.getmtime(p)
             for dirpath, _dirs, files in os.walk(p):
+                if newest >= cutoff:
+                    break
                 newest = max(newest, os.path.getmtime(dirpath))
                 for f in files:
                     newest = max(
@@ -98,7 +107,23 @@ def scratch_dir(spark: SparkSession, name: str) -> str:
         if newest < cutoff:
             shutil.rmtree(p, ignore_errors=True)
     path = os.path.join(root, app, name)
-    shutil.rmtree(path, ignore_errors=True)
+    # wipe-in-place without paying the delete on the caller's clock:
+    # atomically rename the old tree aside, delete it on a background
+    # thread (a crashed run's orphaned *.trash.* dirs fall under the
+    # same age sweep above via the app dir)
+    if os.path.lexists(path):
+        trash = f"{path}.trash.{next(_SCRATCH_TRASH_SEQ)}"
+        try:
+            os.rename(path, trash)
+        except OSError:
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            threading.Thread(
+                target=shutil.rmtree,
+                args=(trash,),
+                kwargs={"ignore_errors": True},
+                daemon=True,
+            ).start()
     os.makedirs(path, exist_ok=True)
     # keep our own liveness visible at the root for cheap checks
     try:

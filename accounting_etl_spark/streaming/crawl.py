@@ -123,14 +123,18 @@ def crawl_admission_batch(
         .where(F.col("doc_id") == F.col("__keep"))
         .drop("__keep")
     )
-    # replay-guarded epoch writes: same epoch → same paths, overwrite
-    admitted.write.mode("overwrite").parquet(
-        os.path.join(out_dir, f"epoch={epoch_id}")
-    )
-    admitted.select("content_hash").distinct().write.mode(
+    # replay-guarded epoch writes: same epoch → same paths, overwrite.
+    # The index derives from the LANDED parquet, not the logical plan:
+    # one extraction pass per epoch instead of two (the landing write
+    # is the only job that runs the WARC parse + main-text pipeline),
+    # and the index can never disagree with what durably landed.
+    landed_path = os.path.join(out_dir, f"epoch={epoch_id}")
+    admitted.write.mode("overwrite").parquet(landed_path)
+    landed = spark.read.parquet(landed_path)
+    landed.select("content_hash").distinct().write.mode(
         "overwrite"
     ).parquet(os.path.join(idx_dir, f"epoch={epoch_id}"))
-    return spark.read.parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+    return landed
 
 
 def crawl_ingest(

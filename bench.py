@@ -9,9 +9,14 @@ The driver records only the last 2000 bytes of stdout (VERDICT r9 #1:
 so the FINAL stdout line is a compact summary — total, sf, top-level
 entry timings (no dotted variant keys), probe summary — kept under
 1500 bytes. The full record (dotted variants, run_log, comparability
-keys, outlier re-runs, raw probes) is written to BENCH_local.json
-(override with $SPARK_GRAFT_BENCH_OUT) and copied to
-BENCH_r{N}_local.json when a round's final refresh is committed.
+keys, outlier re-runs, raw probes) is written straight to the
+canonical per-round name BENCH_r{N}_local.json — N auto-detected
+from the newest driver artifact (VERDICT r10 #5: the old scheme
+wrote BENCH_local.json and relied on a manual copy, so a round could
+end with two overlapping records and the next round's comparable-slot
+detection reading the stale one). Same-round refreshes overwrite in
+place: ONE record file per round. Override with
+$SPARK_GRAFT_BENCH_OUT (scale runs use BENCH_sf{X}_r{N}.json).
 
 Each query is forced end-to-end with the noop sink (full compute, no
 driver collect).
@@ -85,6 +90,26 @@ BENCH_QUERIES = [
     "window_lag",
     "window_ntile",
 ]
+
+
+def detect_round(here: Path) -> int:
+    """The CURRENT round number = newest driver-written artifact + 1.
+
+    The driver commits BENCH_r{N}.json / CORRECTNESS_r{N}.json at the
+    END of round N, so during round N+1 the newest such file is rN.
+    $SPARK_GRAFT_ROUND overrides (and is how tests pin it). Falls back
+    to 0 (record name BENCH_r0_local.json) when no artifact exists —
+    still one deterministic file, never a floating BENCH_local.json."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    newest = 0
+    for pat in (r"BENCH_r(\d+)\.json", r"CORRECTNESS_r(\d+)\.json"):
+        for p in here.glob("*.json"):
+            m = re.fullmatch(pat, p.name)
+            if m:
+                newest = max(newest, int(m.group(1)))
+    return newest + 1 if newest else 0
 
 
 def compact_line(out: dict, detail_ref: str) -> str:
@@ -288,16 +313,10 @@ def main() -> None:
     # in the previous round's record whose implementation did NOT
     # change this round — the judge diffs those and nothing else.
     CHANGED_THIS_ROUND = {
-        # r10: match_pairs length sub-blocking (pair volume down) +
-        # connected_components change-detection folded into the round
-        # aggregation (one fewer join job per round) — every variant
-        # built on propagation CC or blocked ER changed plan
-        "dedup_clusters.entity",
-        "dedup_clusters.clusters",
-        "dedup_clusters.split",
-        "dedup_clusters.curation",
-        # r10: crawl replay now deletes the previous invocation's
-        # scratch dir at entry (ADVICE r9) — extra I/O in the timing
+        # r11: crawl admission extracts once per epoch (index derives
+        # from the landed parquet), the clone join is persisted across
+        # epoch writes, and the result is localCheckpointed — the
+        # slot's job graph changed
         "near_dup_hash.crawl",
     }
     # the driver's BENCH_r{N}.json truncates the JSON into a "tail"
@@ -330,7 +349,8 @@ def main() -> None:
     # tail window from r5 on).
     detail_path = Path(
         os.environ.get(
-            "SPARK_GRAFT_BENCH_OUT", str(here / "BENCH_local.json")
+            "SPARK_GRAFT_BENCH_OUT",
+            str(here / f"BENCH_r{detect_round(here)}_local.json"),
         )
     )
     try:

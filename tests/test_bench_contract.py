@@ -58,3 +58,45 @@ def test_compact_line_truncates_rather_than_overflow():
     assert d["queries_truncated_to_top10"] is True
     assert len(d["queries"]) == 10
     assert d["n_slots"] == 200  # the true count survives truncation
+
+
+def test_detect_round_reads_newest_driver_artifact(tmp_path, monkeypatch):
+    """One canonical record name per round (VERDICT r10 #5): the
+    current round = newest driver BENCH_r{N}/CORRECTNESS_r{N} + 1,
+    env-pinnable, deterministic fallback when no artifact exists."""
+    from bench import detect_round
+
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    assert detect_round(tmp_path) == 0  # bare repo: still deterministic
+    (tmp_path / "BENCH_r3.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r10.json").write_text("{}")
+    (tmp_path / "BENCH_r9_local.json").write_text("{}")  # not a driver file
+    (tmp_path / "BENCH_sf10_r12.json").write_text("{}")  # not a driver file
+    assert detect_round(tmp_path) == 11
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    assert detect_round(tmp_path) == 7
+
+
+def test_detect_round_matches_live_repo(monkeypatch):
+    """The repo working copy itself must resolve to the round AFTER
+    the newest committed driver artifact."""
+    import re
+    from pathlib import Path
+
+    from bench import detect_round
+
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    here = Path(__file__).resolve().parent.parent
+    newest = max(
+        (
+            int(m.group(1))
+            for p in here.glob("*.json")
+            if (
+                m := re.fullmatch(
+                    r"(?:BENCH|CORRECTNESS)_r(\d+)\.json", p.name
+                )
+            )
+        ),
+        default=0,
+    )
+    assert detect_round(here) == (newest + 1 if newest else 0)

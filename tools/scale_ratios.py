@@ -33,8 +33,15 @@ def main() -> None:
     a = json.load(open(args.small))["queries"]
     b = json.load(open(args.large))["queries"]
     keys = sorted(
-        (k for k in a if k in b and isinstance(a[k], (int, float))),
-        key=lambda k: -(b[k] / a[k] if a[k] else 0),
+        (
+            k
+            for k in a
+            if k in b
+            and isinstance(a[k], (int, float))
+            and isinstance(b[k], (int, float))
+            and a[k] > 0
+        ),
+        key=lambda k: -(b[k] / a[k]),
     )
     flagged = 0
     print(f"{'slot':42s} {'small':>8s} {'large':>8s} {'ratio':>7s}")

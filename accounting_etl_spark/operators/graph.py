@@ -90,9 +90,28 @@ def connected_components(
                 F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
             )
         )
+        mins = merged.groupBy("node").agg(
+            F.min("label").alias("label"), F.max("old").alias("old")
+        )
+        # pointer jump (r11): follow my new label's new label. Labels
+        # only decrease and label(x) <= x, so the jump is monotone and
+        # safe; composing it with the one-hop min makes the covered
+        # distance roughly DOUBLE per round instead of +1, so rounds
+        # ~ log(diameter) instead of diameter. On small/medium graphs
+        # per-round fixed job cost is the whole CC wall (profiled r10:
+        # 6 rounds ≈ 6s at 16k nodes) — halving rounds beats the one
+        # extra label-sized self-join each round costs. Fixpoint test
+        # is unchanged: if nothing moved, the min step alone was
+        # already stationary, i.e. true propagation fixpoint.
+        jump = mins.select(
+            F.col("label").alias("__jn"), F.col("node").alias("__jnode")
+        ).alias("J")
         new_labels = stable_checkpoint(
-            merged.groupBy("node").agg(
-                F.min("label").alias("label"), F.max("old").alias("old")
+            mins.join(jump, mins["label"] == F.col("J.__jnode"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("J.__jn"), F.col("label")).alias("label"),
+                "old",
             )
         )
         changed = new_labels.filter(

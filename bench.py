@@ -318,6 +318,13 @@ def main() -> None:
         # epoch writes, and the result is localCheckpointed — the
         # slot's job graph changed
         "near_dup_hash.crawl",
+        # r11: connected_components gained a per-round pointer jump
+        # (rounds ~log(diameter) instead of diameter) — every variant
+        # built on propagation CC changed plan
+        "dedup_clusters.entity",
+        "dedup_clusters.clusters",
+        "dedup_clusters.split",
+        "dedup_clusters.curation",
     }
     # the driver's BENCH_r{N}.json truncates the JSON into a "tail"
     # string; the builder's own BENCH_r{N}_local.json holds the full

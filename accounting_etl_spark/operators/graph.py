@@ -311,18 +311,31 @@ def pagerank_int(
     init = int(scale) // n_nodes
     teleport = (int(scale) * (den - num)) // (den * n_nodes)
 
+    # outdeg attached to the edge list ONCE, outside the loop (r11
+    # optimization, guide §2.4/§3): the per-round ranks ⋈ outdeg join
+    # is loop-invariant — (rank*num) div (den*outdeg) evaluated per
+    # EDGE is bit-identical to the per-src quotient fanned out over
+    # edges (integer division of the same operands), and it is exactly
+    # what the unrolled DuckDB twin computes. One equi-join per round
+    # instead of two; ew is checkpointed so the join subtree is a
+    # materialized re-read.
+    ew = stable_checkpoint(
+        e.join(
+            base.where(F.col("outdeg") > 0)
+            .select(F.col("node").alias("src"), "outdeg"),
+            "src",
+        )
+    )
     ranks = base.select("node", F.lit(init).cast("bigint").alias("rank"))
     for it in range(iters):
-        # per-source quotient computed once, then fanned out over edges
-        per_src = ranks.join(base.where(F.col("outdeg") > 0), "node").select(
-            F.col("node").alias("src"),
+        contrib = ranks.join(
+            ew, ranks["node"] == ew["src"]
+        ).select(
+            F.col("dst").alias("node"),
             F.expr(
                 f"(rank * CAST({num} AS BIGINT)) div "
                 f"(CAST({den} AS BIGINT) * outdeg)"
             ).alias("__c"),
-        )
-        contrib = per_src.join(e, "src").select(
-            F.col("dst").alias("node"), "__c"
         )
         ranks = (
             base.select("node")

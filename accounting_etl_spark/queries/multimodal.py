@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.spread import spread
 from ..operators.dedup import minhash_candidates, simhash_candidates
 from ..operators.multimodal import attach_payload, extract_media_features
 from ..sources.tables import load_table
@@ -175,15 +176,39 @@ def _token_plane(text: str) -> "np.ndarray":
     import numpy as np
 
     toks = str(text).split()
-    pr = np.full(72, -1, np.int64)
     val = np.zeros((72, 3), np.uint8)
-    for i in range(len(toks) - 1):
-        h = zlib.crc32(f"{toks[i]} {toks[i + 1]}".encode("utf-8"))
-        pos = h % 72
-        p = np.int64((h * 0x9E3779B1) & 0x7FFFFFFF)
-        if p > pr[pos]:
-            pr[pos] = p
-            val[pos] = ((h >> 8) & 255, (h >> 16) & 255, (h >> 24) & 255)
+    if len(toks) >= 2:
+        # vectorized winner-per-pixel (r11 optimization, guide §4.2):
+        # the original per-bigram loop did scalar numpy indexing per
+        # bigram (~1M interpreted iterations per 5k-doc corpus across
+        # the four render shims). Selection semantics preserved
+        # exactly: winner = max priority per pixel, FIRST bigram on
+        # priority ties (`p > pr[pos]` never replaced an equal p) —
+        # lexsort (pos asc, p desc, index asc) + first-row-per-pos.
+        hs = np.fromiter(
+            (
+                zlib.crc32(f"{toks[i]} {toks[i + 1]}".encode("utf-8"))
+                for i in range(len(toks) - 1)
+            ),
+            dtype=np.int64,
+            count=len(toks) - 1,
+        )
+        pos = hs % 72
+        # unsigned wrap keeps the low 31 bits exact — identical to the
+        # unbounded python-int product masked to 31 bits
+        p = (
+            (hs.astype(np.uint64) * np.uint64(0x9E3779B1))
+            & np.uint64(0x7FFFFFFF)
+        ).astype(np.int64)
+        order = np.lexsort((np.arange(hs.size), -p, pos))
+        spos = pos[order]
+        first = np.ones(spos.size, bool)
+        first[1:] = spos[1:] != spos[:-1]
+        win = order[first]
+        wpos, wh = pos[win], hs[win]
+        val[wpos, 0] = (wh >> 8) & 255
+        val[wpos, 1] = (wh >> 16) & 255
+        val[wpos, 2] = (wh >> 24) & 255
     return val.reshape(8, 9, 3)
 
 
@@ -220,7 +245,10 @@ def q_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unit-tested."""
     from ..operators.image_hash import image_hashes, near_dup_image_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread before the opaque Arrow render: a one-file local scan
+    # would otherwise run the whole per-doc render+decode on ONE core
+    # (r11 optimization, guide §2.5 input skew; no-op at real scale)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     hashes = image_hashes(_render_doc_bmps(docs))
     return near_dup_image_pairs(hashes, max_hamming=3)
 
@@ -311,7 +339,7 @@ def q_near_dup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_audio_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     fps = audio_fingerprints(_render_doc_wavs(docs))
     return near_dup_audio_pairs(fps, max_hamming=3)
 
@@ -360,7 +388,7 @@ def q_near_dup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_fingerprints,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     fps = video_fingerprints(_render_doc_clips(docs))
     return hamming_banded_pairs(fps, hash_col="fp", max_hamming=3)
 
@@ -377,19 +405,39 @@ def q_near_dup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded probe; the corpus is never re-hashed per batch). Output
     (id_a = batch doc, id_b = corpus signature rep, hamming).
     Rows-only (decode UDF); index/self-join equivalence, degenerate
-    collapse and hot-posting caps are unit-tested."""
+    collapse and hot-posting caps are unit-tested.
+
+    Render-pass discipline (r11 optimization): the corpus/batch split
+    happens on ``documents`` BEFORE the render — a ``doc_id`` filter
+    cannot push below the opaque ``mapInPandas`` render+decode pass
+    (guide §4.1), so splitting the HASHES frame re-rendered the whole
+    corpus per branch; worse, ``hamming_against_index`` references its
+    batch side twice (exact + banded) and the index twice (exact +
+    posting lists), so one action ran FOUR full-corpus render+decode
+    passes (plan-counted: 4 MapInPandas-pair subtrees). Now each doc
+    renders exactly once (its own side), and both the signature index
+    and the batch hashes are checkpointed so the double references
+    re-read bounded materialized rows instead of re-decoding."""
+    from ..functions.checkpointing import stable_checkpoint
     from ..operators.image_hash import image_hashes
     from ..operators.incremental import (
         hamming_against_index,
         hamming_signature_index,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    hashes = image_hashes(_render_doc_bmps(docs))
-    corpus = hashes.where(F.col("doc_id") >= _INCR_BATCH_IDS)
-    batch = hashes.where(F.col("doc_id") < _INCR_BATCH_IDS)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    corpus = image_hashes(
+        _render_doc_bmps(docs.where(F.col("doc_id") >= _INCR_BATCH_IDS))
+    )
+    batch = stable_checkpoint(
+        image_hashes(
+            _render_doc_bmps(docs.where(F.col("doc_id") < _INCR_BATCH_IDS))
+        )
+    )
     links = hamming_against_index(
-        batch, hamming_signature_index(corpus), max_hamming=3
+        batch,
+        stable_checkpoint(hamming_signature_index(corpus)),
+        max_hamming=3,
     )
     return links.select(
         F.col("batch_id").alias("id_a"),

@@ -106,10 +106,15 @@ def merge_epoch(
     spark = batch.sparkSession
     # touched buckets: bounded by the stream's watermark/lateness, one
     # row per bucket — a driver-side list by design (it keys the
-    # manifest and the partition-pruned state read)
+    # manifest and the partition-pruned state read). Derived from the
+    # RAW batch, not from ``partials`` (r11 optimization): the set of
+    # buckets with >= 1 row is identical either way, but distinct over
+    # one projected column lets column pruning reach the scan (guide
+    # §6) instead of paying the (bucket × keys) aggregation a second
+    # time — the merged write below is then the only full-width pass.
     touched = sorted(
         str(r[bucket_col]) for r in
-        partials.select(bucket_col).distinct().collect()
+        batch.select(bucket_col).distinct().collect()
     )
     if not touched:
         manifest["epochs"] = manifest["epochs"] + [epoch_id]

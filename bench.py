@@ -325,6 +325,18 @@ def main() -> None:
         "dedup_clusters.clusters",
         "dedup_clusters.split",
         "dedup_clusters.curation",
+        # r11 optimization round: render shims spread across cores +
+        # vectorized token plane (image/audio/video), incr splits the
+        # corpus BEFORE the render and checkpoints the signature index
+        # (4 full-corpus render passes -> 2), pagerank hoists the
+        # loop-invariant outdeg join, rollup's touched-bucket pass is
+        # a pruned single-column distinct
+        "near_dup_hash.image",
+        "near_dup_hash.audio",
+        "near_dup_hash.video",
+        "near_dup_hash.incr",
+        "dist_stats.pagerank",
+        "event_windows.rollup",
     }
     # the driver's BENCH_r{N}.json truncates the JSON into a "tail"
     # string; the builder's own BENCH_r{N}_local.json holds the full

@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame
 
 CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+NO_CHECKPOINT_ENV = "SPARK_GRAFT_NO_CHECKPOINT"
 
 
 def stable_checkpoint(df: DataFrame, *, eager: bool = False) -> DataFrame:
@@ -25,7 +26,16 @@ def stable_checkpoint(df: DataFrame, *, eager: bool = False) -> DataFrame:
     no external dependency; correct for local mode.
     ``SPARK_GRAFT_CHECKPOINT_DIR`` set: reliable ``checkpoint`` to that
     directory, surviving executor loss on a cluster.
+    ``SPARK_GRAFT_NO_CHECKPOINT=1``: return ``df`` unchanged — a
+    PLAN-INSPECTION mode only (tools/dump_plan.py): checkpoints
+    truncate every dumped plan to ``Scan ExistingRDD`` stubs, hiding
+    exactly the subtrees an optimization round must show (VERDICT r11
+    #1). Never set it for a timed or correctness run: pipelines that
+    re-reference a checkpointed frame would recompute the subtree per
+    reference.
     """
+    if os.environ.get(NO_CHECKPOINT_ENV) == "1":
+        return df
     ckdir = os.environ.get(CHECKPOINT_DIR_ENV)
     if ckdir:
         spark = df.sparkSession

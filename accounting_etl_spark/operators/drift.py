@@ -35,13 +35,24 @@ def token_ppm(
     tf = rows.groupBy(group_col, token_col).agg(
         F.count(F.lit(1)).alias("__c")
     )
-    totals = rows.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("__n")
+    return token_ppm_from_counts(tf, group_col, token_col, "__c")
+
+
+def token_ppm_from_counts(
+    tf: DataFrame, group_col: str, token_col: str, count_col: str
+) -> DataFrame:
+    """:func:`token_ppm` from a pre-aggregated ``(group, token,
+    count)`` table — the group totals are the per-group SUM of the
+    counts, identical to counting the raw token rows. Lets a caller
+    that already materialized the counts (e.g. the tfidf/drift shared
+    subtree, r12) skip re-tokenizing the corpus."""
+    totals = tf.groupBy(group_col).agg(
+        F.sum(count_col).alias("__n")
     )
     return tf.join(totals, group_col).select(
         group_col,
         token_col,
-        F.expr(f"(__c * {PPM}) div __n").alias("q"),
+        F.expr(f"({count_col} * {PPM}) div __n").alias("q"),
     )
 
 

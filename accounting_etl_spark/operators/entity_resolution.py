@@ -39,6 +39,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.checkpointing import stable_checkpoint
 from ..functions.pairs import explode_bucket_pairs
 from .graph import connected_components
 
@@ -162,7 +163,19 @@ def resolve_entities(
     # records are implied by the shared representative, and the
     # rep-level CC label (min rep id) equals the min record id of the
     # merged cluster because each rep is already its group's minimum.
-    reps = rec.groupBy("name").agg(F.min("id").alias("rep"))
+    #
+    # The per-name record count rides the SAME aggregation (r12, guide
+    # §2.3/§2.4): cluster sizes are then a name-level sum — the old
+    # shape aggregated the record-level join output and joined it back,
+    # evaluating the record⋈label join twice. reps is checkpointed
+    # because three consumers read it (blocking input, the label
+    # attach, the size sum); it is bounded by the DISTINCT-name count.
+    reps = stable_checkpoint(
+        rec.groupBy("name").agg(
+            F.min("id").alias("rep"),
+            F.count(F.lit(1)).cast("bigint").alias("__n_recs"),
+        )
+    )
     edges = match_pairs(
         reps.select(
             F.col("rep").alias(id_col), F.col("name").alias(name_col)
@@ -179,13 +192,21 @@ def resolve_entities(
     rep_label = reps.join(
         labels, reps["rep"] == labels["node"], "left"
     ).select(
-        "name", F.coalesce(F.col("label"), F.col("rep")).alias("entity_id")
+        "name",
+        "__n_recs",
+        F.coalesce(F.col("label"), F.col("rep")).alias("entity_id"),
     )
-    ent = rec.join(rep_label, "name")
-    sizes = ent.groupBy("entity_id").agg(
-        F.count("*").cast("bigint").alias("cluster_size")
+    # cluster_size = records per entity = Σ per-name counts over the
+    # entity's names — identical to counting the record-level rows,
+    # computed on the bounded name table instead
+    sizes = rep_label.groupBy("entity_id").agg(
+        F.sum("__n_recs").cast("bigint").alias("cluster_size")
     )
-    return ent.join(sizes, "entity_id").select(
+    name_map = rep_label.select("name", "entity_id").join(
+        sizes, "entity_id"
+    )
+    # ONE record-sized join pass attaches (entity_id, cluster_size)
+    return rec.join(name_map, "name").select(
         "id",
         "name",
         "entity_id",

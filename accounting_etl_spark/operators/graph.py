@@ -527,8 +527,29 @@ def k_core(
         )
     )
     cur = und
-    n_edges = cur.count()
     rounds = iters if iters is not None else max_iter
+    if iters is not None:
+        # fixed-round mode (the oracle-unrolled form): no fixpoint test
+        # is needed, so skip the per-round count ACTION entirely —
+        # peeling an already-empty edge set is a no-op, and each round
+        # stays a lazy checkpoint that materializes bottom-up under the
+        # final action. On small/medium graphs the per-round fixed job
+        # cost IS the k-core wall time (the CC lesson, r10 profiling:
+        # ~1 s/job locally) — dropping iters+1 count jobs halves the
+        # action count of the variant (r12, guide §1.2 / §2.4).
+        for _ in range(rounds):
+            deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+            keep = deg.where(F.col("__d") >= k).select("u")
+            cur = stable_checkpoint(
+                cur.join(keep, "u", "left_semi").join(
+                    keep.select(F.col("u").alias("v")), "v", "left_semi"
+                )
+            )
+        surv = cur.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        return surv
+    n_edges = cur.count()
     for _ in range(rounds):
         if n_edges == 0:
             break
@@ -540,7 +561,7 @@ def k_core(
             )
         )
         n_next = nxt.count()
-        if iters is None and n_next == n_edges:
+        if n_next == n_edges:
             break
         cur, n_edges = nxt, n_next
     surv = cur.groupBy(F.col("u").alias("node")).agg(

@@ -78,7 +78,17 @@ def kmeans_quantized(
     """Run ``iters`` assignment rounds (with ``iters - 1`` centroid
     updates between them) and return the input rows with the final
     ``cluster`` column. Initial centroids = the quantized vectors of
-    the ``k`` smallest ids (deterministic, no RNG)."""
+    the ``k`` smallest ids (deterministic, no RNG).
+
+    The input is ``stable_checkpoint``-ed once up front (r12, guide
+    §2.4 loop-invariant hoisting): the quantize-transform scan is
+    consumed by the init collect, every per-round assignment pass and
+    every centroid-update aggregation — 1 + iters + (iters-1) ≈ 2·iters
+    evaluations of the same subtree without lineage truncation; with
+    it, one materialization and 2·iters cheap re-reads."""
+    from ..functions.checkpointing import stable_checkpoint
+
+    df = stable_checkpoint(df)
     init = (
         df.orderBy(id_col).limit(k).select(id_col, qv_col).collect()
     )  # bounded: k rows

@@ -417,7 +417,14 @@ def q_near_dup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes (plan-counted: 4 MapInPandas-pair subtrees). Now each doc
     renders exactly once (its own side), and both the signature index
     and the batch hashes are checkpointed so the double references
-    re-read bounded materialized rows instead of re-decoding."""
+    re-read bounded materialized rows instead of re-decoding.
+    ``eager=True`` on both checkpoints (r12, ADVICE r11): in
+    reliable-checkpoint mode (``SPARK_GRAFT_CHECKPOINT_DIR`` set) a
+    NON-eager ``Dataset.checkpoint`` computes the unpersisted subtree
+    once for the first job and again for the checkpoint write — two
+    extra full render passes on a cluster; eager materialization pins
+    the single-render guarantee in both modes (localCheckpoint does
+    the same total work either way)."""
     from ..functions.checkpointing import stable_checkpoint
     from ..operators.image_hash import image_hashes
     from ..operators.incremental import (
@@ -432,11 +439,12 @@ def q_near_dup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = stable_checkpoint(
         image_hashes(
             _render_doc_bmps(docs.where(F.col("doc_id") < _INCR_BATCH_IDS))
-        )
+        ),
+        eager=True,
     )
     links = hamming_against_index(
         batch,
-        stable_checkpoint(hamming_signature_index(corpus)),
+        stable_checkpoint(hamming_signature_index(corpus), eager=True),
         max_hamming=3,
     )
     return links.select(

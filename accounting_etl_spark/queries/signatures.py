@@ -85,16 +85,21 @@ def synthetic_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", sig.alias("sig"))
 
 
-def q_hbp_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hbp_synth(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> DataFrame:
     """'hbp' variant: the REAL :func:`~..operators.image_hash.
     hamming_banded_pairs` (identical-signature collapse, pigeonhole
     banding, posting cap, bit_count verify) over synthetic signatures
     — the scale-critical pairing plan, hash-checked against a DuckDB
     brute-force twin that replicates each stage (VERDICT r7 Next #1).
-    Columns: doc_a/doc_b = pair ids, inter = Hamming distance."""
+    Columns: doc_a/doc_b = pair ids, inter = Hamming distance.
+    ``sigs`` lets the merged entry share one checkpointed signature
+    table across the four synthetic-signature variants (r12)."""
     from ..operators.image_hash import hamming_banded_pairs
 
-    sigs = synthetic_signatures(spark, sf_dir)
+    if sigs is None:
+        sigs = synthetic_signatures(spark, sf_dir)
     pairs = hamming_banded_pairs(
         sigs,
         id_col="doc_id",
@@ -115,7 +120,9 @@ def q_hbp_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HBPC_MAX_BUCKET = 3  # force multi-chunk pair expansion on 4-8 postings
 
 
-def q_hbp_chunked_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hbp_chunked_synth(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> DataFrame:
     """'hbpc' variant: chunked-expansion invariance, hash-checked —
     the same signatures and cap as 'hbp' but ``max_bucket=3``, so
     every posting list of 4..8 members is cut into chunk-pair rows
@@ -126,7 +133,8 @@ def q_hbp_chunked_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     off-diagonal split hash-mismatches."""
     from ..operators.image_hash import hamming_banded_pairs
 
-    sigs = synthetic_signatures(spark, sf_dir)
+    if sigs is None:
+        sigs = synthetic_signatures(spark, sf_dir)
     pairs = hamming_banded_pairs(
         sigs,
         id_col="doc_id",
@@ -145,7 +153,9 @@ def q_hbp_chunked_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_hot_band_audit_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hot_band_audit_synth(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> DataFrame:
     """'hbaudit' variant: :func:`~..operators.image_hash.
     hot_band_audit` over the same signatures — the bands the cap
     SKIPS, as driver-visible rows (the no-silent-caps principle,
@@ -153,7 +163,8 @@ def q_hot_band_audit_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = distinct-signature count."""
     from ..operators.image_hash import hot_band_audit
 
-    sigs = synthetic_signatures(spark, sf_dir)
+    if sigs is None:
+        sigs = synthetic_signatures(spark, sf_dir)
     audit = hot_band_audit(
         sigs,
         hash_col="sig",
@@ -169,7 +180,9 @@ def q_hot_band_audit_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_admission_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_admission_synth(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> DataFrame:
     """'admit' variant: the REAL :func:`~..streaming.dedup.
     perceptual_admission_batch` run as a deterministic two-epoch
     sequence over synthetic signatures (VERDICT r7 Next #3) — epoch 1
@@ -184,9 +197,9 @@ def q_admission_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..streaming.dedup import perceptual_admission_batch
 
-    sigs = synthetic_signatures(spark, sf_dir).select(
-        "doc_id", F.col("sig").alias("dhash")
-    )
+    if sigs is None:
+        sigs = synthetic_signatures(spark, sf_dir)
+    sigs = sigs.select("doc_id", F.col("sig").alias("dhash"))
     # scratch_dir wipes at entry: each invocation (the bench re-runs
     # variants) replays the identical from-empty two-epoch sequence.
     # The per-invocation counter suffix keeps concurrent evaluations
@@ -242,7 +255,9 @@ _MH_MAX_POSTING = 4  # the two 5-member postings are skipped (cap path)
 _MH_MAX_BUCKET = 3  # 4-member postings go through chunk-pair rows
 
 
-def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_portable(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """'mhp' variant: the REAL :func:`~..operators.dedup.
     minhash_candidates` (shingle → per-member min → identical-signature
     star collapse → banded postings → posting cap → chunked pair
@@ -252,7 +267,9 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     'jaccard' variant's job)."""
     from ..operators.dedup import minhash_candidates
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "text")
     pairs = minhash_candidates(
         docs,
         id_col="doc_id",
@@ -345,7 +362,9 @@ _SH_CHUNKS = 4
 _SH_MAX_POSTING = 8  # measured at sf0.01: 11 hot buckets skipped
 
 
-def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simhash_portable(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """'shp' variant: the REAL :func:`~..operators.dedup.
     simhash_candidates` with ``family="portable"`` over ``documents``
     text — the 60-bit md5-nibble majority-vote signature (bit j set
@@ -357,7 +376,9 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, inter = Hamming distance."""
     from ..operators.dedup import simhash_candidates
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "text")
     pairs = simhash_candidates(
         docs,
         id_col="doc_id",

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.checkpointing import stable_checkpoint
 from ..functions.spread import spread
 from ..sources.tables import load_table
 from . import Q
@@ -274,6 +275,16 @@ def _bounded_cosines(
     ``(vec_id, n2)``. Shared by the 'pairs' and 'semdedup' variants so
     the decimal-dot determinism contract (see q_cosine_topk) holds for
     both.
+
+    Both frames are ``stable_checkpoint``-ed before returning: they are
+    BOUNDED (≤ C(limit,2) pair rows / limit norm rows for the
+    ``vec_id < {limit}`` id range) but every consumer references them
+    several times (semdedup 3×, the pinned IVF probe 6×), and without
+    lineage truncation each reference inlines the full
+    posexplode→self-join subtree — the r12 before-plan of the merged
+    entry carried 107 separate embeddings scans (guide §2.4/§2.6,
+    exchange reuse does not survive AQE re-planning). After: one scan
+    per checkpoint, every reference a materialized re-read.
     """
     emb = spread(
         load_table(spark, sf_dir, "embeddings").filter(
@@ -306,18 +317,23 @@ def _bounded_cosines(
         )
         .select("va", "vb", "cosine")
     )
-    return cos, norms
+    return stable_checkpoint(cos), stable_checkpoint(norms)
 
 
-def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_near_dup_embedding(
+    spark: SparkSession,
+    sf_dir: str,
+    cn: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Embedding-cosine near-dup pairs (SURVEY §2.11 dedup family).
 
     Exact decimal cosine over a bounded id range (all-pairs is the
     oracle baseline; the unbounded path goes through the LSH buckets
     of operators/similarity.py first). Same decimal-dot determinism
-    contract as q_cosine_topk.
+    contract as q_cosine_topk. ``cn`` lets the merged entry share one
+    checkpointed (cos, norms) pair across all cosine-family variants.
     """
-    cos, _ = _bounded_cosines(spark, sf_dir)
+    cos, _ = cn if cn is not None else _bounded_cosines(spark, sf_dir)
     return cos.filter(F.col("cosine") >= _EMB_DD_THRESHOLD)
 
 
@@ -351,7 +367,11 @@ def _anchor_cosines(cos: DataFrame, norms: DataFrame) -> DataFrame:
     )
 
 
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    cn: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space,
     then drop all-but-one of each intra-cluster group of semantic
     near-duplicates.
@@ -371,7 +391,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives. Output per vector: its cluster anchor (``vb``), cosine
     to that anchor, and the keep flag.
     """
-    cos, norms = _bounded_cosines(spark, sf_dir)
+    cos, norms = cn if cn is not None else _bounded_cosines(spark, sf_dir)
     danc = _anchor_cosines(cos, norms)
     from ..operators.topk import topk_per_group
 
@@ -405,7 +425,11 @@ _SEM_DECONTAM_MOD = 9  # vec_id % 9 == 0 vectors play the eval set
 _SEM_DECONTAM_THRESHOLD = 0.30
 
 
-def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_decontam(
+    spark: SparkSession,
+    sf_dir: str,
+    cn: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Semantic (embedding-level) benchmark decontamination.
 
     The n-gram overlap rule (operators/decontam.py) misses
@@ -425,7 +449,7 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.topk import topk_per_group
 
-    cos, _ = _bounded_cosines(spark, sf_dir)
+    cos, _ = cn if cn is not None else _bounded_cosines(spark, sf_dir)
     sym = cos.unionByName(
         cos.select(
             F.col("vb").alias("va"), F.col("va").alias("vb"), "cosine"
@@ -447,7 +471,11 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTRAST_NEG_T = 0.05
 
 
-def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_contrastive_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    cn: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """'contrast' variant: contrastive-pair mining, bounded exact
     form.  Per anchor: the best positive (highest cosine ≥ τ⁺ =
     {_EMB_DD_THRESHOLD}) and the hardest negative (highest cosine ≤
@@ -456,7 +484,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale generates candidates from IVF cells instead of
     all-pairs (unit-asserted equal to brute force at full probe).
     Output rows: (va=anchor, vb=pair, cosine, keep=is_positive)."""
-    cos, _ = _bounded_cosines(spark, sf_dir)
+    cos, _ = cn if cn is not None else _bounded_cosines(spark, sf_dir)
     sym = cos.unionByName(
         cos.select(F.col("vb").alias("va"), F.col("va").alias("vb"), "cosine")
     )
@@ -498,7 +526,11 @@ _IVF_K = 3
 
 
 def q_ivf_pinned(
-    spark: SparkSession, sf_dir: str, *, n_probe: int = _IVF_NPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    cn: tuple[DataFrame, DataFrame] | None = None,
+    *,
+    n_probe: int = _IVF_NPROBE,
 ) -> DataFrame:
     """'ivf' variant: the IVF probe plan hash-pinned end-to-end
     (VERDICT r7 Next #2) — the exact plan shape of
@@ -520,7 +552,7 @@ def q_ivf_pinned(
     (anchors, n_probe) configuration."""
     from ..operators.topk import topk_per_group
 
-    cos, norms = _bounded_cosines(spark, sf_dir)
+    cos, norms = cn if cn is not None else _bounded_cosines(spark, sf_dir)
     danc = _anchor_cosines(cos, norms)
     assigned = topk_per_group(
         danc, ["doc"], [F.desc("cosine"), F.asc("anchor")], 1
@@ -885,24 +917,33 @@ def q_near_dup_embedding_merged(
     best-matching eval vector and keep = best cosine under the
     threshold. variant 'contrast': contrastive-pair mining — per
     anchor the best positive (keep=true) and hardest negative
-    (keep=false)."""
-    pairs = q_near_dup_embedding(spark, sf_dir).select(
+    (keep=false).
+
+    Shared-subframe discipline (VERDICT r11 Next #3): all five
+    cosine-family variants consume the SAME bounded all-pairs cosine
+    table — compute (cos, norms) once (checkpointed inside
+    ``_bounded_cosines``) and pass the pair down, instead of
+    re-deriving the posexplode→self-join subtree per variant (the r12
+    before-plan carried 107 embeddings scans; after, one per
+    checkpoint)."""
+    cn = _bounded_cosines(spark, sf_dir)
+    pairs = q_near_dup_embedding(spark, sf_dir, cn).select(
         F.lit("pairs").alias("variant"),
         "va",
         "vb",
         "cosine",
         F.lit(None).cast("boolean").alias("keep"),
     )
-    sem = q_semdedup(spark, sf_dir).select(
+    sem = q_semdedup(spark, sf_dir, cn).select(
         F.lit("semdedup").alias("variant"), "va", "vb", "cosine", "keep"
     )
-    dec = q_semantic_decontam(spark, sf_dir).select(
+    dec = q_semantic_decontam(spark, sf_dir, cn).select(
         F.lit("decontam").alias("variant"), "va", "vb", "cosine", "keep"
     )
-    con = q_contrastive_pairs(spark, sf_dir).select(
+    con = q_contrastive_pairs(spark, sf_dir, cn).select(
         F.lit("contrast").alias("variant"), "va", "vb", "cosine", "keep"
     )
-    ivf = q_ivf_pinned(spark, sf_dir).select(
+    ivf = q_ivf_pinned(spark, sf_dir, cn).select(
         F.lit("ivf").alias("variant"), "va", "vb", "cosine", "keep"
     )
     jl = q_jl_pairs(spark, sf_dir)

@@ -896,7 +896,9 @@ def _jaccard_pairs(postings: DataFrame) -> DataFrame:
     )
 
 
-def _pair_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pair_profile(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Shared candidate-pair profile for the shingle-overlap family:
     one row per unordered doc pair sharing >= 1 live shingle, with
     ``(doc_a, doc_b, inter, na, nb)`` — intersection size and both
@@ -905,10 +907,11 @@ def _pair_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, so the expensive shingle self-join runs once for the
     whole family.
     """
-    # small-file scans arrive as ONE partition — spread the CPU-heavy
-    # shingling across cores before exploding (no-op once the scan is
-    # already many partitions)
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    if docs is None:
+        # small-file scans arrive as ONE partition — spread the
+        # CPU-heavy shingling across cores before exploding (no-op
+        # once the scan is already many partitions)
+        docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.trim(F.col("text")), " ")
     # shingle keys via the hashed-gram scheme (functions/text.py
     # hashed_grams): 64-bit keys from a materialized token-hash
@@ -1008,8 +1011,20 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs is filtered to the qualifying variants and exploded — the
     shingle self-join is never evaluated twice. variant 'jaccard':
     see q_near_dup_jaccard; variant 'contain': see
-    q_containment_pairs."""
-    prof = _pair_profile(spark, sf_dir)
+    q_containment_pairs.
+
+    Shared-subframe discipline (r12, VERDICT r11 Next #3): the union's
+    eight variants read the same corpus — the documents frame is
+    loaded/spread/persisted ONCE (shingle profile + mhp + shp), and
+    the synthetic signature table is checkpointed ONCE for the four
+    signature variants (hbp, hbpc, hbaudit, admit) instead of each
+    re-deriving the md5 signature expressions from a fresh scan."""
+    from pyspark import StorageLevel
+
+    shared_docs = spread(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prof = _pair_profile(spark, sf_dir, docs=shared_docs)
     inter_d = F.col("inter").cast("double")
     un = (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint")
     mn = F.least("na", "nb").cast("bigint")
@@ -1048,7 +1063,10 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_hot_band_audit_synth,
         q_minhash_portable,
         q_simhash_portable,
+        synthetic_signatures,
     )
+
+    shared_sigs = stable_checkpoint(synthetic_signatures(spark, sf_dir))
 
     def _tag(name: str, df: DataFrame) -> DataFrame:
         return df.select(
@@ -1061,12 +1079,27 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        shingle.unionByName(_tag("hbp", q_hbp_synth(spark, sf_dir)))
-        .unionByName(_tag("hbpc", q_hbp_chunked_synth(spark, sf_dir)))
-        .unionByName(_tag("hbaudit", q_hot_band_audit_synth(spark, sf_dir)))
-        .unionByName(_tag("admit", q_admission_synth(spark, sf_dir)))
-        .unionByName(_tag("mhp", q_minhash_portable(spark, sf_dir)))
-        .unionByName(_tag("shp", q_simhash_portable(spark, sf_dir)))
+        shingle.unionByName(
+            _tag("hbp", q_hbp_synth(spark, sf_dir, sigs=shared_sigs))
+        )
+        .unionByName(
+            _tag("hbpc", q_hbp_chunked_synth(spark, sf_dir, sigs=shared_sigs))
+        )
+        .unionByName(
+            _tag(
+                "hbaudit",
+                q_hot_band_audit_synth(spark, sf_dir, sigs=shared_sigs),
+            )
+        )
+        .unionByName(
+            _tag("admit", q_admission_synth(spark, sf_dir, sigs=shared_sigs))
+        )
+        .unionByName(
+            _tag("mhp", q_minhash_portable(spark, sf_dir, docs=shared_docs))
+        )
+        .unionByName(
+            _tag("shp", q_simhash_portable(spark, sf_dir, docs=shared_docs))
+        )
     )
 
 
@@ -1201,24 +1234,40 @@ QUERIES: dict[str, Q] = {
 _TFIDF_TOP = 5
 
 
+def _source_token_counts(docs: DataFrame) -> DataFrame:
+    """(source, token, tf) — per-(source, token) whitespace-token
+    occurrence counts. The shared base of the 'tfidf' score table and
+    the 'drift' ppm distributions (r12, guide §2.4): both variants
+    need exactly this aggregate, so the merged entry tokenizes the
+    corpus once for the pair instead of once per variant."""
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    return tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
 def q_tfidf_terms(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    tf_src: DataFrame | None = None,
 ) -> DataFrame:
     """Top-5 characteristic terms per source by a rational tf-idf.
 
     idf is the exact ratio N/df (no log — libm rounding differs
     across engines; the ranking semantics are identical), score =
     tf*N/df as one integer product and one double division, so both
-    engines produce bit-identical scores.
+    engines produce bit-identical scores. ``tf_src`` lets the merged
+    entry pass one checkpointed :func:`_source_token_counts` shared
+    with the 'drift' variant.
     """
     if docs is None:
         docs = spread(
             load_table(spark, sf_dir, "documents"), "doc_id"
         )
-    tok = docs.select(
-        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
-    )
-    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf_src if tf_src is not None else _source_token_counts(docs)
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # one-row source count cross-joined lazily (mirrors the oracle's
     # CROSS JOIN n) — no eager .count() action while building the plan
@@ -1231,8 +1280,7 @@ def q_tfidf_terms(
     # tokenized once, not once per branch (tf feeds both the join and
     # the df_ aggregate). n_src is a single row: always safe to hint.
     small = docs.count() <= _BROADCAST_DOC_LIMIT
-    if not small:
-
+    if not small and tf_src is None:
         tf = stable_checkpoint(tf)
         df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     hint = F.broadcast if small else (lambda d: d)
@@ -1301,8 +1349,47 @@ _BM25_QUERIES: dict[str, list[str]] = {
 _BM25_TOP = 5
 
 
+def _bm25_query_terms(spark: SparkSession) -> DataFrame:
+    """Unique (query_id, term) rows of the fixed serving batch — the
+    inverted-index parity contract (operators/inverted_index.py::
+    query_inverted_index)."""
+    return spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, terms in _BM25_QUERIES.items()
+            for t in sorted(set(terms))
+        ],
+        "query_id string, term string",
+    )
+
+
+def _bm25_tf(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(query_id, term, doc_id, dl, tf) — the per-(query, term, doc)
+    term frequencies the whole BM25 family hangs off. The broadcast
+    query-term join filters the corpus token stream map-side before
+    the tf aggregation — the only corpus-sized shuffle (guide §2.3).
+    Shared by the ranking (dfq + scored) and the 'releval' relevance
+    labels, so the tokenize→join→aggregate subtree is built ONCE per
+    entry (r12, guide §2.4 — before, 'bm25', 'hybrid' and 'releval'
+    each re-derived it from raw text)."""
+    ws = F.split(F.trim(F.col("text")), " ")
+    toks = docs.select(
+        "doc_id", F.size(ws).cast("bigint").alias("dl"),
+        F.explode(ws).alias("token"),
+    )
+    qt = _bm25_query_terms(spark)
+    return (
+        toks.join(F.broadcast(qt), toks.token == qt.term)
+        .groupBy("query_id", "term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def _bm25_ranked(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-{k} (query_id, doc_id, rank, score) under exact-rational
     Okapi BM25 — shared by the 'bm25' and 'hybrid' variants.
@@ -1315,7 +1402,8 @@ def _bm25_ranked(
     with an explicit 3-term unroll, so float addition order is pinned
     cross-engine.  The final ranking uses the two-phase top-k
     (operators/topk.py) — 3 query groups never funnel the corpus into
-    3 window tasks."""
+    3 window tasks. ``tf`` lets the merged entry pass one checkpointed
+    :func:`_bm25_tf` shared with 'releval'."""
     from ..operators.topk import topk_per_group_staged
 
     if docs is None:
@@ -1323,29 +1411,15 @@ def _bm25_ranked(
             load_table(spark, sf_dir, "documents"), "doc_id"
         )
     ws = F.split(F.trim(F.col("text")), " ")
-    toks = docs.select(
-        "doc_id", F.size(ws).cast("bigint").alias("dl"),
-        F.explode(ws).alias("token"),
-    )
     stats = docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(ws)).cast("bigint").alias("tl"),
     )
-    # unique terms per query (the inverted-index parity contract —
-    # see operators/inverted_index.py::query_inverted_index)
-    qt = spark.createDataFrame(
-        [
-            (qid, t)
-            for qid, terms in _BM25_QUERIES.items()
-            for t in sorted(set(terms))
-        ],
-        "query_id string, term string",
-    )
-    tf = (
-        toks.join(F.broadcast(qt), toks.token == qt.term)
-        .groupBy("query_id", "term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    if tf is None:
+        # tf feeds two branches (dfq + scored): checkpoint so the
+        # tokenize→join→aggregate subtree materializes once even when
+        # this runs standalone (AQE re-planning breaks exchange reuse)
+        tf = stable_checkpoint(_bm25_tf(spark, docs))
     dfq = tf.groupBy("query_id", "term").agg(
         F.countDistinct("doc_id").alias("df")
     )
@@ -1384,10 +1458,17 @@ def _bm25_ranked(
 
 
 def q_bm25_topk(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
-    """'bm25' variant: see :func:`_bm25_ranked`."""
-    return _bm25_ranked(spark, sf_dir, docs=docs).select(
+    """'bm25' variant: see :func:`_bm25_ranked`. ``ranked`` lets the
+    merged entry share ONE checkpointed ranking with 'hybrid' and
+    'releval' instead of re-running the BM25 pipeline per variant."""
+    if ranked is None:
+        ranked = _bm25_ranked(spark, sf_dir, docs=docs)
+    return ranked.select(
         F.lit("bm25").alias("variant"),
         F.col("query_id").alias("source"),
         F.col("doc_id").cast("string").alias("token"),
@@ -1433,7 +1514,11 @@ _PPM = 1_000_000
 
 
 def q_retrieval_eval(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    ranked: DataFrame | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """'releval' variant: retrieval-quality evaluation of the BM25
     ranking — MRR, precision@k and recall@k in exact ppm integers
@@ -1444,23 +1529,23 @@ def q_retrieval_eval(
     query's distinct terms as whitespace tokens (derived from the same
     token/term join the ranking uses). Metrics are integer `div`
     arithmetic over the bit-exact top-_BM25_TOP ranking, so the driver
-    hash pins the ENTIRE retrieval+eval path end to end."""
+    hash pins the ENTIRE retrieval+eval path end to end.
+
+    The labels now derive from :func:`_bm25_tf` (r12, guide §2.4): tf
+    holds exactly one row per (query_id, term, doc_id) with the term
+    present, so ``countDistinct(term)`` over it equals the old
+    token⋈term re-join — one corpus pass for ranking AND labels
+    instead of two. ``ranked``/``tf`` let the merged entry share its
+    checkpointed frames across 'bm25', 'hybrid' and this variant."""
     if docs is None:
         docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    ranked = _bm25_ranked(spark, sf_dir, docs=docs)
-    ws = F.split(F.trim(F.col("text")), " ")
-    toks = docs.select("doc_id", F.explode(ws).alias("token"))
-    qt = spark.createDataFrame(
-        [
-            (qid, t)
-            for qid, terms in _BM25_QUERIES.items()
-            for t in sorted(set(terms))
-        ],
-        "query_id string, term string",
-    )
+    if tf is None:
+        tf = stable_checkpoint(_bm25_tf(spark, docs))
+    if ranked is None:
+        ranked = _bm25_ranked(spark, sf_dir, docs=docs, tf=tf)
+    qt = _bm25_query_terms(spark)
     rel = (
-        toks.join(F.broadcast(qt), toks.token == qt.term)
-        .groupBy("query_id", "doc_id")
+        tf.groupBy("query_id", "doc_id")
         .agg(F.countDistinct("term").alias("__nt"))
         .filter(F.col("__nt") >= _REL_MIN_TERMS)
         .select("query_id", "doc_id")
@@ -1583,7 +1668,10 @@ def q_bm25_index_serve(
 
 
 def q_hybrid_rerank(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """'hybrid' variant: lexical-then-semantic retrieval — BM25
     candidates re-ranked by embedding cosine to the BM25 rank-1 doc
@@ -1603,8 +1691,10 @@ def q_hybrid_rerank(
 
     # one corpus pass: the ranked result is ≤ queries×k rows —
     # checkpoint it so the candidate and anchor branches both read the
-    # materialized list instead of re-running the BM25 pipeline
-    ranked = stable_checkpoint(_bm25_ranked(spark, sf_dir, docs=docs))
+    # materialized list instead of re-running the BM25 pipeline; the
+    # merged entry passes its shared (already checkpointed) ranking
+    if ranked is None:
+        ranked = stable_checkpoint(_bm25_ranked(spark, sf_dir, docs=docs))
     cands = ranked.select("query_id", "doc_id")
     anchors = ranked.filter(F.col("rank") == 1).select(
         "query_id", F.col("doc_id").alias("anchor_id")
@@ -1700,25 +1790,32 @@ def q_collocations(
 
 
 def q_source_drift(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    tf_src: DataFrame | None = None,
 ) -> DataFrame:
     """'drift' variant: pairwise corpus drift between sources
     (operators/drift.py) — token distributions quantized to integer
     ppm, exact L1 distance over the dense shared-vocabulary grid
     (2e6 x total-variation, up to quantization). Column mapping:
     source/token = the slice pair, rank = tokens whose quantized
-    share differs, score = the integer L1 ppm distance."""
-    from ..operators.drift import l1_drift, token_ppm
+    share differs, score = the integer L1 ppm distance. ``tf_src``
+    lets the merged entry pass one checkpointed
+    :func:`_source_token_counts` shared with the 'tfidf' variant."""
+    from ..operators.drift import l1_drift, token_ppm_from_counts
 
     if docs is None:
         docs = spread(
             load_table(spark, sf_dir, "documents"), "doc_id"
         )
-    rows = docs.select(
+    if tf_src is None:
+        tf_src = _source_token_counts(docs)
+    out = l1_drift(
+        token_ppm_from_counts(tf_src, "source", "token", "tf"),
         "source",
-        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+        "token",
     )
-    out = l1_drift(token_ppm(rows, "source", "token"), "source", "token")
     return out.select(
         F.lit("drift").alias("variant"),
         F.col("grp_a").alias("source"),
@@ -1785,26 +1882,55 @@ def q_tfidf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     generic-column union-tagging convention, README §union-tagging).
     variant 'pmi': q_collocations. variant 'drift': q_source_drift.
     variant 'releval': q_retrieval_eval — MRR/precision/recall of the
-    BM25 ranking against deterministic term-containment labels."""
+    BM25 ranking against deterministic term-containment labels.
+
+    Shared-subframe discipline (VERDICT r5 + r11 Next #1): all seven
+    variants tokenize the same documents frame — load and persist it
+    ONCE for the union (no unpersist: the result is lazy and the
+    cache is small + LRU-evictable). On top of that (r12, guide
+    §2.4/§2.6) the entry checkpoints THREE shared subtrees so each is
+    computed once, not once per consuming variant:
+
+    - ``tf_bm25`` (:func:`_bm25_tf`) — consumed by the ranking's dfq +
+      scored branches AND 'releval''s relevance labels;
+    - ``ranked`` (:func:`_bm25_ranked`) — consumed by 'bm25',
+      'hybrid' (candidates + anchors) and 'releval' (the eval join),
+      which previously re-ran the full BM25 pipeline each;
+    - ``tf_src`` (:func:`_source_token_counts`) — consumed by 'tfidf'
+      (tf→df_ and the score join) and 'drift' (ppm distributions).
+    """
     from pyspark import StorageLevel
 
-    # shared-subframe discipline (VERDICT r5): all six variants
-    # tokenize the same documents frame — load and persist it ONCE
-    # for the union (no unpersist: the result is lazy and the cache
-    # is small + LRU-evictable)
     shared_docs = spread(
         load_table(spark, sf_dir, "documents"), "doc_id"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    t = q_tfidf_terms(spark, sf_dir, docs=shared_docs).select(
+    tf_bm25 = stable_checkpoint(_bm25_tf(spark, shared_docs))
+    ranked = stable_checkpoint(
+        _bm25_ranked(spark, sf_dir, docs=shared_docs, tf=tf_bm25)
+    )
+    tf_src = stable_checkpoint(_source_token_counts(shared_docs))
+    t = q_tfidf_terms(
+        spark, sf_dir, docs=shared_docs, tf_src=tf_src
+    ).select(
         F.lit("tfidf").alias("variant"), "source", "token", "rank", "score"
     )
     return (
-        t.unionByName(q_bm25_topk(spark, sf_dir, docs=shared_docs))
-        .unionByName(q_hybrid_rerank(spark, sf_dir, docs=shared_docs))
+        t.unionByName(
+            q_bm25_topk(spark, sf_dir, docs=shared_docs, ranked=ranked)
+        )
+        .unionByName(
+            q_hybrid_rerank(spark, sf_dir, docs=shared_docs, ranked=ranked)
+        )
         .unionByName(q_bm25_index_topk(spark, sf_dir, docs=shared_docs))
         .unionByName(q_collocations(spark, sf_dir, docs=shared_docs))
-        .unionByName(q_source_drift(spark, sf_dir, docs=shared_docs))
-        .unionByName(q_retrieval_eval(spark, sf_dir, docs=shared_docs))
+        .unionByName(
+            q_source_drift(spark, sf_dir, docs=shared_docs, tf_src=tf_src)
+        )
+        .unionByName(
+            q_retrieval_eval(
+                spark, sf_dir, docs=shared_docs, ranked=ranked, tf=tf_bm25
+            )
+        )
     )
 
 

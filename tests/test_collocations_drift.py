@@ -88,3 +88,27 @@ def test_pairwise_output_is_unordered_pairs(spark):
     assert pairs == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
     # disjoint vocabularies: each pair differs on both tokens, l1 = 2M
     assert all(r.l1_ppm == 2 * PPM for r in out)
+
+
+def test_token_ppm_from_counts_equals_token_ppm(spark):
+    # r12: drift derives ppm from a pre-aggregated (group, token, tf)
+    # table shared with tfidf — per-group totals as the SUM of counts
+    # must equal counting the raw token rows
+    from pyspark.sql import functions as F
+
+    from accounting_etl_spark.operators.drift import token_ppm_from_counts
+
+    rows = spark.createDataFrame(
+        [("s1", "a"), ("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "c"),
+         ("s2", "c"), ("s2", "c")],
+        ["src", "tok"],
+    )
+    tf = rows.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    direct = {
+        (r.src, r.tok): r.q for r in token_ppm(rows, "src", "tok").collect()
+    }
+    from_counts = {
+        (r.src, r.tok): r.q
+        for r in token_ppm_from_counts(tf, "src", "tok", "tf").collect()
+    }
+    assert from_counts == direct

@@ -132,3 +132,28 @@ def test_length_subblocking_keeps_single_edit_recall(spark):
         ).collect()
     }
     assert expected <= got
+
+
+def test_cluster_sizes_from_name_counts_on_duplicate_heavy_input(spark):
+    # r12: cluster_size is summed on the per-name count table instead
+    # of aggregating the record-level join output — on a duplicate-
+    # heavy input (many records per identical name) the sizes must
+    # still count RECORDS, not names
+    rows = (
+        [(i, "acme tools north east") for i in range(5)]
+        + [(10, "acme tool north east")]          # 1-edit link
+        + [(20, "zenith valves south bay"), (21, "zenith valves south bay")]
+    )
+    recs = spark.createDataFrame(rows, ["id", "name"])
+    out = {
+        r.id: (r.entity_id, r.cluster_size, r.is_canonical)
+        for r in resolve_entities(
+            recs, keys=_two_token_keys(), max_dist=1
+        ).collect()
+    }
+    # entity 0 = 5 identical-name records + the typo record = 6
+    for i in [0, 1, 2, 3, 4, 10]:
+        assert out[i] == (0, 6, i == 0)
+    for i in [20, 21]:
+        assert out[i] == (20, 2, i == 20)
+    assert len(out) == 8
